@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query — the reference's serving-layer
+  aggregate (consumer.scala:157-188) over sf0.001 events.
+- ``queries()`` / ``oracle_sql()``: one entry per implemented operator
+  from SURVEY.md §2.12, sourced from the engine's query catalog
+  (twitter_kafka_etl_spark/plans/catalog.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from twitter_kafka_etl_spark.io import read_table
+from twitter_kafka_etl_spark.pipeline import enrich_rule_based, topic_aggregates
+from twitter_kafka_etl_spark.plans import REGISTRY
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: enrich events with sentiment/emotion labels, then the
+    reference's two-branch aggregate (positivity rate ⋈ emotion pivot)."""
+    events = read_table(spark, "/root/testdata/sf0.001", "events")
+    enriched = enrich_rule_based(
+        events.withColumnRenamed("event_type", "topic")
+    )
+    return topic_aggregates(enriched)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented query/operator (SURVEY.md §2.12)."""
+    return {name: spec.build for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins for every SQL-expressible query in ``queries()``."""
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,167 @@
+"""Sources and sinks (SURVEY.md §2.1, S1-S9).
+
+Batch + streaming readers/writers for parquet, JSON, and Kafka, expressed
+so Catalyst keeps pushdown/pruning:
+
+- ``read_table`` reads a whole table root; callers filter on partition or
+  data columns and Catalyst prunes partitions / pushes predicates into the
+  parquet scan. This replaces the reference's manual per-hour path
+  construction (consumer.scala:89-123, S5) — filtering one hour of a
+  partitioned table reads exactly that hour's files, no path math, no
+  sleep-and-retry.
+- ``write_partitioned`` is the fixed S7: it actually saves (the reference
+  forgot ``.save()``, consumer.scala:183-187) and refuses measure-typed
+  partition columns (the reference partitioned by ``counts``, a measure —
+  pathological cardinality at scale).
+- Kafka source/sink (S1/S2) mirror consumer.scala:56-62 and the producer's
+  keyed writes (twitter_producer.py:30-33); they're config-gated since the
+  test container runs no broker.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Batch parquet scan of one synthetic table (TESTDATA.md layout).
+
+    Handles nanosecond-precision parquet timestamps (``events.ts`` is
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects): reads
+    nanos as long and truncates to microseconds — the same floor
+    conversion DuckDB applies, so oracle comparisons agree.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for fld in df.schema.fields:
+        if fld.name == "ts" and fld.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """JSON file read (S8; streamviz/wrangling.py:7-11 equivalent)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+    max_distinct_per_col: int = 10_000,
+) -> None:
+    """Partitioned batch sink (S4/S7 semantics, with ``.save()`` called).
+
+    Guards against high-cardinality partition columns: at 100 TB,
+    partitioning by a measure (consumer.scala:187 partitioned by
+    ``counts``) creates millions of directories and kills the metastore.
+    The guard samples distinct counts cheaply via approx_count_distinct.
+    """
+    if partition_by:
+        approx = df.select(
+            *[F.approx_count_distinct(c).alias(c) for c in partition_by]
+        ).first()
+        for c in partition_by:
+            if approx[c] > max_distinct_per_col:
+                raise ValueError(
+                    f"partition column {c!r} has ~{approx[c]} distinct values; "
+                    f"refusing to partition by a high-cardinality (measure-like) "
+                    f"column (cf. reference bug consumer.scala:187)"
+                )
+    writer = df.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "latest",
+    fail_on_data_loss: bool = False,
+) -> DataFrame:
+    """S1 — Kafka streaming source (consumer.scala:56-62 surface).
+
+    Returns the raw (key binary, value binary, topic, partition, offset,
+    timestamp) frame; pair with functions.decode_kafka + from_json.
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+        .load()
+    )
+
+
+def write_kafka_stream(
+    df: DataFrame,
+    bootstrap_servers: str,
+    checkpoint: str,
+    topic: str | None = None,
+):
+    """S2 — keyed Kafka sink. ``df`` must expose string/binary ``key`` and
+    ``value`` columns, plus ``topic`` unless a fixed topic is given
+    (fan-out routing, twitter_producer.py:62-64)."""
+    writer = (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("checkpointLocation", checkpoint)
+    )
+    if topic:
+        writer = writer.option("topic", topic)
+    return writer.start()
+
+
+def write_stream_partitioned(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str],
+    fmt: str = "parquet",
+    output_mode: str = "append",
+    available_now: bool = True,
+):
+    """S4 — checkpointed, partitioned file streaming sink
+    (consumer.scala:73-82). ``available_now`` gives deterministic
+    catch-up-then-stop semantics for tests and backfills."""
+    writer = (
+        df.writeStream.format(fmt)
+        .option("checkpointLocation", checkpoint)
+        .option("path", path)
+        .outputMode(output_mode)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def to_pandas(df: DataFrame):
+    """S9 — engine→pandas boundary (Arrow-enabled) for viz layers."""
+    return df.toPandas()

@@ -1,0 +1,187 @@
+"""Relational operator layer (SURVEY.md §2.2-§2.6, §2.8).
+
+Thin, composable, *scale-disciplined* wrappers over the DataFrame API.
+Value added over raw DataFrame calls:
+
+- ``pivot_explicit`` requires the value list (the reference's bare
+  ``.pivot("emotion")`` at consumer.scala:170 launches an extra
+  distinct-scan job AND collects distinct values to the driver —
+  unbounded at 100 TB).
+- ``dedup_first`` implements deterministic keep-first dedup via
+  ``row_number`` (pandas ``drop_duplicates`` keep='first' semantics,
+  streamviz/wrangling.py:24) — plain ``dropDuplicates`` keeps an
+  *arbitrary* row, which is not reproducible.
+- ``share_of_total`` is the group-total window the viz layer fumbles
+  (streamviz/visualisation.py:21 groups a Series by a column name —
+  a latent pandas bug; this is the intended semantics).
+- ``count_agg`` fixes the reference's alias bug (consumer.scala:168-169
+  aliased the DataFrame, not the count column).
+
+Every function returns a DataFrame and keeps the plan declarative so
+Catalyst can reorder/prune/broadcast.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+JOIN_KINDS = ("inner", "left", "right", "full", "left_semi", "left_anti", "cross")
+
+
+def project(df: DataFrame, *cols: str | Column) -> DataFrame:
+    """P6/P8 — narrow projection; column pruning reaches the scan."""
+    return df.select(*cols)
+
+
+def filter_rows(df: DataFrame, predicate: str | Column) -> DataFrame:
+    """P7 — predicate filter; pushes into the parquet scan when possible
+    (replaces wrangling.py:25 ``topic != 'NoFlyZone'``)."""
+    return df.filter(predicate)
+
+
+def fill_nulls(df: DataFrame, value, subset: Sequence[str] | None = None) -> DataFrame:
+    """P9 — null fill after pivot (consumer.scala:170 ``.na.fill(0)``)."""
+    return df.na.fill(value, subset=list(subset) if subset else None)
+
+
+def join_tables(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """J1 + full join surface (consumer.scala:172-174 is the inner case).
+
+    ``broadcast_right`` hints a map-side join for small dimensions; with
+    AQE on, Catalyst usually decides this itself, but an explicit hint is
+    free insurance when the small side's size estimate is poor (e.g. after
+    an aggregation).
+    """
+    if how not in JOIN_KINDS:
+        raise ValueError(f"how={how!r}; expected one of {JOIN_KINDS}")
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=on, how=how)
+
+
+def conditional_rate_agg(
+    df: DataFrame,
+    group_col: str,
+    flag_col: Column,
+    rate_name: str = "positivity_rate",
+    count_name: str = "counts",
+    ndigits: int = 2,
+) -> DataFrame:
+    """A1 — grouped conditional mean + count (consumer.scala:158-166).
+
+    ``flag_col`` is a 0/1 Column (see functions.positivity_flag); the mean
+    of it is the rate. Partial (map-side) aggregation applies — one shuffle
+    of (group, sum, count) pairs, never raw rows.
+    """
+    return df.groupBy(group_col).agg(
+        F.round(F.avg(flag_col), ndigits).alias(rate_name),
+        F.count(F.lit(1)).alias(count_name),
+    )
+
+
+def count_agg(df: DataFrame, keys: Sequence[str], count_name: str = "counts") -> DataFrame:
+    """A2 (fixed) — multi-key count with the alias on the *column*
+    (the reference aliased the DataFrame: consumer.scala:168-169)."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(count_name))
+
+
+def pivot_explicit(
+    df: DataFrame,
+    group_col: str | Column,
+    pivot_col: str,
+    values: Sequence[str],
+    agg: Column,
+    fill=0,
+) -> DataFrame:
+    """A3/R2 — pivot with an explicit value list (consumer.scala:170,
+    minus the driver-side distinct scan). Static schema, one shuffle."""
+    out = df.groupBy(group_col).pivot(pivot_col, list(values)).agg(agg)
+    return out.na.fill(fill) if fill is not None else out
+
+
+def unpivot_long(
+    df: DataFrame,
+    ids: Sequence[str],
+    values: Sequence[str],
+    var_name: str,
+    value_name: str,
+) -> DataFrame:
+    """R1/R3 — wide→long melt (streamviz/visualisation.py:19-20's
+    ``pd.melt``) as the built-in ``DataFrame.unpivot`` (narrow op, no
+    shuffle)."""
+    return df.unpivot(list(ids), list(values), var_name, value_name)
+
+
+def dedup_first(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str | Column],
+) -> DataFrame:
+    """D1/Q22 — deterministic keep-first dedup via row_number
+    (wrangling.py:24 semantics). One shuffle on ``keys``; at scale prefer
+    this over ``dropDuplicates`` whenever 'first' must be reproducible."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_any(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """D1 — keep an arbitrary row per key (plain ``dropDuplicates``);
+    cheaper than dedup_first (partial agg, no full sort per group)."""
+    return df.dropDuplicates(list(keys))
+
+
+def share_of_total(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    value_col: str,
+    out_name: str = "percent",
+) -> DataFrame:
+    """W1/A5/A6 — value / sum(value) over (partition by keys)
+    (visualisation.py:21,35,72 intent). Window sum without ORDER BY uses
+    the whole partition as the frame — one shuffle on the partition keys.
+    """
+    w = Window.partitionBy(*partition_by)
+    return df.withColumn(out_name, F.col(value_col) / F.sum(value_col).over(w))
+
+
+def rollup_agg(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
+    """Rollup aggregation (declared engine surface, SURVEY §2.4)."""
+    return df.rollup(*keys).agg(*aggs)
+
+
+def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set op surface — by-name union keeping duplicates (UNION ALL)."""
+    return a.unionByName(b)
+
+
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set op surface — multiset difference (EXCEPT ALL)."""
+    return a.exceptAll(b)
+
+
+def explode_route(
+    df: DataFrame,
+    array_col: str | Column,
+    out_name: str,
+    allowed: Sequence[str] | None = None,
+) -> DataFrame:
+    """P10/D2 — fan-out one row per array element, optionally filtered to
+    an allow-list: the producer's per-matching-rule message fan-out
+    (twitter_producer.py:62-64) as explode + isin."""
+    c = F.col(array_col) if isinstance(array_col, str) else array_col
+    out = df.withColumn(out_name, F.explode(c))
+    if allowed is not None:
+        out = out.filter(F.col(out_name).isin(list(allowed)))
+    return out
