@@ -1,0 +1,111 @@
+"""Unit tests for the LLM-pipeline extension operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from twitter_kafka_etl_spark.io import read_table
+from twitter_kafka_etl_spark.operators import dedup as D
+from twitter_kafka_etl_spark.operators import multimodal as M
+from twitter_kafka_etl_spark.operators import similarity as S
+from twitter_kafka_etl_spark.operators import text as T
+
+
+def test_exact_dedup_finds_planted_duplicate(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, "HELLO world"), (3, "other text")],
+        ["doc_id", "text"],
+    )
+    out = {r.keeper_id: r.dup_cnt for r in D.exact_duplicates(df).collect()}
+    # rows 1 and 2 normalize to the same fingerprint
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_planted_near_duplicate(spark):
+    # shingle-Jaccard(1,2) ≈ 0.97 → band collision is near-certain, and
+    # with the fixed hash seeds the outcome is fully deterministic
+    base = " ".join("w%d" % i for i in range(100))
+    near = base.replace("w99", "zz")
+    far = " ".join("q%d" % i for i in range(50))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    pairs = D.minhash_lsh_pairs(D.minhash_signatures(D.shingle(df))).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
+
+
+def test_simhash_near_duplicate_has_small_hamming(spark):
+    base = " ".join(["tok%d" % i for i in range(60)])
+    near = base.replace("tok59", "tok99")
+    df = spark.createDataFrame([(1, base), (2, near)], ["doc_id", "text"])
+    pairs = D.simhash_pairs(D.simhash(df), max_hamming=8).collect()
+    assert len(pairs) == 1 and pairs[0].hamming <= 8
+
+
+def test_jaccard_identical_docs_is_one(spark):
+    t = "a b c d e f g h"
+    df = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])
+    rows = D.ngram_jaccard_pairs(df, threshold=0.9).collect()
+    assert len(rows) == 1 and rows[0].jaccard == 1.0
+
+
+def test_topk_bruteforce_is_exact(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    top = S.topk_bruteforce(emb, query_id=0, k=5).collect()
+    assert len(top) == 5
+    sims = [r.cos_sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_lsh_bucket_contains_query_neighbors(spark, sf_dir):
+    """ANN results must be a subset of brute-force candidates' score space."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    ann = S.topk_lsh(emb, query_id=0, k=5).collect()
+    exact = {r.vec_id: r.cos_sim for r in S.topk_bruteforce(emb, 0, k=500).collect()}
+    for r in ann:
+        assert r.vec_id in exact
+        assert abs(exact[r.vec_id] - r.cos_sim) < 1e-9
+
+
+def test_cosine_pairs_lsh_prefilter_is_subset(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings").limit(100)
+    exact = {(r.id_a, r.id_b) for r in S.cosine_pairs(emb, 0.3).collect()}
+    pre = {(r.id_a, r.id_b)
+           for r in S.cosine_pairs(emb, 0.3, use_lsh_prefilter=True).collect()}
+    assert pre <= exact
+
+
+def test_langid_marks_english_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on a mat"), (2, "der hund und die katze"),
+         (3, "xyz qqq zzz")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.pred_lang for r in T.lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_multimodal_real_decoders_are_stubs():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(b"RIFF")
+
+
+def test_multimodal_fake_decode_plumbing(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "")], ["doc_id", "text"])
+    out = {r.doc_id: (r.n_bytes, r.first_byte)
+           for r in M.extract_features(M.attach_binary(df)).collect()}
+    assert out == {1: (3, 97), 2: (0, -1)}
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    feats = T.quality_features(docs)
+    bad = feats.filter(
+        (F.col("quality_score") < 0) | (F.col("quality_score") > 1)
+        | (F.col("distinct_ratio") > 1) | (F.col("stopword_ratio") > 1)
+    ).count()
+    assert bad == 0

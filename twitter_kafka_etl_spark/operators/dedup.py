@@ -1,0 +1,251 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale design: every algorithm here is expressed as shuffle-bounded
+DataFrame ops — explode → hash → partial-agg → equi-join. Nothing
+collects to the driver; candidate generation is always an inverted-index
+or bucket equi-join (never a cross join), so the 100 TB cost is
+O(docs × shingles) map-side plus one shuffle per join.
+
+Determinism: token/shingle hashes derive from md5 (stable across engines,
+runs, and partitionings), so signatures — and the DuckDB oracles in
+plans/extensions.py — are exactly reproducible.
+
+- ``exact_duplicates``      hash-groupBy on a normalized fingerprint
+- ``shingle``               n-gram shingles as a (doc_id, shingle) long table
+- ``minhash_signatures``    k permutation-free MinHash values
+- ``minhash_lsh_pairs``     banded LSH candidate pairs (band equi-join)
+- ``simhash``               32-bit SimHash per document
+- ``simhash_pairs``         near-dup pairs via chunk-banding + hamming check
+- ``ngram_jaccard_pairs``   exact Jaccard over an inverted-index join
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Mersenne prime 2^31 - 1; all MinHash arithmetic stays < 2^62 (no
+#: int64 overflow in either Spark or the DuckDB oracle).
+MERSENNE = 2_147_483_647
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def hash_params(k: int = N_HASHES, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the k MinHash functions."""
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MERSENNE), rng.randrange(0, MERSENNE)) for _ in range(k)]
+
+
+def token_hash(col: Column) -> Column:
+    """Stable 31-bit token hash: first 8 hex chars of md5 → int, mod the
+    Mersenne prime. Engine-portable (DuckDB: CAST('0x'||substr(md5(x),1,8)
+    AS BIGINT) % p)."""
+    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % MERSENNE)
+
+
+def fingerprint_norm(col: Column) -> Column:
+    """Normalization for exact dedup: lowercase, collapse whitespace."""
+    return F.lower(F.regexp_replace(col, "\\s+", " "))
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via hash-groupBy on the md5 fingerprint: one row per
+    distinct text with the keeper (min id) and the duplicate count.
+    Map-side partial agg → single shuffle on the 128-bit key."""
+    return (
+        df.select(F.md5(fingerprint_norm(F.col(text_col))).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+def shingle(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingles as a long (id, shingle) table.
+
+    Built with JVM-side array ops: transform over a 0..len-n index
+    sequence, then explode. No Python, no UDF.
+    """
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    params: Sequence[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """k MinHash values per document: min((a*h + b) mod p) per hash fn.
+    One shuffle (groupBy id); k mins fold map-side."""
+    params = list(params or hash_params())
+    h = token_hash(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % MERSENNE).alias(f"mh{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Banded LSH: equal band-signature → candidate pair.
+
+    Bands are unioned into one (id, band, sig) table and self-joined on
+    (band, sig) — a plain shuffled equi-join, so skewed buckets are
+    handled by AQE skew-join splitting at scale.
+    """
+    bands = None
+    for b in range(n_bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        part = signatures.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).alias("sig"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """32-bit SimHash: per-token md5-derived hash; each bit position sums
+    +1/-1 over tokens (with multiplicity); sign → bit.
+
+    Explode → groupBy(id) with 32 conditional sums — all map-side
+    partial-agg, one shuffle.
+    """
+    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    per_bit = toks.groupBy(id_col).agg(*sums)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return per_bit.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs: hamming(simhash) <= k via chunk banding.
+
+    Pigeonhole: distance <= n_chunks-1 implies at least one equal chunk,
+    so candidates come from n_chunks equi-joins (unioned), then the exact
+    hamming check filters. No cross join at any scale.
+    """
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunks = sig_df.select(
+        F.col(id_col),
+        F.col("simhash"),
+        *[
+            (F.shiftright("simhash", i * chunk_bits).bitwiseAND(mask)).alias(f"c{i}")
+            for i in range(n_chunks)
+        ],
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = None
+    for i in range(n_chunks):
+        p = a.join(
+            b,
+            (F.col(f"a.c{i}") == F.col(f"b.c{i}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.distinct()
+        .filter(hamming <= max_hamming)
+        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard over an inverted-index join.
+
+    |A∩B| comes from the shingle self-join (only pairs sharing >=1 shingle
+    are ever materialized); |A∪B| = |A|+|B|-|A∩B|. At 100 TB, hot shingles
+    dominate the join — drop top-frequency shingles (stopword n-grams)
+    before joining, which only loses pairs whose remaining similarity is
+    below any sane threshold.
+    """
+    sh = shingle(df, n=n, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+- ``topk_bruteforce`` — exact cosine top-k: the correctness baseline.
+  The query vector rides along as a broadcast literal-free one-row frame;
+  scoring is a JVM-side higher-order fold (zip_with + aggregate), so the
+  scan stays distributed and nothing but the top-k heap reaches the driver.
+- ``lsh_assign`` / ``topk_lsh`` — the scale path: sign-random-projection
+  LSH buckets vectors; search touches only the query's bucket. Hyperplanes
+  are deterministic ±1 vectors (seeded), embeddable in the DuckDB oracle.
+- ``cosine_pairs`` — all-pairs near-duplicate detection above a cosine
+  threshold (embedding near-dup dedup). Exact variant is O(n²) per
+  partition-pair; the LSH bucket join is the 100 TB route.
+
+All math is double-precision with a fixed left-to-right fold, which is
+bitwise-identical to DuckDB's list_dot_product — verified, not assumed.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product (JVM higher-order fold)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def hyperplanes(n_planes: int = 8, dim: int = 64, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes for sign-random-projection LSH.
+    Integer-valued so the projection is an exact ± sum of components —
+    no float literal drift between engines."""
+    rng = random.Random(seed)
+    return [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _plane_col(plane: list[int]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in plane])
+
+
+def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """Bucket id: bit i = sign(dot(vec, plane_i))."""
+    bucket = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        bit = F.when(dot(vec, _plane_col(p)) > 0, F.lit(2**i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    planes: list[list[int]] | None = None,
+    out: str = "bucket",
+) -> DataFrame:
+    planes = planes or hyperplanes()
+    return df.withColumn(out, lsh_bucket(as_double(vec_col), planes))
+
+
+def topk_bruteforce(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against the vector with ``query_id``.
+
+    The one-row query side is broadcast; ordering uses the 6-dp-rounded
+    similarity with the id as tie-break, so results are stable under any
+    float summation regime. Output: (vec_id, cos_sim) — k rows.
+    """
+    q = df.filter(F.col(id_col) == query_id).select(
+        as_double(vec_col).alias("qvec")
+    )
+    scored = df.join(F.broadcast(q)).select(
+        F.col(id_col),
+        F.round(cosine(as_double(vec_col), F.col("qvec")), 6).alias("cos_sim"),
+    )
+    return (
+        scored.filter(F.col(id_col) != query_id)
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def topk_lsh(
+    df: DataFrame,
+    query_id: int,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: list[list[int]] | None = None,
+) -> DataFrame:
+    """ANN top-k: score only vectors in the query's LSH bucket.
+
+    At scale this is a bucket-pruned scan: with b planes, ~n/2^b vectors
+    are touched. Recall is tunable via multi-probe or more tables; this
+    is the single-table variant."""
+    planes = planes or hyperplanes()
+    assigned = lsh_assign(df, vec_col, planes)
+    q = assigned.filter(F.col(id_col) == query_id).select(
+        as_double(vec_col).alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    scored = (
+        assigned.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            F.round(cosine(as_double(vec_col), F.col("qvec")), 6).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    use_lsh_prefilter: bool = False,
+    planes: list[list[int]] | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold.
+
+    Exact mode joins on id< id (Catalyst broadcasts the smaller side).
+    ``use_lsh_prefilter`` joins within LSH buckets instead — the 100 TB
+    path, trading recall at the threshold boundary for an equi-join plan.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"), as_double(vec_col).alias("va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb")
+    )
+    if use_lsh_prefilter:
+        planes = planes or hyperplanes()
+        a = a.withColumn("bucket", lsh_bucket(F.col("va"), planes))
+        b = b.withColumn("bucket", lsh_bucket(F.col("vb"), planes))
+        joined = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        joined.select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

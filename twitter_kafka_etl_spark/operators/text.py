@@ -1,0 +1,158 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here is built from JVM-side column expressions (codegen-friendly,
+no Python in the hot path) except the classifier backends, which follow the
+reference's NLP stages (consumer.scala:85,125-155) as Arrow-vectorized
+pandas UDFs — the engine's sanctioned Python boundary.
+
+Operators:
+- ``tokenize``            whitespace tokens (F.split)
+- ``token_stats``         token counting incl. a BPE-ish regex piece count
+- ``quality_features``    length / distinct / stopword-ratio scoring
+- ``lang_id``             marker-word n-gram heuristic language ID
+- ``fingerprint``         md5 document fingerprint over normalized text
+- ``classify_sentiment`` / ``classify_emotion``  lexicon pandas UDFs with
+  the same (text)->label shape as the reference's pretrained pipelines
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+#: deterministic lexicons over the synthetic vocabulary; the real-model
+#: backend plugs in behind the same column signature.
+POSITIVE_WORDS = frozenset({"fast", "small", "spark"})
+NEGATIVE_WORDS = frozenset({"slow", "big", "error"})
+SENTIMENTS = ["positive", "negative", "neutral"]
+EMOTIONS = ["surprise", "fear", "joy", "sadness", "anger", "love"]
+
+#: stopword markers per language for the n-gram heuristic. The engine's
+#: honest answer for text without markers is 'und' (undetermined).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "de", "los", "es"),
+}
+
+#: BPE-ish piece pattern: runs of letters, digits, or single non-space
+#: punctuation — a cheap stand-in for subword tokenization.
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def tokenize(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pieces + the
+    chars/4 heuristic LLM pipelines use for budget estimates."""
+    toks = tokenize(text_col)
+    return df.withColumns({
+        "ws_tokens": F.size(toks).cast("bigint"),
+        "bpe_pieces": F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)).cast("bigint"),
+        "approx_tokens": F.ceil(F.length(text_col) / 4).cast("bigint"),
+    })
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: distinct-token ratio and stopword ratio combined.
+    Low distinct ratio = repetitive text; extreme stopword ratio = boilerplate.
+    """
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin("a", "the")))
+    return df.withColumns({
+        "n_tokens": n.cast("bigint"),
+        "n_distinct": n_distinct.cast("bigint"),
+        "distinct_ratio": n_distinct / n,
+        "stopword_ratio": stop_hits / n,
+        "quality_score": F.round(
+            (n_distinct / n) * 0.5 + (F.lit(1.0) - stop_hits / n) * 0.5, 6
+        ),
+    })
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out: str = "pred_lang") -> DataFrame:
+    """Marker-word language ID: count distinct marker hits per language,
+    pick the argmax if it clears a 2-marker threshold, else 'und'.
+
+    One pass of array ops per language — no shuffle, no Python.
+    """
+    toks_d = F.array_distinct(tokenize(text_col))
+    scores = {
+        lang: F.size(F.array_intersect(toks_d, F.array(*[F.lit(m) for m in marks])))
+        for lang, marks in LANG_MARKERS.items()
+    }
+    # argmax with deterministic tie-break on language-code order
+    best_lang, best_score = F.lit("und"), F.lit(0)
+    for lang in sorted(scores):
+        s = scores[lang]
+        better = s > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, s).otherwise(best_score)
+    pred = F.when(best_score >= 2, best_lang).otherwise(F.lit("und"))
+    return df.withColumn(out, pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text.
+    Stable across engines and runs — the exact-dedup key at 100 TB."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), "\\s+", " "))
+    return df.withColumn(out, F.md5(norm))
+
+
+# ---------------------------------------------------------------------------
+# classifier backends (U1/U2): Arrow pandas UDFs, (text) -> label
+# ---------------------------------------------------------------------------
+
+def _counts(text: str) -> tuple[int, int]:
+    pos = neg = 0
+    for t in text.split(" "):
+        if t in POSITIVE_WORDS:
+            pos += 1
+        elif t in NEGATIVE_WORDS:
+            neg += 1
+    return pos, neg
+
+
+@pandas_udf(StringType())
+def classify_sentiment(texts: pd.Series) -> pd.Series:
+    """U1 — sentiment annotator shape (consumer.scala:85,125-128).
+    Deterministic lexicon backend; swap the body for a real model
+    (batch inference over the Arrow batch) without changing the plan."""
+    def one(t: str) -> str:
+        pos, neg = _counts(t)
+        if pos > neg:
+            return "positive"
+        if neg > pos:
+            return "negative"
+        return "neutral"
+
+    return texts.map(one)
+
+
+@pandas_udf(StringType())
+def classify_emotion(texts: pd.Series) -> pd.Series:
+    """U2 — emotion classifier shape (consumer.scala:132-155), 6-label set
+    {surprise,fear,joy,sadness,anger,love} (wrangling.py:26-27)."""
+    def one(t: str) -> str:
+        pos, neg = _counts(t)
+        return EMOTIONS[(pos * 3 + neg) % len(EMOTIONS)]
+
+    return texts.map(one)
+
+
+def enrich_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The reference's two-stage NLP enrichment (consumer.scala:125-155)
+    as one projection: sentiment + emotion columns appended."""
+    return df.withColumns({
+        "sentiment": classify_sentiment(F.col(text_col)),
+        "emotion": classify_emotion(F.col(text_col)),
+    })

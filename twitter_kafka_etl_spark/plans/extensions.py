@@ -1,0 +1,422 @@
+"""LLM-data-pipeline extension queries (SURVEY.md §2.12 north star).
+
+Deduplication, similarity search, text analysis, and multimodal plumbing —
+each registered with a DuckDB oracle wherever the semantics are
+SQL-expressible. The oracles share their constants (hash params,
+hyperplanes, lexicons) with the operators via programmatic SQL generation,
+so Spark and DuckDB compute the *same* deterministic function.
+
+Cross-engine determinism relies on:
+- md5 as the only string hash (identical in both engines);
+- MinHash arithmetic mod the Mersenne prime 2^31-1 (no int64 overflow);
+- double-precision sequential dot products (verified bitwise-identical
+  between Spark's aggregate fold and DuckDB's list_dot_product);
+- ±1 integer hyperplanes for LSH (exact ± sums, no float literal drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from twitter_kafka_etl_spark.io import read_table
+from twitter_kafka_etl_spark.operators import dedup as D
+from twitter_kafka_etl_spark.operators import multimodal as M
+from twitter_kafka_etl_spark.operators import similarity as S
+from twitter_kafka_etl_spark.operators import text as T
+from twitter_kafka_etl_spark.plans.catalog import _register
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+#: DuckDB twin of operators.dedup.token_hash
+_HASH_SQL = "(CAST('0x' || substr(md5({col}), 1, 8) AS BIGINT) % 2147483647)"
+
+#: 3-gram shingle CTE (DuckDB is 1-indexed; Spark sequence is 0-indexed —
+#: both yield len(tokens)-2 shingles)
+_SHINGLE_CTE = """
+  toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  sh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+    FROM toks
+  )
+"""
+
+_PARAMS = D.hash_params()
+_MINHASH_EXPRS = ",\n      ".join(
+    f"MIN(({a} * {_HASH_SQL.format(col='shingle')} + {b}) % {D.MERSENNE}) AS mh{i}"
+    for i, (a, b) in enumerate(_PARAMS)
+)
+_SIG_CTE = f"""
+  {_SHINGLE_CTE},
+  sigs AS (
+    SELECT doc_id,
+      {_MINHASH_EXPRS}
+    FROM sh GROUP BY doc_id
+  )
+"""
+
+_BAND_BRANCHES = "\n    UNION ALL\n".join(
+    "SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS sig FROM sigs".format(
+        b=b,
+        cols=", ".join(f"mh{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)),
+    )
+    for b in range(D.N_BANDS)
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+@_register(
+    "x01_dedup_exact",
+    "exact dedup: hash-groupBy on normalized-md5 fingerprint; keeper = min id",
+    f"""
+    SELECT md5({_NORM_SQL}) AS fp, min(doc_id) AS keeper_id,
+           COUNT(*) AS dup_cnt
+    FROM documents GROUP BY fp
+    """,
+    tags=("dedup", "extension"),
+)
+def x01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(_docs(spark, sf_dir))
+
+
+@_register(
+    "x02_dedup_minhash_signatures",
+    "16-fn MinHash signatures over 3-gram shingles (md5-derived hashes, "
+    "mod-Mersenne arithmetic — engine-portable)",
+    f"""
+    WITH {_SIG_CTE}
+    SELECT * FROM sigs
+    """,
+    tags=("dedup", "extension"),
+)
+def x02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(D.shingle(_docs(spark, sf_dir)))
+
+
+@_register(
+    "x03_dedup_minhash_lsh_pairs",
+    "banded MinHash-LSH candidate pairs (4 bands × 4 rows, bucket equi-join)",
+    f"""
+    WITH {_SIG_CTE},
+    bands AS (
+    {_BAND_BRANCHES}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "extension"),
+)
+def x03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(D.minhash_signatures(D.shingle(_docs(spark, sf_dir))))
+
+
+_SIMHASH_BITS = 32
+_SIMHASH_SUMS = ",\n      ".join(
+    f"SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_CTE = f"""
+  tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+  hv AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hv FROM tk),
+  bits AS (SELECT doc_id, {_SIMHASH_SUMS} FROM hv GROUP BY doc_id),
+  sim AS (SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM bits)
+"""
+
+
+@_register(
+    "x04_dedup_simhash",
+    "32-bit SimHash per document (token-hash bit votes, sign → bit)",
+    f"""
+    WITH {_SIMHASH_CTE}
+    SELECT doc_id, simhash FROM sim
+    """,
+    tags=("dedup", "extension"),
+)
+def x04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_docs(spark, sf_dir))
+
+
+@_register(
+    "x05_dedup_simhash_pairs",
+    "SimHash near-dup pairs: hamming <= 3 via 4-chunk pigeonhole banding",
+    f"""
+    WITH {_SIMHASH_CTE},
+    chunks AS (
+      SELECT doc_id, simhash,
+             (simhash >> 0) & 255 AS c0, (simhash >> 8) & 255 AS c1,
+             (simhash >> 16) & 255 AS c2, (simhash >> 24) & 255 AS c3
+      FROM sim
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM chunks a JOIN chunks b
+        ON a.doc_id < b.doc_id
+       AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+    tags=("dedup", "extension"),
+)
+def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(D.simhash(_docs(spark, sf_dir)))
+
+
+@_register(
+    "x06_dedup_ngram_jaccard",
+    "exact 3-gram Jaccard >= 0.2 via inverted-index self-join "
+    "(|A∩B| from shared shingles; no cross join)",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           common / (sa.n_sh + sb.n_sh - common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.2
+    """,
+    tags=("dedup", "extension"),
+)
+def x06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "round(list_dot_product({v}, {q}) / "
+    "(sqrt(list_dot_product({v}, {v})) * sqrt(list_dot_product({q}, {q}))), 6)"
+)
+
+
+@_register(
+    "x07_dedup_embedding_cosine",
+    "embedding near-dup pairs: exact cosine >= 0.35 over id-ordered join",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS_SQL.format(v='a.v', q='b.v')} AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(v='a.v', q='b.v')} >= 0.35
+    """,
+    tags=("dedup", "similarity", "extension"),
+)
+def x07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+@_register(
+    "x08_sim_topk_bruteforce",
+    "exact cosine top-10 neighbors of vec_id=0 (brute-force baseline)",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id, {_COS_SQL.format(v='v', q='qv')} AS cos_sim
+    FROM e, q WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("similarity", "extension"),
+)
+def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.topk_bruteforce(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+_PLANES = S.hyperplanes()
+_PLANE_LITS = [
+    "[" + ", ".join(f"{float(v)}" for v in p) + "]::DOUBLE[]" for p in _PLANES
+]
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product({{v}}, {lit}) > 0 THEN {2**i} ELSE 0 END)"
+    for i, lit in enumerate(_PLANE_LITS)
+)
+
+
+@_register(
+    "x09_sim_ann_lsh",
+    "ANN top-5 via sign-random-projection LSH: score only the query's "
+    "bucket (the 100 TB scale path; brute-force is the recall baseline)",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assigned AS (
+      SELECT vec_id, v, ({_BUCKET_SQL.format(v='v')}) AS bucket FROM e
+    ),
+    q AS (SELECT v AS qv, bucket AS qb FROM assigned WHERE vec_id = 0)
+    SELECT vec_id, {_COS_SQL.format(v='v', q='qv')} AS cos_sim
+    FROM assigned, q WHERE bucket = qb AND vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id LIMIT 5
+    """,
+    tags=("similarity", "extension"),
+)
+def x09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.topk_lsh(_emb(spark, sf_dir), query_id=0, k=5)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_MARKER_LIST = {
+    lang: "[" + ", ".join(f"'{m}'" for m in marks) + "]"
+    for lang, marks in T.LANG_MARKERS.items()
+}
+
+
+@_register(
+    "x10_text_langid",
+    "marker-word language ID with 'und' fallback (argmax, alphabetical "
+    "tie-break, >=2 marker threshold)",
+    f"""
+    WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS td
+               FROM documents),
+    s AS (SELECT doc_id,
+          len(list_intersect(td, {_MARKER_LIST['de']})) AS s_de,
+          len(list_intersect(td, {_MARKER_LIST['en']})) AS s_en,
+          len(list_intersect(td, {_MARKER_LIST['es']})) AS s_es,
+          len(list_intersect(td, {_MARKER_LIST['fr']})) AS s_fr
+          FROM t)
+    SELECT doc_id,
+      CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 2 THEN 'und'
+           WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+           WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+           WHEN s_es >= s_fr THEN 'es'
+           ELSE 'fr' END AS pred_lang
+    FROM s
+    """,
+    tags=("text", "extension"),
+)
+def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.lang_id(_docs(spark, sf_dir)).select("doc_id", "pred_lang")
+
+
+@_register(
+    "x11_text_quality",
+    "quality features: distinct-token ratio, stopword ratio, combined score",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    c AS (SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS nd,
+                 len(list_filter(tk, x -> x = 'a' OR x = 'the')) AS sh
+          FROM t)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(nd AS BIGINT) AS n_distinct,
+           nd / n AS distinct_ratio,
+           sh / n AS stopword_ratio,
+           round((nd / n) * 0.5 + (1.0 - sh / n) * 0.5, 6) AS quality_score
+    FROM c
+    """,
+    tags=("text", "extension"),
+)
+def x11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_features(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_distinct", "distinct_ratio",
+        "stopword_ratio", "quality_score",
+    )
+
+
+@_register(
+    "x12_text_tokens",
+    "token counting: whitespace, BPE-ish regex pieces, chars/4 estimate",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{T.BPE_PATTERN}')) AS BIGINT)
+             AS bpe_pieces,
+           CAST(ceil(length(text) / 4) AS BIGINT) AS approx_tokens
+    FROM documents
+    """,
+    tags=("text", "extension"),
+)
+def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "ws_tokens", "bpe_pieces", "approx_tokens"
+    )
+
+
+@_register(
+    "x13_text_fingerprint",
+    "md5 document fingerprint over normalized text (rolling exact-dup key)",
+    f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+    """,
+    tags=("text", "extension"),
+)
+def x13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp")
+
+
+_POS_PRED = " OR ".join(f"x = '{w}'" for w in sorted(T.POSITIVE_WORDS))
+_NEG_PRED = " OR ".join(f"x = '{w}'" for w in sorted(T.NEGATIVE_WORDS))
+_EMOTION_LIST = "[" + ", ".join(f"'{e}'" for e in T.EMOTIONS) + "]"
+
+
+@_register(
+    "x14_text_classify",
+    "U1/U2 lexicon classifiers as Arrow pandas UDFs — sentiment + 6-label "
+    "emotion, same (text)->label shape as the reference's NLP pipelines "
+    "(consumer.scala:85,125-155)",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    c AS (SELECT doc_id,
+          len(list_filter(tk, x -> {_POS_PRED})) AS pos,
+          len(list_filter(tk, x -> {_NEG_PRED})) AS neg
+          FROM t)
+    SELECT doc_id,
+      CASE WHEN pos > neg THEN 'positive'
+           WHEN neg > pos THEN 'negative'
+           ELSE 'neutral' END AS sentiment,
+      {_EMOTION_LIST}[(pos * 3 + neg) % 6 + 1] AS emotion
+    FROM c
+    """,
+    tags=("text", "udf", "extension"),
+)
+def x14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.enrich_text(_docs(spark, sf_dir)).select("doc_id", "sentiment", "emotion")
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+@_register(
+    "x15_multimodal_features",
+    "binary payload column + Arrow mapInPandas feature extraction "
+    "(deterministic fake decoder; real decoders are explicit stubs)",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+           'application/octet-stream' AS media_type
+    FROM documents
+    """,
+    tags=("multimodal", "udf", "extension"),
+)
+def x15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.extract_features(M.attach_binary(_docs(spark, sf_dir)))
