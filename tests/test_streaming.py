@@ -1,0 +1,99 @@
+"""Streaming invariants the DuckDB oracle can't check (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from twitter_kafka_etl_spark.io import read_table
+from twitter_kafka_etl_spark.plans import REGISTRY
+from twitter_kafka_etl_spark.streaming.stateful import running_user_totals
+
+
+def test_qs1_kafka_shape_roundtrip(spark, sf_dir):
+    out = REGISTRY["qs1_stream_kafka_shape"].build(spark, sf_dir)
+    rows = out.collect()
+    n_in = read_table(spark, sf_dir, "events").count()
+    assert len(rows) == n_in
+    r = rows[0]
+    assert set(out.columns) == {"key", "value", "topic"}
+    payload = json.loads(r.value)
+    # key = first-2-upper(topic) + event_id (twitter_producer.py:33 shape)
+    assert r.key == r.topic[:2].upper() + str(payload["event_id"])
+    assert payload["event_type"] == r.topic
+
+
+def test_qs2_window_counts_partition_sum(spark, sf_dir):
+    out = REGISTRY["qs2_stream_hourly_partitioned"].build(spark, sf_dir)
+    total = out.agg(F.sum("counts")).first()[0]
+    assert total == read_table(spark, sf_dir, "events").count()
+    # hour-aligned tumbling windows
+    misaligned = out.filter(
+        (F.minute("window_start") != 0) | (F.second("window_start") != 0)
+    ).count()
+    assert misaligned == 0
+
+
+def test_qs3_late_row_dropped(spark, sf_dir):
+    out = REGISTRY["qs3_stream_watermark_late_drop"].build(spark, sf_dir)
+    # the planted 'late' event arrived 6h behind the watermark: dropped
+    assert out.filter(F.col("event_type") == "late").count() == 0
+    assert out.count() > 0
+    # every emitted window is closed (sliding 2h): end <= max event time
+    mx = out.agg(F.max("window_end")).first()[0]
+    assert mx is not None
+
+
+def test_session_window_batch(spark, sf_dir):
+    from twitter_kafka_etl_spark.streaming.windows import session_counts
+
+    ev = read_table(spark, sf_dir, "events").limit(500)
+    sess = session_counts(ev, gap="30 minutes", keys=("user_id",))
+    rows = sess.collect()
+    assert rows
+    # sessions per user don't overlap
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert e1 <= s2
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    """applyInPandasWithState carries state across micro-batches."""
+    root = os.path.join(tempfile.gettempdir(), "tkes_stateful")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = read_table(spark, sf_dir, "events").select("user_id", "value", "ts")
+    # two files → two micro-batches
+    ev.filter(F.dayofmonth("ts") <= 15).coalesce(1).write.parquet(f"{root}/in/f00")
+    ev.filter(F.dayofmonth("ts") > 15).coalesce(1).write.parquet(f"{root}/in/f01")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/in/*")
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .option("path", f"{root}/out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(f"{root}/out")
+    # last emission per user equals the batch ground truth
+    final = (
+        out.groupBy("user_id").agg(F.max("total_events").alias("total_events"))
+    )
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    joined = final.join(truth, "user_id")
+    mismatch = joined.filter(F.col("total_events") != F.col("cnt")).count()
+    assert mismatch == 0

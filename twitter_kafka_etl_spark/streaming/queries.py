@@ -1,0 +1,186 @@
+"""Streaming query set QS1-QS3 (SURVEY.md §2.12).
+
+DuckDB has no streaming, so these register as rows-only checks; the
+pytest suite asserts the engine-internal invariants (window contents,
+watermark drops) that the oracle can't.
+
+Determinism strategy: inputs are staged as time-ordered files and
+consumed with ``maxFilesPerTrigger=1`` + ``availableNow`` — each file is
+one micro-batch, so watermark advancement (batch N's watermark = max
+event time of batch N-1 minus the delay) is a pure function of the
+staged data. Results are read back from the checkpointed sink.
+
+Scale notes: these run identically against Kafka sources — swap the file
+source for io.read_kafka_stream; the plans don't change. State stores
+stay bounded via watermarks (T5), unlike the reference which has no
+late-data story at all (consumer.scala:105-122 sleeps an hour and
+re-reads a directory).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from twitter_kafka_etl_spark.functions.scalar import construct_key, derive_date_hour
+from twitter_kafka_etl_spark.io import read_table
+from twitter_kafka_etl_spark.plans.catalog import _register
+from twitter_kafka_etl_spark.streaming import windows as W
+
+
+def _order_files(in_dir: str) -> None:
+    """Force deterministic micro-batch order: FileStreamSource picks files
+    by modification time, so staged batches get strictly increasing
+    mtimes in directory-name order."""
+    base = 1_700_000_000
+    for i, d in enumerate(sorted(os.listdir(in_dir))):
+        for root_, _dirs, files in os.walk(os.path.join(in_dir, d)):
+            for f in files:
+                os.utime(os.path.join(root_, f), (base + i * 60, base + i * 60))
+
+
+def _stage(spark: SparkSession, sf_dir: str, tag: str, n_files: int = 4) -> tuple[str, str]:
+    """Stage events as ``n_files`` time-ordered parquet files + fresh
+    work dirs. Returns (input_dir, work_dir)."""
+    root = os.path.join(tempfile.gettempdir(), f"tkes_stream_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    in_dir = os.path.join(root, "input")
+    ev = read_table(spark, sf_dir, "events")
+    # deterministic time-ordered split: file i holds rows with
+    # ntile-by-ts bucket i (approximated via row_number over ts order)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("ts", "event_id")
+    total = ev.count()
+    per = (total + n_files - 1) // n_files
+    ranked = ev.withColumn("__f", ((F.row_number().over(w) - 1) / per).cast("int"))
+    for i in range(n_files):
+        (
+            ranked.filter(F.col("__f") == i)
+            .drop("__f")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(in_dir, f"f{i:02d}"))
+        )
+    _order_files(in_dir)
+    return in_dir, root
+
+
+def _read_stream(spark: SparkSession, in_dir: str, template: DataFrame) -> DataFrame:
+    return (
+        spark.readStream.schema(template.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "*"))
+    )
+
+
+def _run_to_sink(stream_df: DataFrame, work: str, partition_by=None) -> str:
+    out = os.path.join(work, "out")
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .option("path", out)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    q = writer.start()
+    q.awaitTermination()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# QS1 — S1/S2/T1-T3: file-source stream → keyed Kafka-shaped sink
+# ---------------------------------------------------------------------------
+@_register(
+    "qs1_stream_kafka_shape",
+    "streaming ingest → Kafka wire shape (key,value,topic): the producer's "
+    "keyed fan-out (twitter_producer.py:30-33) + checkpointed sink (T2); "
+    "rows-only (no SQL twin for streaming)",
+    None,
+    tags=("streaming",),
+)
+def qs1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    in_dir, work = _stage(spark, sf_dir, "qs1")
+    stream = _read_stream(spark, in_dir, ev)
+    shaped = W.kafka_shaped(
+        stream,
+        key_col=construct_key("event_type", "event_id"),
+        topic_col=F.col("event_type"),
+    )
+    out = _run_to_sink(shaped, work)
+    return spark.read.parquet(out).select("key", "value", "topic")
+
+
+# ---------------------------------------------------------------------------
+# QS2 — S4/T4/T7: stream → raw partitioned layer → tumbling-window counts
+# ---------------------------------------------------------------------------
+@_register(
+    "qs2_stream_hourly_partitioned",
+    "stream events → hour-partitioned parquet raw layer (S4, "
+    "consumer.scala:73-82) → batch 1-h tumbling window counts (T4/T7 "
+    "two-phase hand-off, minus the wall-clock path math); rows-only",
+    None,
+    tags=("streaming",),
+)
+def qs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    in_dir, work = _stage(spark, sf_dir, "qs2")
+    stream = derive_date_hour(_read_stream(spark, in_dir, ev), "ts")
+    out = _run_to_sink(stream, work, partition_by=["date", "hour"])
+    raw = spark.read.parquet(out)
+    return W.tumbling_counts(raw, "ts", "1 hour", keys=("event_type",))
+
+
+# ---------------------------------------------------------------------------
+# QS3 — T5/T8: watermarked sliding windows with late-row drop
+# ---------------------------------------------------------------------------
+@_register(
+    "qs3_stream_watermark_late_drop",
+    "watermarked sliding-window streaming agg: a planted late event "
+    "arriving after the watermark passed is dropped deterministically "
+    "(T5 — the reference loses late data racily instead); rows-only",
+    None,
+    tags=("streaming",),
+)
+def qs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.to_date("ts") == F.lit("2024-01-02")
+    )
+    root = os.path.join(tempfile.gettempdir(), "tkes_stream_qs3")
+    shutil.rmtree(root, ignore_errors=True)
+    in_dir = os.path.join(root, "input")
+
+    def _one(ts: str, event_type: str) -> DataFrame:
+        return spark.createDataFrame(
+            [(999_999_999, None, 0, event_type, 1.0, "{}")], schema=ev.schema
+        ).withColumn("ts", F.to_timestamp(F.lit(ts)))
+
+    # batch 0: the day's events; batch 1: a head-of-stream event so the
+    # day's watermark is in force; batch 2: one event 20h behind the
+    # watermark — must be dropped, not aggregated. (The watermark derived
+    # from batch N's data only filters from batch N+2, hence the
+    # intermediate batch.)
+    ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(in_dir, "f00"))
+    _one("2024-01-02 23:59:00", "advance").coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(in_dir, "f01")
+    )
+    _one("2024-01-02 03:00:00", "late").coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(in_dir, "f02")
+    )
+    _order_files(in_dir)
+
+    stream = _read_stream(spark, in_dir, ev)
+    agg = W.sliding_counts(
+        stream, "ts", "2 hours", "1 hour", keys=("event_type",), watermark="1 hour"
+    )
+    out = _run_to_sink(agg, root)
+    return spark.read.parquet(out).select(
+        "window_start", "window_end", "event_type", "counts"
+    )

@@ -1,0 +1,103 @@
+"""Event-time windowing operators (T4/T5/T8).
+
+The reference implements a 1-hour tumbling window *manually* — derived
+date/hour partition directories written by wall clock, read back by a
+batch job that sleeps an hour on a miss (consumer.scala:69-70,89-123).
+Late tweets silently vanish. These operators are the idiomatic
+replacements: event-time windows with watermark-bounded state, so
+lateness is handled deterministically and state can't grow unboundedly
+at 100 TB/day stream rates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    keys: tuple[str, ...] = ("event_type",),
+    watermark: str | None = None,
+) -> DataFrame:
+    """T4 — tumbling event-time window counts.
+
+    On a stream, pass ``watermark`` (required for append mode); state per
+    window×key is dropped once the watermark passes the window end.
+    """
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, duration).alias("win"), *keys)
+        .agg(F.count(F.lit(1)).alias("counts"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            "counts",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "2 hours",
+    slide: str = "1 hour",
+    keys: tuple[str, ...] = ("event_type",),
+    watermark: str | None = None,
+) -> DataFrame:
+    """T8 — sliding windows; each event lands in duration/slide windows."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, duration, slide).alias("win"), *keys)
+        .agg(F.count(F.lit(1)).alias("counts"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            "counts",
+        )
+    )
+
+
+def session_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    keys: tuple[str, ...] = ("user_id",),
+    watermark: str | None = None,
+) -> DataFrame:
+    """T8 — session windows: a session closes after ``gap`` of silence.
+    State size is bounded by watermark + gap, not by stream length."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("win"), *keys)
+        .agg(F.count(F.lit(1)).alias("counts"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            *keys,
+            "counts",
+        )
+    )
+
+
+def kafka_shaped(
+    df: DataFrame,
+    key_col: Column,
+    topic_col: Column,
+) -> DataFrame:
+    """S2 — project a frame into Kafka wire shape (key, value, topic):
+    value is the full row as JSON, key/topic from the given expressions
+    (producer fan-out semantics, twitter_producer.py:30-33,62-64)."""
+    payload = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    return df.select(
+        key_col.cast("string").alias("key"),
+        payload.alias("value"),
+        topic_col.cast("string").alias("topic"),
+    )
