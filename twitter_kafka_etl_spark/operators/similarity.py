@@ -136,12 +136,28 @@ def cosine_pairs(
     id_col: str = "vec_id",
     use_lsh_prefilter: bool = False,
     planes: list[list[int]] | None = None,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine >= threshold.
+    """Embedding near-duplicate pairs: exact cosine >= threshold.
 
-    Exact mode joins on id< id (Catalyst broadcasts the smaller side).
-    ``use_lsh_prefilter`` joins within LSH buckets instead — the 100 TB
-    path, trading recall at the threshold boundary for an equi-join plan.
+    Two-phase exact plan:
+
+    1. **Blocked candidate generation** (Arrow + numpy): vectors are
+       assigned to ``n_blocks`` blocks; each vector is replicated once
+       per partner block so every unordered block pair lands in one
+       ``applyInPandas`` group, which matmuls the two blocks and emits
+       ids whose approximate cosine clears ``threshold - 1e-6``. Shuffle
+       volume is O(n × n_blocks × dim) — bounded, no row-level cross
+       join ever materializes.
+    2. **Exact re-score** (JVM fold): the few candidates join back to
+       their vectors and the final ``cos_sim`` is the sequential
+       double-precision fold — bitwise-identical to DuckDB's
+       ``list_dot_product`` oracle, so numpy's pairwise-summation drift
+       can never change an emitted value.
+
+    ``use_lsh_prefilter`` swaps phase 1 for an LSH-bucket equi-join —
+    the 100 TB route when even n²/B block work is too much, trading
+    recall at the threshold boundary for bucket pruning.
     """
     a = df.select(
         F.col(id_col).alias("id_a"), as_double(vec_col).alias("va")
@@ -154,10 +170,61 @@ def cosine_pairs(
         a = a.withColumn("bucket", lsh_bucket(F.col("va"), planes))
         b = b.withColumn("bucket", lsh_bucket(F.col("vb"), planes))
         joined = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
-    else:
-        joined = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
-    return (
-        joined.select("id_a", "id_b", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
+        sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+        return (
+            joined.select("id_a", "id_b", sim.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
+        )
+
+    import pandas as pd
+
+    margin = threshold - 1e-6
+
+    def _block_pairs(key: tuple, pdf: pd.DataFrame):
+        import numpy as np
+
+        bi, bj = key
+        left = pdf[pdf["_blk"] == bi]
+        right = pdf[pdf["_blk"] == bj] if bi != bj else left
+        if left.empty or right.empty:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        va = np.stack(left["_v"].to_numpy())
+        vb = np.stack(right["_v"].to_numpy())
+        sims = (va @ vb.T) / np.outer(
+            np.linalg.norm(va, axis=1), np.linalg.norm(vb, axis=1)
+        )
+        r, c = np.nonzero(sims >= margin)
+        id_a = left["_id"].to_numpy()[r]
+        id_b = right["_id"].to_numpy()[c]
+        if bi == bj:
+            # same-block matrix holds both (x,y) and (y,x): keep one
+            keep = id_a < id_b
+            id_a, id_b = id_a[keep], id_b[keep]
+        else:
+            # cross-block pairs occur exactly once: order, don't drop
+            id_a, id_b = np.minimum(id_a, id_b), np.maximum(id_a, id_b)
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b})
+
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("_id"), as_double(vec_col).alias("_v")
+    ).withColumn("_blk", F.pmod("_id", F.lit(n_blocks)).cast("int"))
+    tasks = (
+        base.withColumn(
+            "_partner", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+        )
+        .withColumn("_bi", F.least("_blk", "_partner"))
+        .withColumn("_bj", F.greatest("_blk", "_partner"))
     )
+    cands = tasks.groupBy("_bi", "_bj").applyInPandas(
+        _block_pairs, "id_a bigint, id_b bigint"
+    )
+    exact = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+    )
+    return exact.filter(F.col("cos_sim") >= threshold)

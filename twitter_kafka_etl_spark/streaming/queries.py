@@ -50,17 +50,18 @@ def _stage(spark: SparkSession, sf_dir: str, tag: str, n_files: int = 4) -> tupl
     shutil.rmtree(root, ignore_errors=True)
     in_dir = os.path.join(root, "input")
     ev = read_table(spark, sf_dir, "events")
-    # deterministic time-ordered split: file i holds rows with
-    # ntile-by-ts bucket i (approximated via row_number over ts order)
-    from pyspark.sql import Window
-
-    w = Window.orderBy("ts", "event_id")
-    total = ev.count()
-    per = (total + n_files - 1) // n_files
-    ranked = ev.withColumn("__f", ((F.row_number().over(w) - 1) / per).cast("int"))
+    # deterministic time-ordered split with no global sort: bucket by
+    # day-of-month range, so each micro-batch covers a contiguous slice
+    # of event time (keeps the partitioned sink writing ~1/n of the
+    # hive dirs per batch instead of all of them every batch)
+    bucket = F.least(
+        F.lit(n_files - 1),
+        ((F.dayofmonth("ts") - 1) * n_files / 31).cast("int"),
+    )
+    ev = ev.withColumn("__f", bucket)
     for i in range(n_files):
         (
-            ranked.filter(F.col("__f") == i)
+            ev.filter(F.col("__f") == i)
             .drop("__f")
             .coalesce(1)
             .write.mode("overwrite")
