@@ -171,6 +171,62 @@ def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.exceptAll(b)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+    tiebreak: Sequence[str] = (),
+    out_prefix: str = "asof_",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` per key (declared join surface, SURVEY §2.3 —
+    "range/as-of via … Window/last() pattern").
+
+    Implemented as union + keyed window, not a range join: both sides
+    shuffle once on ``keys``, then ``last(value, ignorenulls)`` over the
+    (ts, side, tiebreak) order picks the newest right value at or before
+    each left timestamp. At 100 TB this is one shuffle and a per-key sort
+    — no inequality-join row explosion, no broadcast requirement, and AQE
+    skew handling applies to the single exchange.
+
+    ``tiebreak`` columns (present in both frames, e.g. an id) make the
+    winner among equal-timestamp right rows deterministic.
+    """
+    keys = list(keys)
+    tiebreak = list(tiebreak)
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    r = right.select(
+        *keys,
+        *tiebreak,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(v).alias(f"__v_{v}") for v in right_values],
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side", *tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for v in right_values:
+        u = u.withColumn(
+            f"{out_prefix}{v}", F.last(f"__v_{v}", ignorenulls=True).over(w)
+        )
+    return u.filter(F.col("__side") == 1).drop(
+        "__ts", "__side", *[f"__v_{v}" for v in right_values]
+    )
+
+
+def cube_agg(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
+    """Cube aggregation — all 2^k grouping sets (declared agg surface,
+    SURVEY §2.4). Same single-shuffle expand-then-aggregate plan family
+    as rollup."""
+    return df.cube(*keys).agg(*aggs)
+
+
 def explode_route(
     df: DataFrame,
     array_col: str | Column,

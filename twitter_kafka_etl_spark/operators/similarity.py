@@ -180,7 +180,7 @@ def cosine_pairs(
 
     margin = threshold - 1e-6
 
-    def _block_pairs(key: tuple, pdf: pd.DataFrame):
+    def _block_pairs(key, pdf):
         import numpy as np
 
         bi, bj = key

@@ -641,3 +641,135 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         (F.col("value") - F.lag("value").over(w)).alias("delta"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q24 — as-of join (declared join surface, SURVEY §2.3)
+# --------------------------------------------------------------------------
+@_register(
+    "q24_asof_join",
+    "for each purchase, the latest click value at-or-before it per user — "
+    "as-of join via union + keyed window (one shuffle, no range-join "
+    "explosion; SURVEY §2.3 declared surface)",
+    """
+    WITH u AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+      FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT event_id, user_id, last_click_value FROM (
+      SELECT event_id, user_id, side,
+             last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_click_value
+      FROM u)
+    WHERE side = 1
+    """,
+    tags=("join", "window"),
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = R.asof_join(
+        purchases, clicks,
+        keys=["user_id"], left_ts="ts", right_ts="ts",
+        right_values=["value"], tiebreak=["event_id"],
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("asof_value").alias("last_click_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q25 — custom UDAF via pandas_udf GROUPED_AGG (SURVEY §2.10 surface)
+# --------------------------------------------------------------------------
+@_register(
+    "q25_grouped_agg_udaf",
+    "per-event_type exact median + midrange of value via Arrow "
+    "GROUPED_AGG pandas_udf — the engine's custom-aggregate surface "
+    "(SURVEY §2.10); exact order statistics are float-portable so the "
+    "oracle hash-matches (grouped-agg UDFs cannot mix with JVM "
+    "aggregates in one agg, so both columns are UDAFs)",
+    """
+    SELECT event_type,
+           median(value) AS med_value,
+           (MIN(value) + MAX(value)) / 2 AS midrange_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "udf"),
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_kafka_etl_spark.functions.aggregates import (
+        median_agg,
+        midrange_agg,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        median_agg("value").alias("med_value"),
+        midrange_agg("value").alias("midrange_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q26 — cube over two keys (declared agg surface, SURVEY §2.4)
+# --------------------------------------------------------------------------
+@_register(
+    "q26_cube",
+    "lineitem counts + quantity sums over CUBE(returnflag, linestatus) — "
+    "all four grouping sets in one expand+aggregate pass",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS counts,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return R.cube_agg(
+        li, ["l_returnflag", "l_linestatus"],
+        F.count(F.lit(1)).alias("counts"),
+        _dbl_sum("l_quantity", "sum_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q27 — regex + MapType functions (declared function surface, SURVEY §2.7)
+# --------------------------------------------------------------------------
+@_register(
+    "q27_regex_map",
+    "regexp_extract/regexp_replace over documents.text plus a MapType "
+    "build-and-extract — the regex and map surface the reference never "
+    "uses but the engine exposes (SURVEY §2.7, §1.2)",
+    r"""
+    SELECT doc_id,
+           regexp_extract(text, '\b(\w+ing)\b', 1) AS first_ing,
+           CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+             AS consonant_len,
+           CAST(length(text) AS BIGINT) AS from_map
+    FROM documents
+    """,
+    tags=("string", "map"),
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    stats = F.create_map(
+        F.lit("len"), F.length("text").cast("bigint"),
+        F.lit("doc"), F.col("doc_id"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"\b(\w+ing)\b", 1).alias("first_ing"),
+        F.length(F.regexp_replace("text", "[aeiou]", ""))
+        .cast("bigint")
+        .alias("consonant_len"),
+        F.element_at(stats, "len").alias("from_map"),
+    )
