@@ -58,15 +58,15 @@ def _stage(spark: SparkSession, sf_dir: str, tag: str, n_files: int = 4) -> tupl
         F.lit(n_files - 1),
         ((F.dayofmonth("ts") - 1) * n_files / 31).cast("int"),
     )
-    ev = ev.withColumn("__f", bucket)
-    for i in range(n_files):
-        (
-            ev.filter(F.col("__f") == i)
-            .drop("__f")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(in_dir, f"f{i:02d}"))
-        )
+    # single pass: hive-partition by bucket; the data files exclude __f,
+    # so each __f=N dir is one schema-exact micro-batch file
+    (
+        ev.withColumn("__f", bucket)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("__f")
+        .parquet(in_dir)
+    )
     _order_files(in_dir)
     return in_dir, root
 
@@ -90,8 +90,18 @@ def _run_to_sink(stream_df: DataFrame, work: str, partition_by=None) -> str:
     )
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    q = writer.start()
-    q.awaitTermination()
+    # Stateful micro-batches pay per state-store-partition-per-batch
+    # overhead; the harness batches are small, so pin the stream's
+    # shuffle/state partitioning low (it is fixed at first checkpoint).
+    # At production scale this knob comes from the cluster config.
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out
 
 
