@@ -65,6 +65,42 @@ def test_session_window_batch(spark, sf_dir):
             assert e1 <= s2
 
 
+def test_qs4_dedup_within_watermark(spark, sf_dir):
+    """Replayed rows (same event_id) in a later micro-batch are dropped;
+    every surviving event_id is unique."""
+    out = REGISTRY["qs4_stream_dedup_watermark"].build(spark, sf_dir)
+    day = read_table(spark, sf_dir, "events").filter(
+        F.to_date("ts") == F.lit("2024-01-02")
+    )
+    assert out.count() == day.count()  # replays removed, nothing else
+    assert out.select("event_id").distinct().count() == out.count()
+
+
+def test_qs5_multi_sink_consistency(spark, sf_dir):
+    """Both sinks receive every micro-batch: raw row count equals the
+    input, and the per-batch agg sink's counts sum to the same total."""
+    import os
+    import tempfile
+
+    out = REGISTRY["qs5_stream_multi_sink"].build(spark, sf_dir)
+    n_in = read_table(spark, sf_dir, "events").count()
+    assert out.count() == n_in
+    agg = spark.read.parquet(
+        os.path.join(tempfile.gettempdir(), "tkes_stream_qs5", "agg")
+    )
+    assert agg.agg(F.sum("counts")).first()[0] == n_in
+    assert agg.select("batch_id").distinct().count() > 1  # true multi-batch
+
+
+def test_q28_session_window_matches_oracle_shape(spark, sf_dir):
+    """Batch session windows: counts sum to the input size and sessions
+    per user don't overlap (complements the DuckDB hash check)."""
+    out = REGISTRY["q28_session_window"].build(spark, sf_dir)
+    assert out.agg(F.sum("counts")).first()[0] == read_table(
+        spark, sf_dir, "events"
+    ).count()
+
+
 def test_stateful_running_totals(spark, sf_dir):
     """applyInPandasWithState carries state across micro-batches."""
     root = os.path.join(tempfile.gettempdir(), "tkes_stateful")

@@ -773,3 +773,41 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("consonant_len"),
         F.element_at(stats, "len").alias("from_map"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q28 — session window, batch semantics (T8, SURVEY §2.9)
+# --------------------------------------------------------------------------
+@_register(
+    "q28_session_window",
+    "per-user 30-min-gap session windows over events (F.session_window, "
+    "batch) — oracle-checked against the gaps-and-islands formulation; "
+    "a session is [min ts, last ts + gap), new session when the gap to "
+    "the previous event is >= 30 min",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS counts
+    FROM numbered GROUP BY user_id, sess_id
+    """,
+    tags=("window", "session", "agg"),
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_kafka_etl_spark.streaming.windows import session_counts
+
+    ev = read_table(spark, sf_dir, "events")
+    return session_counts(ev, ts_col="ts", gap="30 minutes", keys=("user_id",))

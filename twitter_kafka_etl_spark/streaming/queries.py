@@ -195,3 +195,78 @@ def qs3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "window_start", "window_end", "event_type", "counts"
     )
+
+
+# ---------------------------------------------------------------------------
+# QS4 — D1 streaming variant: dropDuplicatesWithinWatermark
+# ---------------------------------------------------------------------------
+@_register(
+    "qs4_stream_dedup_watermark",
+    "streaming keyed dedup with bounded state: batch 2 replays a subset "
+    "of batch 1's rows (same event_id/ts); dropDuplicatesWithinWatermark "
+    "emits each key once and evicts state at the watermark (D1 streaming "
+    "variant, wrangling.py:24 at unbounded-stream scale); rows-only",
+    None,
+    tags=("streaming", "dedup"),
+)
+def qs4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.to_date("ts") == F.lit("2024-01-02")
+    )
+    root = os.path.join(tempfile.gettempdir(), "tkes_stream_qs4")
+    shutil.rmtree(root, ignore_errors=True)
+    in_dir = os.path.join(root, "input")
+    replay = ev.filter(F.pmod("user_id", F.lit(7)) == 0)
+    ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(in_dir, "f00"))
+    replay.coalesce(1).write.mode("overwrite").parquet(os.path.join(in_dir, "f01"))
+    _order_files(in_dir)
+
+    stream = _read_stream(spark, in_dir, ev)
+    deduped = W.dedup_within_watermark(
+        stream, keys=("event_id",), ts_col="ts", delay="2 days"
+    )
+    out = _run_to_sink(deduped, root)
+    return spark.read.parquet(out).select("event_id", "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# QS5 — S6/T7: foreachBatch fan-out to multiple sinks
+# ---------------------------------------------------------------------------
+@_register(
+    "qs5_stream_multi_sink",
+    "foreachBatch delivers each micro-batch to two sinks from one scan "
+    "(raw rows + per-type batch counts) — the reference's MongoDB+parquet "
+    "dual write (consumer.scala:176-187) with the second sink actually "
+    "firing; rows-only",
+    None,
+    tags=("streaming", "sink"),
+)
+def qs5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_kafka_etl_spark.streaming.sinks import (
+        foreach_batch_fanout,
+        parquet_append_sink,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    in_dir, work = _stage(spark, sf_dir, "qs5")
+    raw_out = os.path.join(work, "raw")
+    agg_out = os.path.join(work, "agg")
+
+    def agg_sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("counts"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(agg_out)
+        )
+
+    stream = _read_stream(spark, in_dir, ev)
+    q = foreach_batch_fanout(
+        stream,
+        [parquet_append_sink(raw_out), agg_sink],
+        checkpoint=os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination()
+    # primary sink read-back; the per-batch agg sink is asserted in tests
+    return spark.read.parquet(raw_out).select("event_id", "user_id", "event_type")

@@ -87,6 +87,20 @@ def session_counts(
     )
 
 
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """D1 streaming variant — ``dropDuplicatesWithinWatermark``: keeps
+    the first arrival per key among rows whose event times fall within
+    the watermark delay of each other; key state is evicted once the
+    watermark passes, so state is bounded by (keys arriving per delay
+    window), not by stream length."""
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))
+
+
 def kafka_shaped(
     df: DataFrame,
     key_col: Column,
