@@ -109,3 +109,59 @@ def test_quality_score_bounds(spark, sf_dir):
         | (F.col("distinct_ratio") > 1) | (F.col("stopword_ratio") > 1)
     ).count()
     assert bad == 0
+
+
+def test_ivf_rerank_is_exact_within_cell(spark, sf_dir):
+    """IVF top-k values must agree with brute force restricted to the
+    query's cell: the rerank is exact, only the candidate set is pruned."""
+    from twitter_kafka_etl_spark.operators.similarity import (
+        cosine, ivf_assign, topk_ivf,
+    )
+    from twitter_kafka_etl_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    got = {r.vec_id: r.cos_sim for r in topk_ivf(emb, query_id=0, k=5).collect()}
+    assigned = ivf_assign(emb)
+    qcent = assigned.filter(F.col("vec_id") == 0).first().cent_id
+    cell = assigned.filter(F.col("cent_id") == qcent)
+    q = assigned.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    exact = (
+        cell.join(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("s"))
+        .orderBy(F.desc("s"), "vec_id").limit(5).collect()
+    )
+    assert {r.vec_id: r.s for r in exact} == got
+
+
+def test_resize_payload_strides_bytes(spark, sf_dir):
+    from twitter_kafka_etl_spark.operators.multimodal import (
+        attach_binary, resize_payload,
+    )
+    from twitter_kafka_etl_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    docs = attach_binary(read_table(spark, sf_dir, "documents").limit(50))
+    out = resize_payload(docs, factor=2)
+    bad = out.filter(
+        F.length("payload_small") != F.ceil(F.length("payload") / 2)
+    ).count()
+    assert bad == 0
+
+
+def test_sample_frames_covers_payload(spark, sf_dir):
+    """Every doc's sampled frame indices are 0, 4, 8, ... and the last
+    frame's size is the payload remainder."""
+    from twitter_kafka_etl_spark.operators.multimodal import (
+        attach_binary, sample_frames,
+    )
+    from twitter_kafka_etl_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    docs = attach_binary(read_table(spark, sf_dir, "documents").limit(50))
+    frames = sample_frames(docs)
+    assert frames.filter(F.pmod("frame_idx", F.lit(4)) != 0).count() == 0
+    assert frames.filter(
+        (F.col("frame_bytes") <= 0) | (F.col("frame_bytes") > 16)
+    ).count() == 0

@@ -84,3 +84,64 @@ def extract_features(
             )
 
     return df.mapInPandas(run, schema=MM_FEATURE_SCHEMA)
+
+
+#: output schema of the frame-sampling pass (one row per sampled frame)
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes int"
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_size: int = 16,
+    step: int = 4,
+) -> DataFrame:
+    """Video-style frame sampling over a binary payload: the payload is
+    framed into ``frame_size``-byte chunks and every ``step``-th frame is
+    emitted (one output row per sampled frame, metadata only).
+
+    A real video backend would decode containers and sample keyframes;
+    the framing/fan-out plumbing — Arrow batches in, exploded
+    metadata-only rows out, payload never shuffled — is exactly what the
+    real decoder plugs into.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            sizes: list[int] = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                n = len(p)
+                n_frames = (n + frame_size - 1) // frame_size
+                for i in range(0, n_frames, step):
+                    ids.append(int(did))
+                    idxs.append(i)
+                    sizes.append(min(frame_size, n - i * frame_size))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_bytes": sizes}
+            )
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_payload(
+    df: DataFrame,
+    payload_col: str = "payload",
+    out: str = "payload_small",
+    factor: int = 2,
+) -> DataFrame:
+    """Byte-stride downsample of the payload (every ``factor``-th byte) —
+    the stand-in for image resize; swap the slice for a real resampling
+    kernel. Stays a single mapInPandas projection (payload in, smaller
+    payload out, no shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out] = [bytes(p[::factor]) for p in pdf[payload_col]]
+            yield pdf
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInPandas(run, schema=f"{fields}, {out} binary")

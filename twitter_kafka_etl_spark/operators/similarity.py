@@ -129,6 +129,71 @@ def topk_lsh(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+#: deterministic coarse-quantizer centroid selection: vec_id % MOD == 0.
+#: A real deployment would train centroids (k-means); the engine keeps
+#: selection deterministic so the DuckDB oracle can replicate it exactly.
+CENTROID_MOD = 61
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_mod: int = CENTROID_MOD,
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid by cosine (ties → lowest centroid id).
+
+    The centroid set is tiny (n/mod rows) and broadcast, so assignment
+    is a map-side n×C scoring pass — no shuffle except the per-vector
+    argmax window (partitioned by vec id, C rows each). At 100 TB the
+    assignment is embarrassingly parallel and the cell id becomes the
+    partition/bucket key for search."""
+    cents = df.filter(F.pmod(F.col(id_col), F.lit(centroid_mod)) == 0).select(
+        F.col(id_col).alias("cent_id"), as_double(vec_col).alias("cvec")
+    )
+    scored = (
+        df.select(F.col(id_col), as_double(vec_col).alias("v"))
+        .join(F.broadcast(cents))
+        .withColumn("cent_sim", cosine(F.col("v"), F.col("cvec")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("cent_sim"), "cent_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "v", "cent_id")
+    )
+
+
+def topk_ivf(
+    df: DataFrame,
+    query_id: int,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_mod: int = CENTROID_MOD,
+) -> DataFrame:
+    """ANN top-k, IVF flavor: exact cosine rerank inside the query's
+    coarse cell only (nprobe=1). Complements topk_lsh — IVF cells adapt
+    to the data distribution where LSH buckets are data-oblivious."""
+    assigned = ivf_assign(df, vec_col, id_col, centroid_mod)
+    q = assigned.filter(F.col(id_col) == query_id).select(
+        F.col("v").alias("qvec"), F.col("cent_id").alias("qcent")
+    )
+    return (
+        assigned.join(F.broadcast(q), F.col("cent_id") == F.col("qcent"))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col("v"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -420,3 +420,65 @@ def x14(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(M.attach_binary(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# x16 — IVF ANN (complements the LSH variant: data-adaptive coarse cells)
+# ---------------------------------------------------------------------------
+@_register(
+    "x16_sim_ivf",
+    "ANN top-5 neighbors of vec_id=0 via IVF coarse quantization: "
+    "deterministic centroids (vec_id % 61 = 0), nearest-centroid "
+    "assignment, exact cosine rerank inside the query's cell (nprobe=1)",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e
+              WHERE vec_id % {S.CENTROID_MOD} = 0),
+    assign AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT e.vec_id, e.v, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.cvec) /
+                          (sqrt(list_dot_product(e.v, e.v)) *
+                           sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                   c.cent_id) AS rn
+        FROM e CROSS JOIN cents c)
+      WHERE rn = 1
+    ),
+    q AS (SELECT v AS qvec, cent_id AS qcent FROM assign WHERE vec_id = 0)
+    SELECT a.vec_id, {_COS_SQL.format(v='a.v', q='qvec')} AS cos_sim
+    FROM assign a, q
+    WHERE a.cent_id = q.qcent AND a.vec_id <> 0
+    ORDER BY cos_sim DESC, a.vec_id LIMIT 5
+    """,
+    tags=("similarity", "extension"),
+)
+def x16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.topk_ivf(_emb(spark, sf_dir), query_id=0, k=5)
+
+
+# ---------------------------------------------------------------------------
+# x17 — multimodal frame sampling (video-style fan-out plumbing)
+# ---------------------------------------------------------------------------
+@_register(
+    "x17_multimodal_frames",
+    "frame the binary payload into 16-byte chunks, sample every 4th "
+    "frame, one metadata-only row per sampled frame (video keyframe "
+    "sampling plumbing; real decoder slots into the same mapInPandas)",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(ceil(strlen(text) / 16.0) AS BIGINT), 4))
+               AS i,
+             strlen(text) AS n
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           CAST(LEAST(16, n - i * 16) AS INT) AS frame_bytes
+    FROM f
+    """,
+    tags=("multimodal", "udf", "extension"),
+)
+def x17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.sample_frames(M.attach_binary(_docs(spark, sf_dir)))
