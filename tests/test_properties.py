@@ -1,0 +1,115 @@
+"""Property-based invariants (SURVEY §5.4).
+
+Hypothesis generates small frames; each property must hold for *any*
+input, not just the synthetic tables — the invariants are the algebra
+the operators promise (round-trips, idempotence, partition-of-unity).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from twitter_kafka_etl_spark.operators import relational as R
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+CATS = ["a", "b", "c"]
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),          # group key
+        st.sampled_from(CATS),                          # pivot category
+        st.integers(min_value=-100, max_value=100),     # value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_pivot_unpivot_roundtrip(spark, data):
+    """unpivot(pivot(df)) recovers per-(key, cat) sums, with absent
+    combinations surfacing as the fill value 0."""
+    df = spark.createDataFrame(data, ["k", "cat", "v"])
+    wide = R.pivot_explicit(df, "k", "cat", CATS, F.sum("v"), fill=0)
+    long = R.unpivot_long(wide, ["k"], CATS, "cat", "v")
+    got = {(r.k, r.cat): r.v for r in long.collect()}
+    truth = {}
+    for k, cat, v in data:
+        truth[(k, cat)] = truth.get((k, cat), 0) + v
+    for (k, cat), v in truth.items():
+        assert got[(k, cat)] == v
+    # every (present key × declared cat) cell exists; absent ones are 0
+    keys = {k for k, _, _ in data}
+    assert set(got) == {(k, c) for k in keys for c in CATS}
+    for cell, v in got.items():
+        if cell not in truth:
+            assert v == 0
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_dedup_first_is_idempotent_and_minimal(spark, data):
+    """dedup_first twice == once; exactly one row per key survives; the
+    survivor is the order_by-minimal row."""
+    df = spark.createDataFrame(data, ["k", "cat", "v"])
+    once = R.dedup_first(df, ["k"], [F.col("v"), F.col("cat")])
+    twice = R.dedup_first(once, ["k"], [F.col("v"), F.col("cat")])
+    got = sorted(once.collect())
+    assert got == sorted(twice.collect())
+    assert len(got) == len({k for k, _, _ in data})
+    for r in got:
+        best = min((v, c) for k, c, v in data if k == r.k)
+        assert (r.v, r.cat) == best
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_share_of_total_sums_to_one(spark, data):
+    """Within every partition, shares form a partition of unity
+    (unless the partition total is 0, where the share is null/inf-free
+    by construction only for non-zero totals — filtered here)."""
+    df = spark.createDataFrame(data, ["k", "cat", "v"]).withColumn(
+        "cnt", F.abs(F.col("v")) + 1  # strictly positive measure
+    )
+    shared = R.share_of_total(df, ["k"], "cnt")
+    sums = (
+        shared.groupBy("k").agg(F.sum("percent").alias("s")).collect()
+    )
+    for r in sums:
+        assert abs(r.s - 1.0) < 1e-9
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_union_except_cancels(spark, data):
+    """exceptAll(unionAll(a, b), b) == a as multisets."""
+    df = spark.createDataFrame(data, ["k", "cat", "v"])
+    a = df.filter(F.col("v") >= 0)
+    b = df.filter(F.col("v") < 50)
+    back = R.except_all(R.union_all(a, b), b)
+    assert sorted(back.collect()) == sorted(a.collect())
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_exact_dedup_counts_partition_input(spark, data):
+    """Exact dedup groups partition the input: dup counts sum to the
+    row count and keepers are distinct."""
+    from twitter_kafka_etl_spark.operators.dedup import exact_duplicates
+
+    df = spark.createDataFrame(
+        [(i, f"{k} {cat}") for i, (k, cat, _) in enumerate(data)],
+        ["doc_id", "text"],
+    )
+    out = exact_duplicates(df).collect()
+    assert sum(r.dup_cnt for r in out) == len(data)
+    keepers = [r.keeper_id for r in out]
+    assert len(keepers) == len(set(keepers))
