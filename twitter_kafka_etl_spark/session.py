@@ -41,6 +41,10 @@ ENGINE_CONF: dict[str, str] = {
     "spark.driver.maxResultSize": "2g",
     # streaming: stop gracefully like the reference (consumer.scala:35)
     "spark.streaming.stopGracefullyOnShutdown": "true",
+    # local file:// IO skips client-side CRC shadow files — they double
+    # file-creation cost for many-partition sinks and protect nothing on
+    # a local disk. Cluster object stores (s3a/abfs) ignore this key.
+    "spark.hadoop.fs.file.impl": "org.apache.hadoop.fs.RawLocalFileSystem",
     # small-file local runs: don't let 200 default partitions dominate
     # (AQE coalesces down, but the initial number still costs task launch)
 }

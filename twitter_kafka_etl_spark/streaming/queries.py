@@ -143,7 +143,10 @@ def qs1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def qs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     in_dir, work = _stage(spark, sf_dir, "qs2")
-    stream = derive_date_hour(_read_stream(spark, in_dir, ev), "ts")
+    # coalesce(1): a micro-batch spanning D hive dirs writes D files, not
+    # tasks×D — per-file commit overhead dominates a small-file sink (at
+    # production scale you'd size this to batch volume / target file size)
+    stream = derive_date_hour(_read_stream(spark, in_dir, ev), "ts").coalesce(1)
     out = _run_to_sink(stream, work, partition_by=["date", "hour"])
     raw = spark.read.parquet(out)
     return W.tumbling_counts(raw, "ts", "1 hour", keys=("event_type",))
