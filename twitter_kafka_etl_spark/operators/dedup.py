@@ -179,34 +179,37 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs: hamming(simhash) <= k via chunk banding.
 
-    Pigeonhole: distance <= n_chunks-1 implies at least one equal chunk,
-    so candidates come from n_chunks equi-joins (unioned), then the exact
-    hamming check filters. No cross join at any scale.
+    Pigeonhole: distance <= n_chunks-1 implies at least one equal chunk.
+    Chunks are unpivoted into one (id, band, chunk, simhash) table and
+    self-joined on (band, chunk) — ONE shuffled equi-join whose two
+    sides share a reused exchange, instead of n_chunks separate joins
+    each recomputing the signature. The exact hamming check then
+    filters candidates. No cross join at any scale; skewed chunk values
+    are split by AQE like any equi-join.
     """
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
-    chunks = sig_df.select(
-        F.col(id_col),
-        F.col("simhash"),
-        *[
-            (F.shiftright("simhash", i * chunk_bits).bitwiseAND(mask)).alias(f"c{i}")
-            for i in range(n_chunks)
-        ],
-    )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = None
+    bands = None
     for i in range(n_chunks):
-        p = a.join(
-            b,
-            (F.col(f"a.c{i}") == F.col(f"b.c{i}"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        ).select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+        p = sig_df.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(i).alias("band"),
+            (F.shiftright("simhash", i * chunk_bits).bitwiseAND(mask)).alias("chunk"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
+        bands = p if bands is None else bands.unionByName(p)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        F.col("a.simhash").alias("sh_a"),
+        F.col("b.simhash").alias("sh_b"),
+    )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         pairs.distinct()
