@@ -119,3 +119,73 @@ def test_q24_asof_single_shuffle(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # one shuffle for the window partitioning (AQE may add a read stage)
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting redistributes rows, never changes the result."""
+    from twitter_kafka_etl_spark.operators.relational import salted_join
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(customer, "o_custkey").groupBy("c_mktsegment").count()
+    salted = (
+        salted_join(orders, customer, "o_custkey", salt=8)
+        .groupBy("c_mktsegment").count()
+    )
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_salted_agg_equals_plain_agg(spark, sf_dir):
+    from twitter_kafka_etl_spark.operators.relational import salted_agg
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events")
+    plain = {
+        r.event_type: (r.c, round(r.s, 6))
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("s"))
+        .collect()
+    }
+    salted = {
+        r.event_type: (r.counts, round(r.total, 6))
+        for r in salted_agg(
+            ev.withColumn("value", F.col("value").cast("decimal(18,2)")),
+            "event_type", "value", salt=16,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key: the sort-merge join reads
+    co-located buckets directly — zero Exchange nodes in the plan."""
+    from pyspark.sql import functions as F
+
+    from twitter_kafka_etl_spark.io import write_bucketed
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    write_bucketed(orders, "b_orders", "o_custkey", n_buckets=8,
+                   sort_by="o_custkey")
+    write_bucketed(customer, "b_customer", "o_custkey", n_buckets=8,
+                   sort_by="o_custkey")
+    try:
+        # disable broadcast so the co-location (not a broadcast) is what
+        # removes the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+        plan = plan_of(joined, "simple")
+        assert "Exchange" not in plan, plan
+        assert joined.count() == read_table(spark, sf_dir, "orders").join(
+            read_table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        ).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")

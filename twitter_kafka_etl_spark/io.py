@@ -96,6 +96,31 @@ def write_partitioned(
     writer.save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    n_buckets: int = 16,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (SURVEY brief: 'bucketing for co-located
+    joins'). Rows are hash-partitioned into ``n_buckets`` files per
+    partition by ``bucket_by`` at write time; a join or aggregation on
+    the bucket column between two tables bucketed the same way needs NO
+    shuffle at read time — the co-location is baked into the layout.
+
+    At 100 TB this converts every recurring fact⋈fact join on the same
+    key from a multi-TB shuffle into a local zip of bucket files. Spark
+    bucketing requires the catalog (saveAsTable), not a bare path."""
+    writer = df.write.mode(mode).format("parquet")
+    if sort_by:
+        writer = writer.bucketBy(n_buckets, bucket_by).sortBy(sort_by)
+    else:
+        writer = writer.bucketBy(n_buckets, bucket_by)
+    writer.saveAsTable(table)
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,

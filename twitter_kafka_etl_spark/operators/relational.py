@@ -171,6 +171,74 @@ def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.exceptAll(b)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Equi-join with key salting for skewed keys (SURVEY brief: 'salting
+    for skew'). The left (large, skewed) side derives a deterministic
+    salt from a row hash; the right side is replicated ``salt`` times so
+    every (key, salt) bucket matches. A hot key's rows then spread over
+    ``salt`` tasks instead of one straggler.
+
+    AQE's skew-join splitting covers most cases at runtime; explicit
+    salting is for when AQE can't help — skewed *aggregations downstream
+    of the join*, non-AQE engines, or a broadcast-ineligible dimension
+    with a few hot keys. Right-side blowup is ``salt``×: keep the right
+    side the smaller one.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    # deterministic content-hash salt: a nondeterministic salt (random /
+    # monotonically_increasing_id) can migrate rows between shuffle
+    # partitions under task retries and double-count or drop them
+    l = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)),
+    )
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = l.join(r, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    salt: int = 16,
+    count_name: str = "counts",
+    sum_name: str = "total",
+) -> DataFrame:
+    """Two-phase salted aggregation for skewed group keys: partial
+    count/sum per (key, salt) — spreading a hot key over ``salt``
+    reducers — then a final combine per key. Only decomposable
+    aggregates (sum/count/min/max) can be salted this way.
+
+    With map-side partial aggregation Spark already does this implicitly
+    for most inputs; explicit salting guards the case where one key's
+    *post-shuffle* partial rows still overwhelm a reducer."""
+    partial = (
+        df.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)),
+        )
+        .groupBy(key, "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum(value_col).alias("__sum"),
+        )
+    )
+    return partial.groupBy(key).agg(
+        F.sum("__cnt").alias(count_name),
+        F.sum("__sum").alias(sum_name),
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
