@@ -79,17 +79,31 @@ def shingle(
     re-evaluates the split for every element_at (measured 6.7× slower
     at sf0.1).
     """
-    toked = df.withColumn("__toks", F.split(F.col(text_col), " "))
-    idx = F.sequence(F.lit(0), F.size("__toks") - n)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at("__toks", (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
+    toked, grams = _gram_array(df, n, text_col)
     return toked.select(
         F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
     )
+
+
+def _gram_array(df: DataFrame, n: int, text_col: str):
+    """(df + materialized token column, n-gram array Column).
+
+    Documents shorter than ``n`` tokens yield an empty gram array —
+    guarded explicitly because ``F.sequence(0, negative)`` generates a
+    *descending* sequence (bogus indices), while the oracle's
+    ``range()`` is empty for stop < start."""
+    toked = df.withColumn("__toks", F.split(F.col(text_col), " "))
+    idx = F.sequence(F.lit(0), F.size("__toks") - n)
+    grams = F.when(
+        F.size("__toks") >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("__toks", (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toked, grams
 
 
 def minhash_signatures(
@@ -234,7 +248,12 @@ def ngram_jaccard_pairs(
     below any sane threshold.
     """
     sh = shingle(df, n=n, text_col=text_col, id_col=id_col)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # |A| per doc is a narrow map-side expression (distinct-gram array
+    # length) — no explode, no shuffle, unlike counting the sh table
+    toked, grams = _gram_array(df, n, text_col)
+    sizes = toked.select(
+        F.col(id_col), F.size(F.array_distinct(grams)).alias("n_sh")
+    )
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(
