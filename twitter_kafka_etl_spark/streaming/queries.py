@@ -171,10 +171,26 @@ def qs3(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     in_dir = os.path.join(root, "input")
 
-    def _one(ts: str, event_type: str) -> DataFrame:
-        return spark.createDataFrame(
-            [(999_999_999, None, 0, event_type, 1.0, "{}")], schema=ev.schema
-        ).withColumn("ts", F.to_timestamp(F.lit(ts)))
+    def _one(ts: str, event_type: str, path: str) -> None:
+        """One-row planted batch, written driver-side with pyarrow —
+        a whole Spark job per one-row file is pure overhead."""
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pa.table({
+            "event_id": pa.array([999_999_999], pa.int64()),
+            "ts": pa.array(
+                [datetime.datetime.fromisoformat(ts)], pa.timestamp("us", tz="UTC")
+            ),
+            "user_id": pa.array([0], pa.int64()),
+            "event_type": pa.array([event_type], pa.string()),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        })
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(t, path)
 
     # batch 0: the day's events; batch 1: a head-of-stream event so the
     # day's watermark is in force; batch 2: one event 20h behind the
@@ -182,12 +198,8 @@ def qs3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from batch N's data only filters from batch N+2, hence the
     # intermediate batch.)
     ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(in_dir, "f00"))
-    _one("2024-01-02 23:59:00", "advance").coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(in_dir, "f01")
-    )
-    _one("2024-01-02 03:00:00", "late").coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(in_dir, "f02")
-    )
+    _one("2024-01-02 23:59:00", "advance", os.path.join(in_dir, "f01", "part-0.parquet"))
+    _one("2024-01-02 03:00:00", "late", os.path.join(in_dir, "f02", "part-0.parquet"))
     _order_files(in_dir)
 
     stream = _read_stream(spark, in_dir, ev)
