@@ -1,0 +1,65 @@
+"""IO layer unit tests (SURVEY §2.1 rows not covered by queries)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from twitter_kafka_etl_spark.io import (
+    read_json,
+    read_table,
+    to_pandas,
+    write_partitioned,
+)
+
+
+def test_read_json_single_and_multiline(spark, tmp_path):
+    """S8 — the viz layer's JSON config read (wrangling.py:7-11)."""
+    p = tmp_path / "conf.json"
+    p.write_text(
+        "\n".join(json.dumps({"k": i, "name": f"n{i}"}) for i in range(3))
+    )
+    df = read_json(spark, str(p))
+    assert df.count() == 3
+    assert {r.k for r in df.collect()} == {0, 1, 2}
+
+
+def test_to_pandas_arrow_boundary(spark, sf_dir):
+    """S9 — engine→pandas hand-off keeps values and dtypes."""
+    ev = read_table(spark, sf_dir, "events").limit(100)
+    pdf = to_pandas(ev.select("event_id", "event_type", "value"))
+    assert len(pdf) == 100
+    assert str(pdf["event_id"].dtype) == "int64"
+    assert pdf["value"].notna().all()
+
+
+def test_write_partitioned_rejects_measure_columns(spark, sf_dir, tmp_path):
+    """S7 guard — the reference partitioned output by a measure
+    (consumer.scala:187); the engine refuses pathological cardinality."""
+    ev = read_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="high-cardinality"):
+        write_partitioned(
+            ev, str(tmp_path / "bad"), ["event_id"], max_distinct_per_col=100
+        )
+
+
+def test_write_partitioned_roundtrip_preserves_rows(spark, sf_dir, tmp_path):
+    ev = read_table(spark, sf_dir, "events")
+    out = str(tmp_path / "ok")
+    write_partitioned(ev, out, ["event_type"])
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    # partition column values survive the directory encoding
+    assert sorted(
+        r.event_type for r in back.select("event_type").distinct().collect()
+    ) == sorted(r.event_type for r in ev.select("event_type").distinct().collect())
+
+
+def test_read_table_rebuilds_nanos_ts(spark, sf_dir):
+    """events.ts is TIMESTAMP(NANOS) parquet; read_table must surface a
+    usable timestamp column (micros floor, matching DuckDB)."""
+    ev = read_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.filter(F.col("ts").isNull()).count() == 0

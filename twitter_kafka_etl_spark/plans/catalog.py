@@ -811,3 +811,38 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     return session_counts(ev, ts_col="ts", gap="30 minutes", keys=("user_id",))
+
+
+# --------------------------------------------------------------------------
+# Q29 — spark.sql entry point: TPC-H Q1 pricing summary
+# --------------------------------------------------------------------------
+#: identical text runs in Spark SQL and DuckDB (avg written as
+#: decimal-sum / count so both engines divide the same exact numerator)
+_Q29_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS avg_qty,
+           COUNT(*) AS count_order
+    FROM {table}
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@_register(
+    "q29_sql_tpch_q1",
+    "TPC-H Q1 pricing summary through the spark.sql entry point over a "
+    "registered view — the engine's SQL surface; the same query text "
+    "runs on both engines (decimal-exact sums, division as double)",
+    _Q29_SQL.format(table="lineitem"),
+    tags=("sql", "agg"),
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(_Q29_SQL.format(table="lineitem_v"))
