@@ -189,3 +189,11 @@ def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_q31_range_join_is_equi_join(spark, sf_dir):
+    """The range join must be a bucket equi-join + filter — never a
+    BroadcastNestedLoopJoin/CartesianProduct that can't scale."""
+    plan = plan_of(REGISTRY["q31_range_join"].build(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -288,6 +288,46 @@ def asof_join(
     )
 
 
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float = 100.0,
+) -> DataFrame:
+    """Range join (point ∈ [lo, hi)) decomposed into an equi-join —
+    the 100 TB pattern for inequality joins (declared surface,
+    SURVEY §2.3 'range/as-of via inequality conditions').
+
+    Each interval explodes into the fixed-width buckets it covers; each
+    point computes its bucket; a plain shuffled equi-join on the bucket
+    id generates candidates and the exact ``lo <= p < hi`` filter
+    finishes. Cost is O(points + intervals × span/width) rows — never a
+    nested-loop or cartesian plan, and AQE handles bucket skew. Pick
+    ``bucket_width`` near the median interval width.
+    """
+    p = points.withColumn(
+        "__b", F.floor(F.col(point_col) / bucket_width).cast("bigint")
+    )
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width).cast("bigint"),
+                F.floor(F.col(hi_col) / bucket_width).cast("bigint"),
+            )
+        ),
+    )
+    return (
+        p.join(iv, "__b")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+        )
+        .drop("__b")
+    )
+
+
 def cube_agg(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
     """Cube aggregation — all 2^k grouping sets (declared agg surface,
     SURVEY §2.4). Same single-shuffle expand-then-aggregate plan family

@@ -846,3 +846,71 @@ _Q29_SQL = """
 def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
     return spark.sql(_Q29_SQL.format(table="lineitem_v"))
+
+
+# --------------------------------------------------------------------------
+# Q30 — hypertable-style multi-granularity time rollup (GROUPING SETS)
+# --------------------------------------------------------------------------
+#: identical text runs in Spark SQL and DuckDB: one expand+aggregate pass
+#: produces hourly AND daily continuous-aggregate rows
+_Q30_SQL = """
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS hb, date_trunc('day', ts) AS db,
+             event_type, value
+      FROM {table}
+    )
+    SELECT CASE WHEN GROUPING(hb) = 0 THEN 'hour' ELSE 'day' END
+             AS granularity,
+           COALESCE(hb, db) AS bucket_start,
+           event_type,
+           COUNT(*) AS counts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM b
+    GROUP BY GROUPING SETS ((hb, event_type), (db, event_type))
+"""
+
+
+@_register(
+    "q30_time_rollup",
+    "hypertable-style continuous aggregate: hourly and daily rollups of "
+    "events in ONE expand+aggregate pass via GROUPING SETS (vs the "
+    "reference's single manual hour granularity, consumer.scala:69-70)",
+    _Q30_SQL.format(table="events"),
+    tags=("agg", "time", "sql"),
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(_Q30_SQL.format(table="events_v"))
+
+
+# --------------------------------------------------------------------------
+# Q31 — range join via bucket decomposition (declared surface, §2.3)
+# --------------------------------------------------------------------------
+@_register(
+    "q31_range_join",
+    "events banded by value ∈ [lo, hi) against an interval table — the "
+    "inequality join decomposed into a bucket equi-join + exact filter "
+    "(no nested-loop plan at any scale)",
+    """
+    WITH bands AS (
+      SELECT i AS band_id, i * 100.0 AS lo, (i + 1) * 100.0 AS hi
+      FROM (SELECT unnest(range(0, 5)) AS i)
+    )
+    SELECT band_id, COUNT(*) AS counts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY band_id
+    """,
+    tags=("join", "range"),
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(i, i * 100.0, (i + 1) * 100.0) for i in range(5)],
+        ["band_id", "lo", "hi"],
+    ).withColumn("band_id", F.col("band_id").cast("bigint"))
+    joined = R.range_join_bucketed(ev, bands, "value", bucket_width=100.0)
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("counts"),
+        _dbl_sum("value", "total"),
+    )
