@@ -914,3 +914,33 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("counts"),
         _dbl_sum("value", "total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q32 — interval arithmetic (F13 parity; §1.2 Interval type support)
+# --------------------------------------------------------------------------
+@_register(
+    "q32_interval_arith",
+    "timestamp ± INTERVAL arithmetic and timestamp diffs — the engine "
+    "surface behind the reference's wall-clock minusHours/minusDays path "
+    "math (consumer.scala:92-99), done declaratively on event time",
+    """
+    SELECT event_id,
+           ts - INTERVAL 1 HOUR AS prev_hour,
+           ts + INTERVAL 1 DAY AS next_day,
+           CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts)
+                AS BIGINT) AS hours_since_epoch0
+    FROM events
+    """,
+    tags=("time",),
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("prev_hour"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("next_day"),
+        F.expr("timestampdiff(HOUR, TIMESTAMP '2024-01-01 00:00:00', ts)")
+        .cast("bigint")
+        .alias("hours_since_epoch0"),
+    )

@@ -285,3 +285,42 @@ def qs5(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     # primary sink read-back; the per-batch agg sink is asserted in tests
     return spark.read.parquet(raw_out).select("event_id", "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# QS6 — T8/§2.10: arbitrary stateful streaming (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+@_register(
+    "qs6_stream_stateful_totals",
+    "running per-user (count, sum) carried across micro-batches in the "
+    "state store via applyInPandasWithState — the engine's arbitrary-"
+    "state surface (T8); final emission per user equals the batch ground "
+    "truth (asserted in tests); rows-only",
+    None,
+    tags=("streaming", "stateful", "udf"),
+)
+def qs6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_kafka_etl_spark.streaming.stateful import running_user_totals
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "value", "ts")
+    root = os.path.join(tempfile.gettempdir(), "tkes_stream_qs6")
+    shutil.rmtree(root, ignore_errors=True)
+    in_dir = os.path.join(root, "input")
+    (
+        ev.withColumn(
+            "__f", F.when(F.dayofmonth("ts") <= 15, F.lit(0)).otherwise(F.lit(1))
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("__f")
+        .parquet(in_dir)
+    )
+    _order_files(in_dir)
+    stream = _read_stream(spark, in_dir, ev)
+    out = _run_to_sink(running_user_totals(stream), root)
+    # last emission per user = the running total after all batches
+    got = spark.read.parquet(out)
+    return got.groupBy("user_id").agg(
+        F.max("total_events").alias("total_events"),
+        F.max("total_value").alias("total_value"),
+    )
