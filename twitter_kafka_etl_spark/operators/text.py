@@ -68,11 +68,16 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     stop_hits = F.size(F.filter(toks, lambda t: t.isin("a", "the")))
+    n_chars = F.length(text_col)
+    punct_chars = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", "")
+    )
     return df.withColumns({
         "n_tokens": n.cast("bigint"),
         "n_distinct": n_distinct.cast("bigint"),
         "distinct_ratio": n_distinct / n,
         "stopword_ratio": stop_hits / n,
+        "punct_ratio": punct_chars / n_chars,
         "quality_score": F.round(
             (n_distinct / n) * 0.5 + (F.lit(1.0) - stop_hits / n) * 0.5, 6
         ),
@@ -99,6 +104,40 @@ def lang_id(df: DataFrame, text_col: str = "text", out: str = "pred_lang") -> Da
         best_score = F.when(better, s).otherwise(best_score)
     pred = F.when(best_score >= 2, best_lang).otherwise(F.lit("und"))
     return df.withColumn(out, pred)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD 2003): hash every ordered k-gram, slide a window of ``w``
+    hashes, keep each window's minimum; any shared substring of
+    ``w + k - 1`` tokens is guaranteed to share a fingerprint.
+
+    The whole chain — k-grams, hashes, window minima, distinct — is JVM
+    array expressions per row: no explode, no shuffle, embarrassingly
+    parallel at any scale. Output: (id, n_fp, min_fp) summary per doc;
+    join/groupBy on exploded fingerprints for cross-doc matching.
+    """
+    from twitter_kafka_etl_spark.operators.dedup import _gram_array, token_hash
+
+    toked, grams = _gram_array(df, k, text_col)
+    hs = F.transform(grams, token_hash)
+    starts = F.when(
+        F.size(hs) >= w, F.sequence(F.lit(1), F.size(hs) - w + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    fps = F.array_distinct(
+        F.transform(starts, lambda i: F.array_min(F.slice(hs, i, w)))
+    )
+    return toked.select(
+        F.col(id_col),
+        F.size(fps).cast("bigint").alias("n_fp"),
+        F.array_min(fps).cast("bigint").alias("min_fp"),
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataFrame:

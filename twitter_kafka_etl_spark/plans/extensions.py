@@ -319,17 +319,24 @@ def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "x11_text_quality",
-    "quality features: distinct-token ratio, stopword ratio, combined score",
+    "quality features: distinct-token ratio, stopword ratio, punctuation "
+    "ratio, combined score",
     """
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+               FROM documents),
     c AS (SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS nd,
-                 len(list_filter(tk, x -> x = 'a' OR x = 'the')) AS sh
+                 len(list_filter(tk, x -> x = 'a' OR x = 'the')) AS sh,
+                 length(text) AS nc,
+                 length(text)
+                   - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                   AS np
           FROM t)
     SELECT doc_id,
            CAST(n AS BIGINT) AS n_tokens,
            CAST(nd AS BIGINT) AS n_distinct,
            nd / n AS distinct_ratio,
            sh / n AS stopword_ratio,
+           np / nc AS punct_ratio,
            round((nd / n) * 0.5 + (1.0 - sh / n) * 0.5, 6) AS quality_score
     FROM c
     """,
@@ -338,7 +345,7 @@ def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_features(_docs(spark, sf_dir)).select(
         "doc_id", "n_tokens", "n_distinct", "distinct_ratio",
-        "stopword_ratio", "quality_score",
+        "stopword_ratio", "punct_ratio", "quality_score",
     )
 
 
@@ -482,3 +489,45 @@ def x16(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x17(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(M.attach_binary(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# x18 — winnowing rolling-hash fingerprints (Schleimer et al., SIGMOD 2003)
+# ---------------------------------------------------------------------------
+@_register(
+    "x18_text_winnowing",
+    "winnowing fingerprints: ordered 3-gram hashes, window-of-4 minima, "
+    "distinct — shared >=6-token substrings are guaranteed to share a "
+    "fingerprint; the whole chain is per-row JVM array ops (no shuffle)",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE []::VARCHAR[] END AS grams
+      FROM toks
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(grams, s -> {_HASH_SQL.format(col='s')}) AS hs
+      FROM g
+    ),
+    wnd AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 4 THEN
+               list_distinct(list_transform(range(1, len(hs) - 2),
+                                            i -> list_min(hs[i:i+3])))
+             ELSE []::BIGINT[] END AS fps
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fp,
+           CAST(list_min(fps) AS BIGINT) AS min_fp
+    FROM wnd
+    """,
+    tags=("text", "dedup", "extension"),
+)
+def x18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.winnow_fingerprints(_docs(spark, sf_dir), k=3, w=4)
