@@ -133,3 +133,52 @@ def test_stateful_running_totals(spark, sf_dir):
     joined = final.join(truth, "user_id")
     mismatch = joined.filter(F.col("total_events") != F.col("cnt")).count()
     assert mismatch == 0
+
+
+def test_checkpoint_resume_exactly_once(spark, sf_dir):
+    """T2/T3 — restarting a stream against the same checkpoint picks up
+    only NEW files: every input row lands in the sink exactly once
+    across the two runs (the reference relies on this, consumer.scala:76,
+    but never verifies it)."""
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), "tkes_resume")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+
+    def add_file(i: int, frac_lo: int, frac_hi: int) -> None:
+        (
+            ev.filter(F.pmod("event_id", F.lit(4)).between(frac_lo, frac_hi))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "in", f"f{i:02d}"))
+        )
+
+    def run_stream() -> None:
+        q = (
+            spark.readStream.schema(ev.schema)
+            .parquet(os.path.join(root, "in", "*"))
+            .writeStream.format("parquet")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .option("path", os.path.join(root, "out"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    add_file(0, 0, 0)
+    add_file(1, 1, 1)
+    run_stream()
+    n_first = spark.read.parquet(os.path.join(root, "out")).count()
+    assert n_first == ev.filter(F.pmod("event_id", F.lit(4)) <= 1).count()
+
+    # second run: two new files; the old ones must NOT be reprocessed
+    add_file(2, 2, 2)
+    add_file(3, 3, 3)
+    run_stream()
+    out = spark.read.parquet(os.path.join(root, "out"))
+    assert out.count() == ev.count()
+    assert out.select("event_id").distinct().count() == ev.count()
