@@ -143,10 +143,12 @@ def qs1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def qs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     in_dir, work = _stage(spark, sf_dir, "qs2")
-    # coalesce(1): a micro-batch spanning D hive dirs writes D files, not
-    # tasks×D — per-file commit overhead dominates a small-file sink (at
-    # production scale you'd size this to batch volume / target file size)
-    stream = derive_date_hour(_read_stream(spark, in_dir, ev), "ts").coalesce(1)
+    # repartition by date: each hive dir is written by exactly one task
+    # (one file per dir per batch), and the ~180 dirs a batch spans are
+    # written by several tasks in parallel instead of one serial task
+    stream = derive_date_hour(_read_stream(spark, in_dir, ev), "ts").repartition(
+        F.col("date")
+    )
     out = _run_to_sink(stream, work, partition_by=["date", "hour"])
     raw = spark.read.parquet(out)
     return W.tumbling_counts(raw, "ts", "1 hour", keys=("event_type",))
