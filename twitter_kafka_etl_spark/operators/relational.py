@@ -161,6 +161,38 @@ def rollup_agg(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
     return df.rollup(*keys).agg(*aggs)
 
 
+def topk_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+) -> DataFrame:
+    """Top-K rows per group via row_number ≤ K — one shuffle on the
+    group keys, per-group sort bounded by partition size (never a global
+    sort). The canonical OLAP leaderboard pattern."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """MERGE INTO (SCD1 upsert) without a table format: rows from
+    ``updates`` replace same-key rows in ``base``; unmatched base rows
+    survive. Emulated as updates ∪ (base ▷anti updates) — two shuffles
+    on the key, no MERGE-capable catalog needed. With Delta/Iceberg on
+    the classpath, swap for native MERGE INTO (file-level skipping)."""
+    keys = list(keys)
+    kept = base.join(updates.select(*keys), on=keys, how="left_anti")
+    return updates.unionByName(kept)
+
+
 def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
     """Set op surface — by-name union keeping duplicates (UNION ALL)."""
     return a.unionByName(b)

@@ -944,3 +944,72 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hours_since_epoch0"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q33 — top-K per group (canonical leaderboard window)
+# --------------------------------------------------------------------------
+@_register(
+    "q33_topk_per_group",
+    "top-3 orders by total price per market segment — row_number <= K "
+    "over a keyed window: one shuffle, per-group bounded sort, no global "
+    "ordering",
+    """
+    SELECT c_mktsegment, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    QUALIFY row_number() OVER (
+      PARTITION BY c_mktsegment
+      ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+    tags=("window", "join"),
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    )
+    top = R.topk_per_group(
+        joined, ["c_mktsegment"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")], k=3,
+    )
+    return top.select(
+        "c_mktsegment", "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q34 — MERGE-style upsert (SCD1) via anti-join + union
+# --------------------------------------------------------------------------
+@_register(
+    "q34_merge_upsert",
+    "SCD1 upsert without a table format: account-balance updates replace "
+    "same-key customer rows, unmatched rows survive (MERGE INTO emulated "
+    "as updates ∪ (base ▷anti updates))",
+    """
+    WITH updates AS (
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) * 2 AS acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+    ), base AS (
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+      FROM customer
+    )
+    SELECT * FROM updates
+    UNION ALL
+    SELECT b.* FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM updates u
+                      WHERE u.c_custkey = b.c_custkey)
+    """,
+    tags=("merge", "join", "setop"),
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("acctbal")
+    )
+    updates = base.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "acctbal", F.col("acctbal") * 2
+    )
+    return R.merge_upsert(base, updates, ["c_custkey"])
