@@ -165,3 +165,45 @@ def test_sample_frames_covers_payload(spark, sf_dir):
     assert frames.filter(
         (F.col("frame_bytes") <= 0) | (F.col("frame_bytes") > 16)
     ).count() == 0
+
+
+def test_countmin_estimate_upper_bounds_truth(spark, sf_dir):
+    """CM estimates never undercount; with 5 distinct keys in a 4x64
+    sketch, collisions are absent and estimates are exact."""
+    from twitter_kafka_etl_spark.operators import sketches as K
+
+    ev = read_table(spark, sf_dir, "events")
+    sketch = K.count_min_build(ev, "event_type")
+    items = ev.select("event_type").distinct()
+    est = {
+        r.event_type: r.est_count
+        for r in K.count_min_estimate(sketch, items, "event_type").collect()
+    }
+    truth = {
+        r.event_type: r.cnt
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for k, t in truth.items():
+        assert est[k] >= t
+    assert est == truth  # no collisions at this cardinality
+
+
+def test_countmin_merge_equals_whole_build(spark, sf_dir):
+    """Sketch of the union == merge of per-split sketches (mergeability
+    is what makes the sketch useful at scale)."""
+    from twitter_kafka_etl_spark.operators import sketches as K
+
+    ev = read_table(spark, sf_dir, "events")
+    a = ev.filter(F.pmod("event_id", F.lit(2)) == 0)
+    b = ev.filter(F.pmod("event_id", F.lit(2)) == 1)
+    merged = {
+        (r.depth, r.cell): r.counts
+        for r in K.count_min_merge(
+            K.count_min_build(a, "user_id"), K.count_min_build(b, "user_id")
+        ).collect()
+    }
+    whole = {
+        (r.depth, r.cell): r.counts
+        for r in K.count_min_build(ev, "user_id").collect()
+    }
+    assert merged == whole

@@ -531,3 +531,95 @@ def x17(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.winnow_fingerprints(_docs(spark, sf_dir), k=3, w=4)
+
+
+# ---------------------------------------------------------------------------
+# x19/x20 — count-min sketch (deterministic frequency sketch; Cormode &
+# Muthukrishnan 2005). Cells derive from md5 hashes, so the oracle
+# rebuilds the sketch bit-identically.
+# ---------------------------------------------------------------------------
+from twitter_kafka_etl_spark.operators import sketches as K  # noqa: E402
+
+_CM_PARAMS = D.hash_params(K.CM_DEPTH, seed=K.CM_SEED)
+
+
+def _cm_coords_sql(hash_expr: str) -> str:
+    """UNION ALL branches producing (depth, cell) per input row."""
+    return "\n      UNION ALL\n".join(
+        f"SELECT {extra} {d} AS depth, "
+        f"((({a} * {hash_expr} + {b}) % {D.MERSENNE}) % {K.CM_WIDTH}) AS cell "
+        f"FROM {{src}}"
+        for d, (a, b) in enumerate(_CM_PARAMS)
+        for extra in [""]
+    )
+
+
+_CM_BUILD_SQL = f"""
+    WITH h AS (
+      SELECT {_HASH_SQL.format(col='CAST(user_id AS VARCHAR)')} AS hv
+      FROM events
+    ),
+    coords AS (
+      {_cm_coords_sql('hv').format(src='h')}
+    )
+    SELECT depth, cell, COUNT(*) AS counts
+    FROM coords GROUP BY depth, cell
+"""
+
+
+@_register(
+    "x19_sketch_countmin",
+    "count-min sketch (depth 4 × width 64) over events.user_id — "
+    "md5-derived cells, one explode + groupBy, <= depth×width output "
+    "rows at any input scale; sketches merge by cell-wise addition",
+    _CM_BUILD_SQL,
+    tags=("sketch", "extension"),
+)
+def x19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return K.count_min_build(ev, "user_id")
+
+
+_cm_probe_branches = "\n      UNION ALL\n      ".join(
+    f"SELECT event_type, {d} AS depth, "
+    f"((({a} * ih + {b}) % {D.MERSENNE}) % {K.CM_WIDTH}) AS cell FROM items"
+    for d, (a, b) in enumerate(_CM_PARAMS)
+)
+
+
+@_register(
+    "x20_sketch_countmin_estimate",
+    "count-min point estimates for every distinct event_type: min over "
+    "depths of the item's cells — probes join the tiny sketch, never "
+    "the raw data; estimates upper-bound the true counts",
+    f"""
+    WITH h AS (
+      SELECT {_HASH_SQL.format(col='event_type')} AS hv FROM events
+    ),
+    coords AS (
+      {_cm_coords_sql('hv').format(src='h')}
+    ),
+    sketch AS (
+      SELECT depth, cell, COUNT(*) AS counts
+      FROM coords GROUP BY depth, cell
+    ),
+    items AS (
+      SELECT DISTINCT event_type,
+             {_HASH_SQL.format(col='event_type')} AS ih
+      FROM events
+    ),
+    probes AS (
+      {_cm_probe_branches}
+    )
+    SELECT p.event_type, MIN(s.counts) AS est_count
+    FROM probes p JOIN sketch s
+      ON s.depth = p.depth AND s.cell = p.cell
+    GROUP BY p.event_type
+    """,
+    tags=("sketch", "extension"),
+)
+def x20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    sketch = K.count_min_build(ev, "event_type")
+    items = ev.select("event_type").distinct()
+    return K.count_min_estimate(sketch, items, "event_type")
