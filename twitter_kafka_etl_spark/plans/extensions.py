@@ -546,11 +546,10 @@ _CM_PARAMS = D.hash_params(K.CM_DEPTH, seed=K.CM_SEED)
 def _cm_coords_sql(hash_expr: str) -> str:
     """UNION ALL branches producing (depth, cell) per input row."""
     return "\n      UNION ALL\n".join(
-        f"SELECT {extra} {d} AS depth, "
+        f"SELECT {d} AS depth, "
         f"((({a} * {hash_expr} + {b}) % {D.MERSENNE}) % {K.CM_WIDTH}) AS cell "
         f"FROM {{src}}"
         for d, (a, b) in enumerate(_CM_PARAMS)
-        for extra in [""]
     )
 
 
