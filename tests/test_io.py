@@ -63,3 +63,46 @@ def test_read_table_rebuilds_nanos_ts(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
     assert ev.filter(F.col("ts").isNull()).count() == 0
+
+
+def test_compact_reduces_file_count(spark, sf_dir, tmp_path):
+    """Compaction rewrites a fragmented directory into few files without
+    changing a single row."""
+    from twitter_kafka_etl_spark.layout import compact
+
+    ev = read_table(spark, sf_dir, "events")
+    frag = str(tmp_path / "frag")
+    ev.repartition(64).write.parquet(frag)  # simulate small-file buildup
+    out = str(tmp_path / "compacted")
+    compact(spark, frag, out, target_file_mb=256)
+    import glob
+
+    assert len(glob.glob(f"{frag}/*.parquet")) == 64
+    assert len(glob.glob(f"{out}/*.parquet")) < 8
+    assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_rewrite_sorted_clusters_values(spark, sf_dir, tmp_path):
+    """After a sorted rewrite, each file owns a contiguous slice of the
+    sort key: per-file [min, max] ranges don't interleave."""
+    from twitter_kafka_etl_spark.layout import rewrite_sorted
+
+    ev = read_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    ev.repartition(8).write.parquet(src)
+    out = str(tmp_path / "sorted")
+    rewrite_sorted(spark, src, out, ["user_id"], n_files=6)
+    import pyarrow.parquet as pq
+    import glob
+
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        t = pq.read_table(f, columns=["user_id"])
+        col = t.column("user_id").to_pylist()
+        if col:
+            ranges.append((min(col), max(col)))
+    ranges.sort()
+    assert len(ranges) > 1  # actually split into several files
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # contiguous, non-interleaved slices
+    assert spark.read.parquet(out).count() == ev.count()

@@ -1013,3 +1013,49 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
         "acctbal", F.col("acctbal") * 2
     )
     return R.merge_upsert(base, updates, ["c_custkey"])
+
+
+# --------------------------------------------------------------------------
+# Q35 — malformed-JSON handling (PERMISSIVE semantics, SURVEY §1.3/§1.4)
+# --------------------------------------------------------------------------
+@_register(
+    "q35_json_corrupt_handling",
+    "from_json PERMISSIVE + _corrupt_record over planted malformed "
+    "payloads (every 7th row prefix-mangled): corrupt rows are captured "
+    "and counted, never crash the job — the schema-on-read failure mode "
+    "the reference swallows silently (consumer.scala:64) made explicit",
+    """
+    WITH mangled AS (
+      SELECT event_type,
+             CASE WHEN event_id % 7 = 0 THEN 'xx' || props
+                  ELSE props END AS p
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE json_valid(p)) AS n_valid,
+           COUNT(*) FILTER (WHERE NOT json_valid(p)) AS n_corrupt
+    FROM mangled GROUP BY event_type
+    """,
+    tags=("json", "quality"),
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    mangled = ev.withColumn(
+        "p",
+        F.when(
+            F.col("event_id") % 7 == 0, F.concat(F.lit("xx"), F.col("props"))
+        ).otherwise(F.col("props")),
+    )
+    parsed = mangled.withColumn(
+        "s",
+        F.from_json(
+            "p",
+            "k INT, _corrupt_record STRING",
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    bad = F.col("s._corrupt_record").isNotNull()
+    return parsed.groupBy("event_type").agg(
+        F.count(F.when(~bad, 1)).alias("n_valid"),
+        F.count(F.when(bad, 1)).alias("n_corrupt"),
+    )
