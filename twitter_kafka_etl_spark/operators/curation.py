@@ -1,0 +1,114 @@
+"""Training-data curation operators: sampling, splits, packing, chunking.
+
+The operations an LLM data pipeline runs between "deduped corpus" and
+"training batches". All are deterministic — sampling and splits hash a
+stable id (md5-derived, like the dedup family) instead of rand(), so a
+re-run, a retry, or another engine produces the same subset; packing
+and chunking are pure window/array arithmetic. Everything is
+shuffle-minimal: sampling/splits/chunking are narrow per-row ops,
+packing is one window over (partition, order).
+
+At 100 TB: hash-sampling is the only defensible sampling (Bernoulli
+rand() changes under retries and cannot be reproduced for an ablation);
+split membership must be a pure function of the id or train/test leak
+across reshuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(id_col: str | Column, salt: str, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets): md5 of salt+id, first 8 hex
+    chars, mod buckets. Stable across engines, runs, and partitionings."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8), 16, 10
+    ).cast("bigint")
+    return h % buckets
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate_pct: int, salt: str = "sample"
+) -> DataFrame:
+    """Reproducible ``rate_pct``% sample keyed on the id hash — the same
+    rows are selected on every run and engine (rand()-based sampling is
+    neither)."""
+    return df.filter(hash_bucket(id_col, salt) < rate_pct)
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    fractions: Sequence[tuple[str, int]] = (("train", 90), ("val", 5), ("test", 5)),
+    salt: str = "split",
+    out: str = "split",
+) -> DataFrame:
+    """Disjoint train/val/test assignment from contiguous hash ranges.
+    Membership is a pure function of the id: no leakage under
+    reshuffling, appending, or re-running. Percentages must sum to 100."""
+    total = sum(p for _, p in fractions)
+    if total != 100:
+        raise ValueError(f"fractions must sum to 100, got {total}")
+    b = hash_bucket(id_col, salt)
+    expr = None
+    lo = 0
+    for name, pct in fractions:
+        cond = (b >= lo) & (b < lo + pct)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += pct
+    return df.withColumn(out, expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    out: str = "seq_id",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences: within
+    each partition (e.g. source), in a stable order, a document joins the
+    sequence its cumulative start offset falls in (seq = floor(tokens
+    before it / budget)). One window shuffle; downstream groupBy(seq_id)
+    concatenates."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn(out, F.floor(cum_before / budget).cast("bigint"))
+
+
+def chunk_spans(
+    df: DataFrame,
+    token_col: str,
+    size: int = 128,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking: a doc of T tokens yields chunks starting
+    at 0, size-overlap, 2(size-overlap), … while the start is < T (so
+    every token is covered and consecutive chunks share ``overlap``
+    tokens). Pure array arithmetic + explode — no shuffle, no Python.
+    Output: (id, chunk_idx, start_tok, chunk_tokens)."""
+    stride = size - overlap
+    t = F.col(token_col)
+    n_chunks = F.when(t <= size, F.lit(1)).otherwise(
+        F.ceil((t - F.lit(size)) / stride) + 1
+    )
+    idx = F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+    out = df.select(F.col(id_col), t.alias("__t"), idx.alias("chunk_idx"))
+    start = F.col("chunk_idx") * stride
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        start.cast("bigint").alias("start_tok"),
+        F.least(F.lit(size), F.col("__t") - start).cast("bigint").alias("chunk_tokens"),
+    )

@@ -622,3 +622,118 @@ def x20(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = K.count_min_build(ev, "event_type")
     items = ev.select("event_type").distinct()
     return K.count_min_estimate(sketch, items, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# x21-x24 — training-data curation: deterministic sampling, splits,
+# sequence packing, context-window chunking
+# ---------------------------------------------------------------------------
+from twitter_kafka_etl_spark.operators import curation as C  # noqa: E402
+
+_BUCKET_SQL_T = (
+    "(CAST('0x' || substr(md5('{salt}' || CAST({col} AS VARCHAR)), 1, 8) "
+    "AS BIGINT) % 100)"
+)
+
+
+@_register(
+    "x21_curation_sample",
+    "reproducible 10% document sample keyed on md5(doc_id) — rand()-free "
+    "so retries/ablations/engines select identical rows",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_BUCKET_SQL_T.format(salt='sample', col='doc_id')} < 10
+    """,
+    tags=("curation", "extension"),
+)
+def x21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.hash_sample(_docs(spark, sf_dir), "doc_id", 10).select(
+        "doc_id", "lang"
+    )
+
+
+@_register(
+    "x22_curation_split",
+    "disjoint 90/5/5 train/val/test assignment from contiguous hash "
+    "ranges — membership is a pure function of doc_id (no leakage under "
+    "reshuffles or appends); counts per (split, lang)",
+    f"""
+    WITH b AS (
+      SELECT lang, {_BUCKET_SQL_T.format(salt='split', col='doc_id')} AS bk
+      FROM documents
+    )
+    SELECT CASE WHEN bk < 90 THEN 'train'
+                WHEN bk < 95 THEN 'val' ELSE 'test' END AS split,
+           lang, COUNT(*) AS counts
+    FROM b GROUP BY split, lang
+    """,
+    tags=("curation", "extension"),
+)
+def x22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = C.split_assign(_docs(spark, sf_dir), "doc_id")
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("counts")
+    )
+
+
+@_register(
+    "x23_curation_pack",
+    "pack documents into 512-token training sequences per source (stable "
+    "doc_id order): seq = floor(cumulative-tokens-before / budget) — one "
+    "window shuffle; output per-sequence doc and token counts",
+    """
+    WITH t AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, tok,
+             COALESCE(SUM(tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM t
+    )
+    SELECT source, CAST(floor(cb / 512) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS seq_tokens
+    FROM c GROUP BY source, seq_id
+    """,
+    tags=("curation", "extension"),
+)
+def x23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn(
+        "tok", F.size(F.split("text", " ")).cast("bigint")
+    )
+    packed = C.pack_sequences(docs, "tok", 512, ["source"], ["doc_id"])
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("seq_tokens"),
+    )
+
+
+@_register(
+    "x24_curation_chunks",
+    "context-window chunking: 128-token windows, 32-token overlap, one "
+    "row per chunk via pure array arithmetic + explode (no shuffle)",
+    """
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS tok FROM documents
+    ),
+    n AS (
+      SELECT doc_id, tok,
+             CASE WHEN tok <= 128 THEN 1
+                  ELSE CAST(ceil((tok - 128) / 96.0) AS BIGINT) + 1 END AS nc
+      FROM t
+    ),
+    e AS (SELECT doc_id, tok, unnest(range(0, nc)) AS ci FROM n)
+    SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+           CAST(ci * 96 AS BIGINT) AS start_tok,
+           CAST(LEAST(128, tok - ci * 96) AS BIGINT) AS chunk_tokens
+    FROM e
+    """,
+    tags=("curation", "extension"),
+)
+def x24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn(
+        "tok", F.size(F.split("text", " ")).cast("bigint")
+    )
+    return C.chunk_spans(docs, "tok", size=128, overlap=32)
