@@ -106,3 +106,25 @@ def test_rewrite_sorted_clusters_values(spark, sf_dir, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # contiguous, non-interleaved slices
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_read_csv_roundtrip(spark, sf_dir, tmp_path):
+    from twitter_kafka_etl_spark.io import read_csv
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    p = str(tmp_path / "ev_csv")
+    ev.coalesce(1).write.option("header", "true").csv(p)
+    back = read_csv(spark, p, schema="event_id long, user_id long, event_type string")
+    assert back.count() == ev.count()
+    assert dict(back.dtypes) == dict(ev.dtypes)
+
+
+def test_read_orc_roundtrip(spark, sf_dir, tmp_path):
+    from twitter_kafka_etl_spark.io import read_orc
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "value")
+    p = str(tmp_path / "ev_orc")
+    ev.write.orc(p)
+    assert read_orc(spark, p).count() == ev.count()

@@ -96,6 +96,27 @@ def write_partitioned(
     writer.save(path)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV batch read. Always pass a schema in production — inference
+    scans the data twice and types drift between files."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC batch read — same columnar pushdown/pruning path as parquet."""
+    return spark.read.orc(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

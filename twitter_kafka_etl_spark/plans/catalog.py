@@ -1059,3 +1059,35 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~bad, 1)).alias("n_valid"),
         F.count(F.when(bad, 1)).alias("n_corrupt"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q36 — posexplode (UDTF surface, SURVEY §2.10)
+# --------------------------------------------------------------------------
+@_register(
+    "q36_posexplode_dims",
+    "per-dimension min/max over embedding vectors via posexplode — the "
+    "positional table-generating surface (§2.10); min/max of floats are "
+    "order-independent so the oracle matches exactly",
+    """
+    WITH x AS (
+      SELECT unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    )
+    SELECT CAST(pos - 1 AS BIGINT) AS pos,
+           CAST(MIN(val) AS DOUBLE) AS dim_min,
+           CAST(MAX(val) AS DOUBLE) AS dim_max,
+           COUNT(*) AS counts
+    FROM x GROUP BY pos
+    """,
+    tags=("array", "explode"),
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(F.posexplode("embedding").alias("pos", "val"))
+    return exploded.groupBy(F.col("pos").cast("bigint").alias("pos")).agg(
+        F.min("val").cast("double").alias("dim_min"),
+        F.max("val").cast("double").alias("dim_max"),
+        F.count(F.lit(1)).alias("counts"),
+    )
