@@ -142,7 +142,10 @@ def qs1(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def qs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
-    in_dir, work = _stage(spark, sf_dir, "qs2")
+    # two micro-batches: still exercises the cross-batch checkpoint
+    # advance (QS1 covers 4-batch ingest); each batch spans half the
+    # hive dirs, and per-batch listing/commit is the dominant cost here
+    in_dir, work = _stage(spark, sf_dir, "qs2", n_files=2)
     # repartition by date: each hive dir is written by exactly one task
     # (one file per dir per batch), and the ~180 dirs a batch spans are
     # written by several tasks in parallel instead of one serial task
