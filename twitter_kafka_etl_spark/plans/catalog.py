@@ -1091,3 +1091,29 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("val").cast("double").alias("dim_max"),
         F.count(F.lit(1)).alias("counts"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q37 — exact percentiles (quantile surface; JVM-side, vs Q25's UDAF)
+# --------------------------------------------------------------------------
+@_register(
+    "q37_percentiles",
+    "exact interpolated p50/p90/p99 of value per event_type via the "
+    "built-in percentile aggregate — order statistics are float-portable; "
+    "at 100 TB swap for percentile_approx and accept the ε",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "quantile"),
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
