@@ -182,3 +182,42 @@ def test_checkpoint_resume_exactly_once(spark, sf_dir):
     out = spark.read.parquet(os.path.join(root, "out"))
     assert out.count() == ev.count()
     assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_complete_mode_memory_sink(spark, sf_dir):
+    """T1 — processingTime trigger + complete output mode + memory sink:
+    the whole aggregate table is re-emitted per batch and matches the
+    batch ground truth after processAllAvailable."""
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), "tkes_complete")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    ev.coalesce(1).write.parquet(os.path.join(root, "in", "f00"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(os.path.join(root, "in", "*"))
+    )
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("counts"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tkes_complete_out")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.event_type: r.counts
+            for r in spark.sql("SELECT * FROM tkes_complete_out").collect()
+        }
+    finally:
+        q.stop()
+    truth = {
+        r.event_type: r.cnt
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == truth
