@@ -113,3 +113,76 @@ def test_exact_dedup_counts_partition_input(spark, data):
     assert sum(r.dup_cnt for r in out) == len(data)
     keepers = [r.keeper_id for r in out]
     assert len(keepers) == len(set(keepers))
+
+
+asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # user key
+        st.integers(min_value=0, max_value=50),   # ts (int seconds)
+        st.booleans(),                            # is_left (query side)
+        st.integers(min_value=-99, max_value=99), # value
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(data=asof_rows)
+@settings(**SETTINGS)
+def test_asof_join_matches_naive(spark, data):
+    """asof_join == brute-force 'latest right at-or-before left' on any
+    input, including ts ties (right side wins ties; max event_id among
+    tied rights)."""
+    rows = [
+        (i, k, ts, bool(left), float(v))
+        for i, (k, ts, left, v) in enumerate(data)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "k", "ts", "is_left", "v"])
+    left = df.filter(F.col("is_left")).select("event_id", "k", "ts")
+    right = df.filter(~F.col("is_left")).select("event_id", "k", "ts", "v")
+    got = {
+        r.event_id: r.asof_v
+        for r in R.asof_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="ts",
+            right_values=["v"], tiebreak=["event_id"],
+        ).select("event_id", "asof_v").collect()
+    }
+    rights = [r for r in rows if not r[3]]
+    for (eid, k, ts, is_left, _v) in rows:
+        if not is_left:
+            continue
+        cands = [r for r in rights if r[1] == k and r[2] <= ts]
+        want = None
+        if cands:
+            want = max(cands, key=lambda r: (r[2], r[0]))[4]
+        assert got[eid] == want, (eid, got[eid], want)
+
+
+range_rows = st.lists(
+    st.floats(min_value=0.0, max_value=499.0, allow_nan=False), min_size=1, max_size=40
+)
+
+
+@given(points=range_rows)
+@settings(**SETTINGS)
+def test_range_join_bucketed_matches_naive(spark, points):
+    """Bucket-decomposed range join finds exactly the pairs a naive
+    non-equi join finds, for any point set and non-aligned intervals."""
+    pts = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(points)], ["pid", "p"]
+    )
+    iv = spark.createDataFrame(
+        [(0, 10.0, 130.0), (1, 125.0, 320.0), (2, 450.0, 499.5)],
+        ["iid", "lo", "hi"],
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in R.range_join_bucketed(pts, iv, "p", bucket_width=100.0).collect()
+    }
+    want = {
+        (i, row[0])
+        for i, p in enumerate(points)
+        for row in [(0, 10.0, 130.0), (1, 125.0, 320.0), (2, 450.0, 499.5)]
+        if row[1] <= p < row[2]
+    }
+    assert got == want
