@@ -31,3 +31,21 @@ def test_queries_and_oracles_align():
     assert set(o) <= set(q)
     for name, fn in q.items():
         assert callable(fn), name
+
+
+def test_end_to_end_example(spark, sf_dir, tmp_path):
+    """The reference's full 3-stage pipeline shape runs green."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "end_to_end.py",
+    )
+    spec = importlib.util.spec_from_file_location("e2e", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    pdf = mod.main(sf_dir, work=str(tmp_path / "e2e"))
+    assert len(pdf) > 0
+    assert set(pdf.columns) == {"topic_agg", "emotion", "counts"}
+    assert (pdf["counts"] >= 0).all()
