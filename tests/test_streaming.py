@@ -221,3 +221,38 @@ def test_complete_mode_memory_sink(spark, sf_dir):
         for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     assert got == truth
+
+
+def test_rate_source_drives_streaming_plan(spark):
+    """QS harness alternative: the rate source drives the same
+    Kafka-shape plan with zero files — proof the plans are
+    source-agnostic (swap in read_kafka_stream unchanged)."""
+    from twitter_kafka_etl_spark.io import rate_stream
+    from twitter_kafka_etl_spark.streaming.windows import kafka_shaped
+
+    shaped = kafka_shaped(
+        rate_stream(spark, rows_per_second=500),
+        key_col=F.col("value") % 10,
+        topic_col=F.lit("rate"),
+    )
+    q = (
+        shaped.writeStream.format("memory")
+        .queryName("tkes_rate_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 20
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM tkes_rate_out").first().c
+            if n > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert n > 0
+    row = spark.sql("SELECT * FROM tkes_rate_out LIMIT 1").first()
+    assert set(["key", "value", "topic"]) == set(row.asDict().keys())

@@ -117,6 +117,55 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    """Line-oriented (or whole-file) text read — the raw-corpus entry
+    point for the text-analysis operators."""
+    reader = spark.read
+    if whole:
+        reader = reader.option("wholetext", "true")
+    return reader.text(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC batch source (config-gated — no database in the test
+    container, mirroring the Kafka wrappers). Always pass the partition
+    quad for tables of any size: without it the whole table is read by
+    ONE task through one connection."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def rate_stream(
+    spark: SparkSession, rows_per_second: int = 100, num_partitions: int = 1
+) -> DataFrame:
+    """Rate source — the built-in load generator for exercising
+    streaming plans without a broker (returns (timestamp, value))."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .option("numPartitions", str(num_partitions))
+        .load()
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
