@@ -70,8 +70,18 @@ def test_q12_whole_stage_codegen(spark, sf_dir):
     "name",
     [
         "q01_pruned_scan", "q07_pivot", "q11_conditional_rate",
-        "q16_dedup_keys", "x01_dedup_exact", "x04_dedup_simhash",
-        "x10_text_langid", "x12_text_tokens",
+        "q16_dedup_keys", "q24_asof_join", "q28_session_window",
+        "q30_time_rollup", "q31_range_join", "q33_topk_per_group",
+        "q36_posexplode_dims", "q37_percentiles",
+        "x01_dedup_exact", "x02_dedup_minhash_signatures",
+        "x03_dedup_minhash_lsh_pairs", "x04_dedup_simhash",
+        "x05_dedup_simhash_pairs", "x06_dedup_ngram_jaccard",
+        "x08_sim_topk_bruteforce", "x09_sim_ann_lsh", "x16_sim_ivf",
+        "x10_text_langid", "x11_text_quality", "x12_text_tokens",
+        "x13_text_fingerprint", "x18_text_winnowing",
+        "x19_sketch_countmin", "x20_sketch_countmin_estimate",
+        "x21_curation_sample", "x22_curation_split",
+        "x23_curation_pack", "x24_curation_chunks",
     ],
 )
 def test_no_python_udf_in_jvm_paths(spark, sf_dir, name):
