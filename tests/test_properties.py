@@ -186,3 +186,58 @@ def test_range_join_bucketed_matches_naive(spark, points):
         if row[1] <= p < row[2]
     }
     assert got == want
+
+
+doc_words = st.lists(
+    st.sampled_from([f"w{i}" for i in range(30)]), min_size=6, max_size=40
+)
+
+
+@given(words=doc_words)
+@settings(**SETTINGS)
+def test_minhash_signature_is_min_mergeable(spark, words):
+    """The MinHash core identity: sig(A ∪ B) = elementwise
+    min(sig(A), sig(B)) — this is exactly what makes signatures
+    partial-aggregable map-side at 100 TB."""
+    from twitter_kafka_etl_spark.operators.dedup import (
+        minhash_signatures, shingle,
+    )
+
+    text = " ".join(words)
+    half = len(words) // 2
+    # overlapping halves so both have >= 3 tokens (shingle width)
+    a = " ".join(words[: half + 2])
+    b = " ".join(words[half - 2 :])
+    df = spark.createDataFrame(
+        [(0, text), (1, a), (2, b)], ["doc_id", "text"]
+    )
+    sigs = {
+        r.doc_id: [r[f"mh{i}"] for i in range(16)]
+        for r in minhash_signatures(shingle(df)).collect()
+    }
+    whole_shingles = {
+        tuple(words[i : i + 3]) for i in range(len(words) - 2)
+    }
+    ab_shingles = {
+        tuple(words[: half + 2][i : i + 3]) for i in range(len(words[: half + 2]) - 2)
+    } | {
+        tuple(words[half - 2 :][i : i + 3]) for i in range(len(words[half - 2 :]) - 2)
+    }
+    if whole_shingles == ab_shingles:  # halves cover the whole's shingles
+        merged = [min(x, y) for x, y in zip(sigs[1], sigs[2])]
+        assert merged == sigs[0]
+
+
+@given(words=doc_words)
+@settings(**SETTINGS)
+def test_simhash_is_order_invariant(spark, words):
+    """SimHash sums per-token bit votes: any permutation of the tokens
+    yields the identical signature."""
+    from twitter_kafka_etl_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(0, " ".join(words)), (1, " ".join(reversed(words)))],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert got[0] == got[1]
