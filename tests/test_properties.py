@@ -241,3 +241,41 @@ def test_simhash_is_order_invariant(spark, words):
     )
     got = {r.doc_id: r.simhash for r in simhash(df).collect()}
     assert got[0] == got[1]
+
+
+@given(words=doc_words)
+@settings(**SETTINGS)
+def test_winnowing_guarantee(spark, words):
+    """Winnowing's defining guarantee (k=3, w=4): two documents sharing
+    any substring of >= w+k-1 = 6 consecutive tokens share at least one
+    fingerprint."""
+    from twitter_kafka_etl_spark.operators.dedup import _gram_array, token_hash
+
+    shared = words[:6]
+    doc_a = " ".join(shared + [f"a{i}" for i in range(8)])
+    doc_b = " ".join([f"b{i}" for i in range(8)] + shared)
+    df = spark.createDataFrame([(0, doc_a), (1, doc_b)], ["doc_id", "text"])
+    toked, grams = _gram_array(df, 3, "text")
+    hs = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.when(F.size("__toks") >= 3, grams).otherwise(
+                    F.array().cast("array<string>")
+                ),
+                token_hash,
+            )
+        ).alias("h"),
+    )
+    # recompute full winnowed fingerprint sets per doc from the engine's
+    # gram hashes (the registered query only exposes a summary)
+    rows = hs.collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.h)
+    fps = {}
+    for d, hl in by_doc.items():
+        fps[d] = {
+            min(hl[i : i + 4]) for i in range(len(hl) - 3)
+        }
+    assert fps[0] & fps[1], "shared 6-token run must share a fingerprint"

@@ -225,9 +225,12 @@ def simhash_pairs(
         F.col("b.simhash").alias("sh_b"),
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # hamming is a pure function of the pair row: filtering BEFORE the
+    # distinct shrinks the dedup shuffle from every candidate to only
+    # the qualifying pairs
     return (
-        pairs.distinct()
-        .filter(hamming <= max_hamming)
+        pairs.filter(hamming <= max_hamming)
+        .distinct()
         .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
     )
 
