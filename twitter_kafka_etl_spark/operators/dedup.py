@@ -48,6 +48,16 @@ def token_hash(col: Column) -> Column:
     return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % MERSENNE)
 
 
+def token_hash60(col: Column) -> Column:
+    """Stable 60-bit hash (first 15 hex chars of md5 — fits signed int64).
+
+    Used as a join key in place of long shingle strings: 8-byte shuffle
+    keys instead of ~25-byte strings at 100 TB. Both engines derive the
+    identical value, so even a collision (P ≈ n²/2⁶¹) affects Spark and
+    the oracle identically."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def fingerprint_norm(col: Column) -> Column:
     """Normalization for exact dedup: lowercase, collapse whitespace."""
     return F.lower(F.regexp_replace(col, "\\s+", " "))
@@ -250,7 +260,11 @@ def ngram_jaccard_pairs(
     before joining, which only loses pairs whose remaining similarity is
     below any sane threshold.
     """
-    sh = shingle(df, n=n, text_col=text_col, id_col=id_col)
+    # join on the 60-bit shingle hash, not the string: 8-byte shuffle
+    # keys; both engines hash identically so any collision is shared
+    sh = shingle(df, n=n, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), token_hash60(F.col("shingle")).alias("sh_h")
+    )
     # |A| per doc is a narrow map-side expression (distinct-gram array
     # length) — no explode, no shuffle, unlike counting the sh table
     toked, grams = _gram_array(df, n, text_col)
@@ -261,7 +275,7 @@ def ngram_jaccard_pairs(
     common = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sh_h") == F.col("b.sh_h"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .groupBy(

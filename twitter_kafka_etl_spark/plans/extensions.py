@@ -186,13 +186,19 @@ def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "x06_dedup_ngram_jaccard",
     "exact 3-gram Jaccard >= 0.2 via inverted-index self-join "
-    "(|A∩B| from shared shingles; no cross join)",
+    "(|A∩B| from shared shingles, joined on the shared 60-bit md5 hash "
+    "— 8-byte shuffle keys; no cross join)",
     f"""
     WITH {_SHINGLE_CTE},
+    shh AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sh_h
+      FROM sh
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shh a JOIN shh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
