@@ -56,6 +56,49 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_table_time_range(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_lo_iso: str,
+    ts_hi_iso: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-range scan with REAL predicate pushdown for nanos tables.
+
+    ``read_table`` rebuilds ``ts`` from raw int64 nanos, which makes any
+    later timestamp filter an expression over a derived column — Catalyst
+    cannot push it, so the scan reads everything (the plan shows only
+    IsNotNull under PushedFilters). This reader applies the [lo, hi)
+    bound to the RAW long column first; the comparison pushes into the
+    parquet reader and row-group min/max statistics skip non-matching
+    data — the engine's honest replacement for the reference's per-hour
+    path math (consumer.scala:89-123) when the layout isn't
+    hive-partitioned."""
+    import datetime
+
+    def nanos(s: str) -> int:
+        dt = datetime.datetime.fromisoformat(s).replace(
+            tzinfo=datetime.timezone.utc
+        )
+        delta = dt - datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        return (delta.days * 86_400 + delta.seconds) * 10**9 + delta.microseconds * 1_000
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    fld = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if fld.get(ts_col) == "bigint":
+        df = df.filter(
+            (F.col(ts_col) >= nanos(ts_lo_iso)) & (F.col(ts_col) < nanos(ts_hi_iso))
+        ).withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} DIV 1000")))
+    else:
+        df = df.filter(
+            (F.col(ts_col) >= F.lit(ts_lo_iso).cast("timestamp"))
+            & (F.col(ts_col) < F.lit(ts_hi_iso).cast("timestamp"))
+        )
+    return df
+
+
 def read_json(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
     """JSON file read (S8; streamviz/wrangling.py:7-11 equivalent)."""
     reader = spark.read

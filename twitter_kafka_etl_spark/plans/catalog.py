@@ -77,13 +77,15 @@ def _dbl_sum(col: str, alias: str) -> F.Column:
     tags=("scan",),
 )
 def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
-    return R.project(
-        R.filter_rows(
-            ev, (F.to_date("ts") == F.lit("2024-01-05")) & (F.hour("ts") >= 6)
-        ),
-        "event_id", "ts", "user_id", "event_type", "value",
+    from twitter_kafka_etl_spark.io import read_table_time_range
+
+    # date = 2024-01-05 AND hour >= 6  ⇔  ts ∈ [05 06:00, 06 00:00):
+    # expressed as a raw-column range so it pushes into the parquet scan
+    # (a filter on the rebuilt timestamp column cannot push)
+    ev = read_table_time_range(
+        spark, sf_dir, "events", "2024-01-05 06:00:00", "2024-01-06 00:00:00"
     )
+    return R.project(ev, "event_id", "ts", "user_id", "event_type", "value")
 
 
 # --------------------------------------------------------------------------
