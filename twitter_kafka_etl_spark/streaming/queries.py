@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from twitter_kafka_etl_spark.functions.scalar import construct_key, derive_date_hour
-from twitter_kafka_etl_spark.io import read_table
+from twitter_kafka_etl_spark.io import read_table, read_table_time_range
 from twitter_kafka_etl_spark.plans.catalog import _register
 from twitter_kafka_etl_spark.streaming import windows as W
 
@@ -169,8 +169,10 @@ def qs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming",),
 )
 def qs3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events").filter(
-        F.to_date("ts") == F.lit("2024-01-02")
+    # range form pushes into the parquet scan (a filter on the rebuilt
+    # nanos timestamp cannot push — see io.read_table_time_range)
+    ev = read_table_time_range(
+        spark, sf_dir, "events", "2024-01-02 00:00:00", "2024-01-03 00:00:00"
     )
     root = os.path.join(tempfile.gettempdir(), "tkes_stream_qs3")
     shutil.rmtree(root, ignore_errors=True)
@@ -230,8 +232,10 @@ def qs3(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "dedup"),
 )
 def qs4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events").filter(
-        F.to_date("ts") == F.lit("2024-01-02")
+    # range form pushes into the parquet scan (a filter on the rebuilt
+    # nanos timestamp cannot push — see io.read_table_time_range)
+    ev = read_table_time_range(
+        spark, sf_dir, "events", "2024-01-02 00:00:00", "2024-01-03 00:00:00"
     )
     root = os.path.join(tempfile.gettempdir(), "tkes_stream_qs4")
     shutil.rmtree(root, ignore_errors=True)
