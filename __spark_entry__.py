@@ -32,14 +32,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return topic_aggregates(enriched)
 
 
+def _rank(name: str) -> int:
+    """Emission order for the driver's per-round correctness pass.
+
+    The round-1 driver file capped at exactly 50 entries in emission
+    order, leaving x14-x24 without driver rows. Round 1 verified
+    q01-q37 and x01-x13 green, so this round fronts the never-checked
+    queries (x14-x24, then the rows-only qs set); the already-verified
+    block fills the remaining slots. Every query is still emitted.
+    """
+    if name.startswith("x") and name[1:3].isdigit() and int(name[1:3]) >= 14:
+        return 0
+    if name.startswith("qs"):
+        return 1
+    if name.startswith("q"):
+        return 2
+    return 3  # x01-x13
+
+
+def _ordered() -> list[str]:
+    return sorted(REGISTRY, key=lambda n: (_rank(n), n))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented query/operator (SURVEY.md §2.12)."""
-    return {name: spec.build for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].build for name in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins for every SQL-expressible query in ``queries()``."""
     return {
-        name: spec.oracle for name, spec in REGISTRY.items()
-        if spec.oracle is not None
+        name: REGISTRY[name].oracle for name in _ordered()
+        if REGISTRY[name].oracle is not None
     }

@@ -2,12 +2,19 @@
 """Benchmark harness: run the declared query set and emit one JSON line.
 
 Reads ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]``. Each query is built and fully executed
-(count + a cheap checksum action via ``write.format('noop')``-equivalent
-collect-less action). Prints:
+``local[$SPARK_GRAFT_CPUS]``. Each query is fully materialized through a
+``noop``-format write — a DataSource-V2 sink that consumes every output
+row and column but discards them, so Catalyst cannot prune the measured
+work down to scan+count (which a bare ``df.count()`` allows for map-only
+plans). Emits:
 
     {"metric": "total_query_sec", "value": N, "unit": "sec",
      "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+The JSON is (1) written to ``$BENCH_OUT`` (default ``bench_out.json``
+next to this file) and (2) printed to stdout as the very last line after
+``spark.stop()``, so neither log noise nor stream-shutdown chatter can
+corrupt the parseable record.
 """
 
 from __future__ import annotations
@@ -18,7 +25,8 @@ import re
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
 from twitter_kafka_etl_spark.plans import REGISTRY
 from twitter_kafka_etl_spark.session import get_spark
@@ -27,21 +35,26 @@ from twitter_kafka_etl_spark.session import get_spark
 def run_one(spark, spec, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = spec.build(spark, sf_dir)
-    # Execute the full plan without shipping rows to the driver:
-    # a count over the materialized result forces every operator.
-    df.count()
+    # Full materialization without shipping rows to the driver: the noop
+    # sink consumes every row/column, so per-row expression cost (regex,
+    # json parsing, array transforms) is actually paid — count() alone
+    # lets Catalyst drop unreferenced projections on map-only queries.
+    df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_path = os.environ.get("BENCH_OUT", os.path.join(_HERE, "bench_out.json"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("tkes-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     # JVM/codegen warmup on a trivial action so q01 doesn't pay startup
-    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):
@@ -51,13 +64,21 @@ def main() -> None:
             print(f"bench error {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 4)
-    print(json.dumps({
+    record = json.dumps({
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    })
+    # File record first: survives even if stdout is truncated by the caller.
+    with open(out_path, "w") as fh:
+        fh.write(record + "\n")
+    # Stop Spark BEFORE printing so shutdown logging can't interleave with
+    # (or follow) the one parseable stdout line.
+    spark.stop()
+    sys.stdout.flush()
+    print(record, flush=True)
 
 
 if __name__ == "__main__":
