@@ -39,7 +39,9 @@ def test_simhash_near_duplicate_has_small_hamming(spark):
     base = " ".join(["tok%d" % i for i in range(60)])
     near = base.replace("tok59", "tok99")
     df = spark.createDataFrame([(1, base), (2, near)], ["doc_id", "text"])
-    pairs = D.simhash_pairs(D.simhash(df), max_hamming=8).collect()
+    # max_hamming=8 needs >= 9 chunks for pigeonhole completeness;
+    # 16 × 2-bit chunks partition the 32-bit signature evenly
+    pairs = D.simhash_pairs(D.simhash(df), max_hamming=8, n_chunks=16).collect()
     assert len(pairs) == 1 and pairs[0].hamming <= 8
 
 

@@ -202,6 +202,31 @@ def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_customer")
 
 
+def test_cosine_pairs_lsh_path_is_bucketed_equi_join(spark, sf_dir):
+    """The large-n path must be a bucket equi-join: no Python block
+    matmul (FlatMapGroupsInPandas), no cross join — the plan shape that
+    survives 100 TB."""
+    from twitter_kafka_etl_spark.operators.similarity import cosine_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    plan = plan_of(cosine_pairs(emb, threshold=0.35, use_lsh_prefilter=True))
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_pairs_auto_switches_on_row_count(spark, sf_dir):
+    """use_lsh_prefilter=None: small inputs keep the exact blocked
+    matmul; inputs above lsh_auto_rows flip to the bucketed join."""
+    from twitter_kafka_etl_spark.operators.similarity import cosine_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    small = plan_of(cosine_pairs(emb, threshold=0.35))  # n << default cap
+    assert "FlatMapGroupsInPandas" in small
+    big = plan_of(cosine_pairs(emb, threshold=0.35, lsh_auto_rows=0))
+    assert "FlatMapGroupsInPandas" not in big
+
+
 def test_q31_range_join_is_equi_join(spark, sf_dir):
     """The range join must be a bucket equi-join + filter — never a
     BroadcastNestedLoopJoin/CartesianProduct that can't scale."""

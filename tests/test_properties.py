@@ -279,3 +279,106 @@ def test_winnowing_guarantee(spark, words):
             min(hl[i : i + 4]) for i in range(len(hl) - 3)
         }
     assert fps[0] & fps[1], "shared 6-token run must share a fingerprint"
+
+
+def test_cosine_pairs_lsh_subset_and_value_identical(spark, sf_dir):
+    """The LSH path may miss bucket-disjoint pairs but can never invent
+    a pair or change a score: its output is a subset of the exact path
+    with bitwise-identical cos_sim (both re-score via the same fold)."""
+    from twitter_kafka_etl_spark.io import read_table
+    from twitter_kafka_etl_spark.operators.similarity import cosine_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_pairs(emb, 0.35, use_lsh_prefilter=False).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_pairs(emb, 0.35, use_lsh_prefilter=True).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, sim in lsh.items():
+        assert sim == exact[pair]
+
+
+def test_cosine_pairs_lsh_recall_on_near_duplicates(spark):
+    """Multi-table OR-construction recall: planted near-duplicate pairs
+    (cos ~ 0.99) must be found at >= 90% by the 4-table default — the
+    regime the prefilter is built for (near-dup dedup at threshold
+    0.95). Deterministic: fixed numpy seed + seeded hyperplanes."""
+    import numpy as np
+
+    from twitter_kafka_etl_spark.operators.similarity import cosine_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 64))
+    noisy = base + rng.normal(scale=0.05, size=base.shape)
+    rows = []
+    for i in range(60):
+        rows.append((2 * i, [float(x) for x in base[i]]))
+        rows.append((2 * i + 1, [float(x) for x in noisy[i]]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs(df, 0.95, use_lsh_prefilter=False).collect()
+    }
+    planted = {p for p in exact if p[1] == p[0] + 1 and p[0] % 2 == 0}
+    assert len(planted) >= 40  # noise scale keeps most pairs above 0.95
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs(df, 0.95, use_lsh_prefilter=True).collect()
+    }
+    assert len(lsh & planted) / len(planted) >= 0.9
+
+
+def test_ngram_jaccard_df_cap_suppresses_hot_shingle(spark):
+    """A stopword shingle planted in every document must not create a
+    quadratic candidate set: with the cap below its df, pairs whose only
+    overlap is the hot shingle vanish, while pairs sharing non-hot
+    shingles keep their (now lower-bound) jaccard."""
+    from twitter_kafka_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    hot = "one of the"
+    rows = [(i, f"{hot} u{i}a u{i}b u{i}c") for i in range(300)]
+    # one genuine near-dup pair sharing 4 extra tokens -> 2 private shingles
+    rows.append((1000, f"{hot} shared tok run here x1000"))
+    rows.append((1001, f"{hot} shared tok run here y1001"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = ngram_jaccard_pairs(df, threshold=0.01, df_cap=100).collect()
+    got = {(r.doc_a, r.doc_b) for r in capped}
+    # 300+ docs sharing only the hot shingle produce ZERO pairs...
+    assert got == {(1000, 1001)}
+    # ...while the uncapped run drowns in ~45k hot-shingle-only pairs
+    uncapped = ngram_jaccard_pairs(df, threshold=0.01, df_cap=None)
+    assert uncapped.count() > 40_000
+
+
+def test_ngram_jaccard_cap_above_df_is_identity(spark, sf_dir):
+    """A cap above every testdata document frequency changes nothing."""
+    from twitter_kafka_etl_spark.io import read_table
+    from twitter_kafka_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    capped = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(docs).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(docs, df_cap=None).collect()
+    }
+    assert capped == exact
+
+
+def test_simhash_pairs_rejects_incomplete_banding(spark):
+    """max_hamming > n_chunks - 1 breaks the pigeonhole guarantee and
+    must raise, not silently lose pairs."""
+    import pytest
+
+    from twitter_kafka_etl_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame([(1, 5)], ["doc_id", "simhash"])
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(df, max_hamming=4, n_chunks=4)

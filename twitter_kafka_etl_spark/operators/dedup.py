@@ -210,7 +210,18 @@ def simhash_pairs(
     each recomputing the signature. The exact hamming check then
     filters candidates. No cross join at any scale; skewed chunk values
     are split by AQE like any equi-join.
+
+    The pigeonhole guarantee requires ``max_hamming <= n_chunks - 1``:
+    with k differing bits spread across n_chunks chunks, some chunk is
+    untouched only if k < n_chunks. A larger ``max_hamming`` would
+    silently miss qualifying pairs, so it raises instead.
     """
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"pigeonhole banding is complete only for max_hamming <= "
+            f"n_chunks - 1; got max_hamming={max_hamming}, n_chunks={n_chunks} "
+            f"— raise n_chunks to at least max_hamming + 1"
+        )
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
     bands = None
@@ -245,26 +256,50 @@ def simhash_pairs(
     )
 
 
+#: default hot-shingle document-frequency cap: a shingle in more than
+#: this many documents is a stopword n-gram whose candidate pairs are
+#: quadratic in its df — at 100 TB a single hot shingle would otherwise
+#: dominate the self-join. 10k² = 10⁸ candidate rows is the most one
+#: capped shingle can contribute; AQE splits that comfortably.
+JACCARD_DF_CAP = 10_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
     threshold: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    df_cap: int | None = JACCARD_DF_CAP,
 ) -> DataFrame:
     """Exact n-gram Jaccard over an inverted-index join.
 
     |A∩B| comes from the shingle self-join (only pairs sharing >=1 shingle
     are ever materialized); |A∪B| = |A|+|B|-|A∩B|. At 100 TB, hot shingles
-    dominate the join — drop top-frequency shingles (stopword n-grams)
-    before joining, which only loses pairs whose remaining similarity is
-    below any sane threshold.
+    dominate the join: a shingle appearing in d documents contributes
+    d(d-1)/2 candidate rows, so one stopword n-gram ("one of the") in 10⁷
+    docs yields ~5×10¹³ pairs — a quadratic blow-up no shuffle survives.
+    ``df_cap`` drops shingles whose document frequency exceeds the cap
+    *from the intersection join only*; |A| and |B| stay exact, so the
+    reported jaccard is a lower bound that can only lose pairs whose
+    similarity rests on stopword shingles. Pass ``df_cap=None`` for the
+    exact (cap-free) semantics on bounded inputs.
     """
     # join on the 60-bit shingle hash, not the string: 8-byte shuffle
     # keys; both engines hash identically so any collision is shared
     sh = shingle(df, n=n, text_col=text_col, id_col=id_col).select(
         F.col(id_col), token_hash60(F.col("shingle")).alias("sh_h")
     )
+    if df_cap is not None:
+        # the hot set is tiny (few distinct stopword shingles), so the
+        # anti-join broadcasts; cost is one partial-agg pass over sh
+        hot = (
+            sh.groupBy("sh_h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > df_cap)
+            .select("sh_h")
+        )
+        sh = sh.join(hot, "sh_h", "left_anti")
     # |A| per doc is a narrow map-side expression (distinct-gram array
     # length) — no explode, no shuffle, unlike counting the sh table
     toked, grams = _gram_array(df, n, text_col)

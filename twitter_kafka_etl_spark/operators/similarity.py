@@ -199,30 +199,45 @@ def cosine_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    use_lsh_prefilter: bool = False,
+    use_lsh_prefilter: bool | None = None,
     planes: list[list[int]] | None = None,
     n_blocks: int = 8,
+    n_tables: int = 4,
+    lsh_auto_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: exact cosine >= threshold.
 
-    Two-phase exact plan:
+    **Path selection** (the 100 TB decision): the blocked all-pairs
+    matmul is exact but O(n²/B) FLOPs — fine to ~10⁵ vectors, a
+    scale-killer beyond. With ``use_lsh_prefilter=None`` (default) the
+    operator counts the input (a metadata-cheap parquet count) and
+    switches to the LSH-bucketed candidate join above ``lsh_auto_rows``
+    rows; pass True/False to force a path. Both paths feed the same
+    exact re-score, so every emitted ``cos_sim`` value is identical —
+    only recall at the threshold boundary differs on the LSH path.
 
-    1. **Blocked candidate generation** (Arrow + numpy): vectors are
-       assigned to ``n_blocks`` blocks; each vector is replicated once
-       per partner block so every unordered block pair lands in one
-       ``applyInPandas`` group, which matmuls the two blocks and emits
-       ids whose approximate cosine clears ``threshold - 1e-6``. Shuffle
-       volume is O(n × n_blocks × dim) — bounded, no row-level cross
-       join ever materializes.
-    2. **Exact re-score** (JVM fold): the few candidates join back to
-       their vectors and the final ``cos_sim`` is the sequential
-       double-precision fold — bitwise-identical to DuckDB's
-       ``list_dot_product`` oracle, so numpy's pairwise-summation drift
-       can never change an emitted value.
-
-    ``use_lsh_prefilter`` swaps phase 1 for an LSH-bucket equi-join —
-    the 100 TB route when even n²/B block work is too much, trading
-    recall at the threshold boundary for bucket pruning.
+    1a. **Blocked candidate generation** (small n; Arrow + numpy):
+        vectors are assigned to ``n_blocks`` blocks; each vector is
+        replicated once per partner block so every unordered block pair
+        lands in one ``applyInPandas`` group, which matmuls the two
+        blocks and emits ids whose approximate cosine clears
+        ``threshold - 1e-6``. Shuffle volume is O(n × n_blocks × dim) —
+        bounded, no row-level cross join ever materializes. Exact:
+        every qualifying pair is generated.
+    1b. **Multi-table LSH candidate generation** (large n): ``n_tables``
+        independent sign-random-projection tables (seeds 42+t) are
+        unioned into one (id, table, bucket) long table and self-joined
+        on (table, bucket) — one shuffled equi-join over a reused
+        exchange, AQE-split on skewed buckets, never a cross join.
+        OR-construction recall is 1-(1-p^k)^L with p = 1 - θ/π per
+        plane; raise ``n_tables`` (or lower planes-per-table) for
+        recall, at linear candidate cost. Approximate: bucket-disjoint
+        pairs are never scored.
+    2.  **Exact re-score** (JVM fold): candidates join back to their
+        vectors and the final ``cos_sim`` is the sequential
+        double-precision fold — bitwise-identical to DuckDB's
+        ``list_dot_product`` oracle, so numpy's pairwise-summation
+        drift can never change an emitted value.
     """
     a = df.select(
         F.col(id_col).alias("id_a"), as_double(vec_col).alias("va")
@@ -230,14 +245,40 @@ def cosine_pairs(
     b = df.select(
         F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb")
     )
+    if use_lsh_prefilter is None:
+        # parquet-backed counts are row-group metadata reads: deciding
+        # the plan costs one cheap job, not a data scan
+        use_lsh_prefilter = df.count() > lsh_auto_rows
     if use_lsh_prefilter:
-        planes = planes or hyperplanes()
-        a = a.withColumn("bucket", lsh_bucket(F.col("va"), planes))
-        b = b.withColumn("bucket", lsh_bucket(F.col("vb"), planes))
-        joined = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
-        sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+        vecs = df.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_v"))
+        tables = None
+        for t in range(n_tables if planes is None else 1):
+            tp = planes if planes is not None else hyperplanes(seed=42 + t)
+            part = vecs.select(
+                "_id",
+                F.lit(t).alias("tbl"),
+                lsh_bucket(F.col("_v"), tp).alias("bucket"),
+            )
+            tables = part if tables is None else tables.unionByName(part)
+        lt, rt = tables.alias("l"), tables.alias("r")
+        cands = (
+            lt.join(
+                rt,
+                (F.col("l.tbl") == F.col("r.tbl"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l._id") < F.col("r._id")),
+            )
+            .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+            .distinct()
+        )
         return (
-            joined.select("id_a", "id_b", sim.alias("cos_sim"))
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            )
             .filter(F.col("cos_sim") >= threshold)
         )
 

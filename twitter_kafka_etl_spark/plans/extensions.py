@@ -187,13 +187,18 @@ def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x06_dedup_ngram_jaccard",
     "exact 3-gram Jaccard >= 0.2 via inverted-index self-join "
     "(|A∩B| from shared shingles, joined on the shared 60-bit md5 hash "
-    "— 8-byte shuffle keys; no cross join)",
+    "— 8-byte shuffle keys; hot shingles df-capped before the join; "
+    "no cross join)",
     f"""
     WITH {_SHINGLE_CTE},
-    shh AS (
+    shh0 AS (
       SELECT doc_id,
              CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sh_h
       FROM sh
+    ),
+    shh AS (
+      SELECT doc_id, sh_h FROM shh0
+      QUALIFY COUNT(*) OVER (PARTITION BY sh_h) <= {D.JACCARD_DF_CAP}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     common AS (
