@@ -209,3 +209,17 @@ def test_countmin_merge_equals_whole_build(spark, sf_dir):
         for r in K.count_min_build(ev, "user_id").collect()
     }
     assert merged == whole
+
+
+def test_countmin_unseen_item_estimates_zero(spark):
+    """An item absent from the build data must estimate to exactly 0
+    (its cells are missing from the sketch and fill to 0), matching the
+    oracle's LEFT JOIN + COALESCE semantics."""
+    from twitter_kafka_etl_spark.operators import sketches as K
+
+    build = spark.createDataFrame([("a",), ("a",), ("b",)], ["k"])
+    sketch = K.count_min_build(build, "k")
+    probes = spark.createDataFrame([("a",), ("never-seen",)], ["k"])
+    got = {r.k: r.est_count for r in K.count_min_estimate(sketch, probes, "k").collect()}
+    assert got["never-seen"] == 0
+    assert got["a"] >= 2  # CM estimates upper-bound the true count

@@ -128,3 +128,89 @@ def test_read_orc_roundtrip(spark, sf_dir, tmp_path):
     p = str(tmp_path / "ev_orc")
     ev.write.orc(p)
     assert read_orc(spark, p).count() == ev.count()
+
+
+# ---------------------------------------------------------------------------
+# S1/S2 Kafka wrappers — exercised as far as a brokerless sandbox allows:
+# the option surface is pure and asserted option-for-option against the
+# reference consumer (consumer.scala:56-62) and producer
+# (twitter_producer.py:30-33); load()/start() need the connector jar.
+# ---------------------------------------------------------------------------
+
+
+def test_kafka_source_options_match_reference_surface():
+    from twitter_kafka_etl_spark.io import kafka_source_options
+
+    opts = kafka_source_options("broker1:9092,broker2:9092", "tweets,retweets")
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "tweets,retweets",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+    }
+    assert kafka_source_options("b:9092", "t", "earliest", True)[
+        "startingOffsets"
+    ] == "earliest"
+
+
+def test_kafka_source_options_validate():
+    import pytest
+
+    from twitter_kafka_etl_spark.io import kafka_source_options
+
+    with pytest.raises(ValueError, match="bootstrap"):
+        kafka_source_options("", "topic")
+    with pytest.raises(ValueError, match="topic"):
+        kafka_source_options("b:9092", "")
+
+
+def test_kafka_sink_options_fixed_vs_routed_topic():
+    import pytest
+
+    from twitter_kafka_etl_spark.io import kafka_sink_options
+
+    fixed = kafka_sink_options("b:9092", "/ckpt", topic="tweets")
+    assert fixed["topic"] == "tweets"
+    routed = kafka_sink_options("b:9092", "/ckpt")
+    assert "topic" not in routed  # per-row 'topic' column routes instead
+    assert routed["checkpointLocation"] == "/ckpt"
+    with pytest.raises(ValueError, match="checkpoint"):
+        kafka_sink_options("b:9092", "")
+
+
+def test_kafka_sink_validates_wire_shape(spark):
+    """The keyed-producer contract (key/value/topic) fails fast at
+    construction instead of broker-side."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from twitter_kafka_etl_spark.io import write_kafka_stream
+
+    schema = "key string, value string, topic string"
+    stream = (
+        spark.readStream.schema(schema).parquet("/tmp/tkes_kafka_never/*")
+    )
+    with pytest.raises(ValueError, match="'value'"):
+        write_kafka_stream(stream.select("key"), "b:9092", "/ckpt")
+    with pytest.raises(ValueError, match="'key'"):
+        write_kafka_stream(stream.select("value"), "b:9092", "/ckpt")
+    with pytest.raises(ValueError, match="topic"):
+        write_kafka_stream(stream.select("key", "value"), "b:9092", "/ckpt")
+
+
+def test_kafka_readstream_plan_shape_when_connector_present(spark):
+    """Construction-level check of the real kafka format (no broker is
+    contacted at load()); skipped where the connector jar is absent."""
+    import pytest
+
+    from twitter_kafka_etl_spark.io import read_kafka_stream
+
+    try:
+        df = read_kafka_stream(spark, "localhost:9092", "tweets")
+    except Exception as e:  # noqa: BLE001 — connector jar not deployed
+        if "Failed to find data source" in str(e):
+            pytest.skip("kafka connector jar not available in this sandbox")
+        raise
+    got = {f.name for f in df.schema.fields}
+    assert {"key", "value", "topic", "partition", "offset"} <= got

@@ -382,3 +382,54 @@ def test_simhash_pairs_rejects_incomplete_banding(spark):
     df = spark.createDataFrame([(1, 5)], ["doc_id", "simhash"])
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_pairs(df, max_hamming=4, n_chunks=4)
+
+
+def _recall(ann_ids, exact_ids):
+    return len(set(ann_ids) & set(exact_ids)) / len(exact_ids)
+
+
+def test_ann_recall_on_clustered_data(spark):
+    """Recall floor for both ANN tiers in the regime they serve: planted
+    clusters (true neighbors at cos ~0.99). Brute force is ground truth;
+    single-probe LSH and nprobe=1 IVF must already recover >=8/9 here,
+    since cluster members share buckets/cells with high probability."""
+    import numpy as np
+
+    from twitter_kafka_etl_spark.operators import similarity as S
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(20, 64))
+    rows = []
+    vid = 0
+    for c in range(20):
+        for _ in range(10):
+            v = centers[c] + rng.normal(scale=0.08, size=64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = [r.vec_id for r in S.topk_bruteforce(df, 0, k=9).collect()]
+    lsh = [r.vec_id for r in S.topk_lsh(df, 0, k=9, probe_radius=1).collect()]
+    ivf = [r.vec_id for r in S.topk_ivf(df, 0, k=9, nprobe=2, centroid_mod=10).collect()]
+    assert _recall(lsh, exact) >= 8 / 9
+    assert _recall(ivf, exact) >= 8 / 9
+
+
+def test_ann_recall_monotone_in_probe_width(spark, sf_dir):
+    """Widening the probe set can only help: the candidate set grows
+    with probe_radius/nprobe, so recall@k vs brute force is
+    nondecreasing — the property that makes them honest recall dials."""
+    from twitter_kafka_etl_spark.io import read_table
+    from twitter_kafka_etl_spark.operators import similarity as S
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = [r.vec_id for r in S.topk_bruteforce(emb, 0, k=10).collect()]
+    lsh = [
+        _recall([r.vec_id for r in S.topk_lsh(emb, 0, k=10, probe_radius=p).collect()], exact)
+        for p in (0, 1, 2)
+    ]
+    assert lsh == sorted(lsh)
+    ivf = [
+        _recall([r.vec_id for r in S.topk_ivf(emb, 0, k=10, nprobe=n).collect()], exact)
+        for n in (1, 2, 4)
+    ]
+    assert ivf == sorted(ivf)

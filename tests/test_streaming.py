@@ -256,3 +256,81 @@ def test_rate_source_drives_streaming_plan(spark):
     assert n > 0
     row = spark.sql("SELECT * FROM tkes_rate_out LIMIT 1").first()
     assert set(["key", "value", "topic"]) == set(row.asDict().keys())
+
+
+def test_stateful_ttl_evicts_idle_user_state(spark):
+    """Event-time TTL bounds the state store: a user idle past the TTL
+    (by watermark time) is evicted, so its state restarts when it
+    reappears — the property that keeps qs6 viable on an unbounded key
+    space (NoTimeout would grow state forever)."""
+    import datetime
+
+    from twitter_kafka_etl_spark.streaming.queries import _order_files
+
+    root = os.path.join(tempfile.gettempdir(), "tkes_stateful_ttl")
+    shutil.rmtree(root, ignore_errors=True)
+
+    def ts(s):
+        return datetime.datetime.fromisoformat(s)
+
+    batches = [
+        # user 1: three events, then idle for > TTL
+        [(1, 1.0, ts("2024-01-01 10:00:00")),
+         (1, 2.0, ts("2024-01-01 11:00:00")),
+         (1, 3.0, ts("2024-01-01 12:00:00"))],
+        # user 2 advances event time 2 months
+        [(2, 5.0, ts("2024-03-01 00:00:00"))],
+        # user 2 again: watermark (2024-03-01 - 1h) now exceeds user 1's
+        # timeout (last seen + 7 days) and user 1 has no data in this
+        # batch -> its state times out and is removed
+        [(2, 6.0, ts("2024-03-05 00:00:00"))],
+        # user 1 reappears: fresh state
+        [(1, 9.0, ts("2024-03-10 00:00:00"))],
+    ]
+    schema = "user_id bigint, value double, ts timestamp"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{root}/in/f{i:02d}"
+        )
+    _order_files(f"{root}/in")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/in/*")
+    )
+    q = (
+        running_user_totals(stream, watermark="1 hour", ttl="7 days")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .option("path", f"{root}/out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(f"{root}/out").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    u1 = sorted(by_user[1], key=lambda r: r.last_ts)
+    # pre-idle snapshot carried 3 events; post-eviction restart carries 1
+    assert [r.total_events for r in u1] == [3, 1]
+    assert u1[-1].total_value == 9.0
+    # user 2 was never idle past TTL: totals accumulate across batches
+    u2 = sorted(by_user[2], key=lambda r: r.last_ts)
+    assert [r.total_events for r in u2] == [1, 2]
+    assert u2[-1].total_value == 11.0
+
+
+def test_stateful_ttl_below_watermark_rejected(spark):
+    """A TTL shorter than the watermark delay could place timeout
+    timestamps at/below the watermark — rejected at construction."""
+    import pytest
+
+    schema = "user_id bigint, value double, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet("/tmp/tkes_never_started/*")  # construction only
+    )
+    with pytest.raises(ValueError, match="ttl"):
+        running_user_totals(stream, watermark="2 days", ttl="1 day")

@@ -234,6 +234,33 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "latest",
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """The exact option set the S1 source passes to the kafka format —
+    option-for-option the reference consumer's surface
+    (consumer.scala:56-62: bootstrap servers, subscribe list, starting
+    offsets), plus explicit failOnDataLoss (the reference leaves the
+    default, which kills the query on topic retention at scale).
+
+    Pure function so the wiring is unit-testable in brokerless
+    environments (the connector jar and a broker are only needed at
+    ``load()``)."""
+    if not bootstrap_servers:
+        raise ValueError("bootstrap_servers must be non-empty")
+    if not topics:
+        raise ValueError("topics must name at least one topic")
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -246,14 +273,31 @@ def read_kafka_stream(
     Returns the raw (key binary, value binary, topic, partition, offset,
     timestamp) frame; pair with functions.decode_kafka + from_json.
     """
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topics)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", str(fail_on_data_loss).lower())
-        .load()
+    opts = kafka_source_options(
+        bootstrap_servers, topics, starting_offsets, fail_on_data_loss
     )
+    return spark.readStream.format("kafka").options(**opts).load()
+
+
+def kafka_sink_options(
+    bootstrap_servers: str,
+    checkpoint: str,
+    topic: str | None = None,
+) -> dict[str, str]:
+    """Option set for the S2 keyed sink (twitter_producer.py:30-33,
+    62-64): checkpointed exactly-once producer; ``topic`` pins a fixed
+    topic, otherwise each row routes via its ``topic`` column."""
+    if not bootstrap_servers:
+        raise ValueError("bootstrap_servers must be non-empty")
+    if not checkpoint:
+        raise ValueError("a checkpoint location is required for the kafka sink")
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "checkpointLocation": checkpoint,
+    }
+    if topic:
+        opts["topic"] = topic
+    return opts
 
 
 def write_kafka_stream(
@@ -264,15 +308,22 @@ def write_kafka_stream(
 ):
     """S2 — keyed Kafka sink. ``df`` must expose string/binary ``key`` and
     ``value`` columns, plus ``topic`` unless a fixed topic is given
-    (fan-out routing, twitter_producer.py:62-64)."""
-    writer = (
-        df.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("checkpointLocation", checkpoint)
-    )
-    if topic:
-        writer = writer.option("topic", topic)
-    return writer.start()
+    (fan-out routing, twitter_producer.py:62-64). The wire shape is
+    validated at construction, not left to fail broker-side."""
+    cols = set(df.columns)
+    if "value" not in cols:
+        raise ValueError("kafka sink requires a 'value' column")
+    if "key" not in cols:
+        raise ValueError(
+            "keyed producer requires a 'key' column (unkeyed writes lose "
+            "the reference's per-key partition ordering)"
+        )
+    if topic is None and "topic" not in cols:
+        raise ValueError(
+            "either pass a fixed topic or provide a per-row 'topic' column"
+        )
+    opts = kafka_sink_options(bootstrap_servers, checkpoint, topic)
+    return df.writeStream.format("kafka").options(**opts).start()
 
 
 def write_stream_partitioned(

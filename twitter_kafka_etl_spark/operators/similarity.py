@@ -100,6 +100,19 @@ def topk_bruteforce(
     )
 
 
+def _probe_masks(n_planes: int, radius: int) -> list[int]:
+    """XOR masks for every bucket within hamming distance ``radius`` of
+    the query bucket, in (distance, mask) order. C(b,0)+...+C(b,r)
+    masks — tiny for practical b, computed driver-side."""
+    from itertools import combinations
+
+    masks = []
+    for r in range(radius + 1):
+        for bits in combinations(range(n_planes), r):
+            masks.append(sum(1 << b for b in bits))
+    return masks
+
+
 def topk_lsh(
     df: DataFrame,
     query_id: int,
@@ -107,16 +120,25 @@ def topk_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     planes: list[list[int]] | None = None,
+    probe_radius: int = 0,
 ) -> DataFrame:
-    """ANN top-k: score only vectors in the query's LSH bucket.
+    """ANN top-k: score only vectors in (or near) the query's LSH bucket.
 
     At scale this is a bucket-pruned scan: with b planes, ~n/2^b vectors
-    are touched. Recall is tunable via multi-probe or more tables; this
-    is the single-table variant."""
+    are touched per probed bucket. ``probe_radius`` is the recall dial —
+    multi-probe LSH scans every bucket within that hamming distance of
+    the query's (sum C(b,r) buckets), trading a linear candidate
+    increase for recall without rebuilding anything. The candidate set
+    grows monotonically with the radius, so recall@k vs brute force is
+    nondecreasing in ``probe_radius`` (asserted in tests)."""
     planes = planes or hyperplanes()
     assigned = lsh_assign(df, vec_col, planes)
+    masks = _probe_masks(len(planes), probe_radius)
     q = assigned.filter(F.col(id_col) == query_id).select(
-        as_double(vec_col).alias("qvec"), F.col("bucket").alias("qbucket")
+        as_double(vec_col).alias("qvec"),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(m) for m in masks])
+        ).alias("qbucket"),
     )
     scored = (
         assigned.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
@@ -174,16 +196,31 @@ def topk_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroid_mod: int = CENTROID_MOD,
+    nprobe: int = 1,
 ) -> DataFrame:
     """ANN top-k, IVF flavor: exact cosine rerank inside the query's
-    coarse cell only (nprobe=1). Complements topk_lsh — IVF cells adapt
-    to the data distribution where LSH buckets are data-oblivious."""
+    ``nprobe`` nearest coarse cells. Complements topk_lsh — IVF cells
+    adapt to the data distribution where LSH buckets are data-oblivious.
+    ``nprobe`` is the recall dial: cells are scanned in decreasing
+    query-centroid similarity, so the candidate set (and recall@k vs
+    brute force) grows monotonically with it."""
     assigned = ivf_assign(df, vec_col, id_col, centroid_mod)
-    q = assigned.filter(F.col(id_col) == query_id).select(
-        F.col("v").alias("qvec"), F.col("cent_id").alias("qcent")
+    qvec = df.filter(F.col(id_col) == query_id).select(
+        as_double(vec_col).alias("qvec")
+    )
+    cents = df.filter(F.pmod(F.col(id_col), F.lit(centroid_mod)) == 0).select(
+        F.col(id_col).alias("cent_id"), as_double(vec_col).alias("cvec")
+    )
+    probe_cells = (
+        cents.join(F.broadcast(qvec))
+        .select("cent_id", cosine(F.col("cvec"), F.col("qvec")).alias("qc_sim"))
+        .orderBy(F.desc("qc_sim"), "cent_id")
+        .limit(nprobe)
+        .select("cent_id")
     )
     return (
-        assigned.join(F.broadcast(q), F.col("cent_id") == F.col("qcent"))
+        assigned.join(F.broadcast(probe_cells), "cent_id")
+        .join(F.broadcast(qvec))
         .filter(F.col(id_col) != query_id)
         .select(
             F.col(id_col),

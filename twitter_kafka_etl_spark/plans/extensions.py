@@ -430,7 +430,12 @@ def x14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+           -- first BYTE of the UTF-8 payload (hex pair 1), not the first
+           -- CHARACTER's codepoint: ascii() would diverge from the
+           -- engine's payload[0] on any non-ASCII leading char
+           CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
+                ELSE CAST('0x' || substr(hex(encode(text)), 1, 2) AS INT)
+                END AS INT) AS first_byte,
            'application/octet-stream' AS media_type
     FROM documents
     """,
@@ -487,9 +492,9 @@ def x16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH f AS (
       SELECT doc_id,
-             unnest(range(0, CAST(ceil(strlen(text) / 16.0) AS BIGINT), 4))
-               AS i,
-             strlen(text) AS n
+             unnest(range(0, CAST(ceil(octet_length(encode(text)) / 16.0)
+                                  AS BIGINT), 4)) AS i,
+             octet_length(encode(text)) AS n
       FROM documents
     )
     SELECT doc_id, CAST(i AS INT) AS frame_idx,
@@ -621,8 +626,12 @@ _cm_probe_branches = "\n      UNION ALL\n      ".join(
     probes AS (
       {_cm_probe_branches}
     )
-    SELECT p.event_type, MIN(s.counts) AS est_count
-    FROM probes p JOIN sketch s
+    -- LEFT JOIN + COALESCE 0: an item absent from the build data has
+    -- empty cells and must estimate to 0, matching the engine's
+    -- fill-missing-with-0 semantics (an inner join would silently take
+    -- MIN over only the present cells)
+    SELECT p.event_type, MIN(COALESCE(s.counts, 0)) AS est_count
+    FROM probes p LEFT JOIN sketch s
       ON s.depth = p.depth AND s.cell = p.cell
     GROUP BY p.event_type
     """,

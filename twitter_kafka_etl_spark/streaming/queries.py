@@ -327,9 +327,17 @@ def qs6(spark: SparkSession, sf_dir: str) -> DataFrame:
     _order_files(in_dir)
     stream = _read_stream(spark, in_dir, ev)
     out = _run_to_sink(running_user_totals(stream), root)
-    # last emission per user = the running total after all batches
+    # last emission per user = snapshot with max last-seen event time
+    # (NOT max(total_value), which would pick a mid-stream peak under
+    # negative values, nor max(total_events), which would pick a
+    # pre-eviction total after a TTL restart)
     got = spark.read.parquet(out)
-    return got.groupBy("user_id").agg(
-        F.max("total_events").alias("total_events"),
-        F.max("total_value").alias("total_value"),
+    return (
+        got.groupBy("user_id")
+        .agg(F.max(F.struct("last_ts", "total_events", "total_value")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.total_events").alias("total_events"),
+            F.col("s.total_value").alias("total_value"),
+        )
     )

@@ -3,7 +3,11 @@
 ``applyInPandasWithState`` is the engine's escape hatch for semantics the
 built-in windowed aggregations can't express — running counters, custom
 sessionization, online sketches. State lives in the state store (per key,
-spilled/checkpointed), so memory stays bounded at any key cardinality.
+spilled/checkpointed); *bounded* state additionally requires eviction:
+on an unbounded key space (user ids at 100 TB/day) a NoTimeout operator
+grows the store forever. Every stateful operator here therefore carries
+an event-time TTL: a key idle past the TTL (by watermark time) is
+evicted, mirroring the watermark discipline of the windowed layer.
 """
 
 from __future__ import annotations
@@ -14,38 +18,103 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-RUNNING_SCHEMA = "user_id bigint, total_events bigint, total_value double"
+RUNNING_SCHEMA = (
+    "user_id bigint, total_events bigint, total_value double, last_ts timestamp"
+)
 STATE_SCHEMA = "cnt bigint, val double"
 
-
-def _update_running(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Per-user running (count, sum(value)) across micro-batches."""
-    cnt, val = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        cnt += len(pdf)
-        val += float(pdf["value"].sum())
-    state.update((cnt, val))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "total_events": [cnt], "total_value": [val]}
-    )
+_UNIT_MS = {
+    "second": 1_000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+}
 
 
-def running_user_totals(stream_df: DataFrame) -> DataFrame:
-    """Streaming running totals per user — emits the updated total every
-    micro-batch the user appears in (append-mode emission so file sinks
-    work; each emission is the state snapshot at that batch). Input needs
-    (user_id, value)."""
+def duration_ms(spec: str) -> int:
+    """'30 days' / '1 hour' → milliseconds (the same unit grammar the
+    watermark APIs use, for the subset the engine needs)."""
+    n, unit = spec.split()
+    return int(float(n) * _UNIT_MS[unit.rstrip("s")])
+
+
+def _make_update(ttl_ms: int):
+    def _update_running(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Per-user running (count, sum(value)) across micro-batches.
+
+        Emits one snapshot per batch the user appears in. The timeout
+        timestamp slides to last-seen-event-time + TTL on every data
+        batch; when the watermark passes it (user idle for TTL of event
+        time) the state is evicted silently — a reappearing user starts
+        a fresh total, exactly the bounded-state semantics a 100 TB/day
+        key space needs.
+        """
+        if state.hasTimedOut:
+            state.remove()
+            return
+        cnt, val = state.get if state.exists else (0, 0.0)
+        last_ts = None
+        for pdf in pdfs:
+            cnt += len(pdf)
+            val += float(pdf["value"].sum())
+            m = pdf["ts"].max()
+            last_ts = m if last_ts is None else max(last_ts, m)
+        state.update((cnt, val))
+        # event-time TTL: evict when the watermark passes last-seen+TTL.
+        # Anchoring to the data's own timestamps (not the current
+        # watermark) keeps the TTL meaningful in the first batches,
+        # where the watermark is still the epoch.
+        state.setTimeoutTimestamp(int(last_ts.value // 1_000_000) + ttl_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "total_events": [cnt],
+                "total_value": [val],
+                "last_ts": [last_ts],
+            }
+        )
+
+    return _update_running
+
+
+def running_user_totals(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+    ttl: str = "30 days",
+) -> DataFrame:
+    """Streaming running totals per user — emits the updated
+    (total, last event time) snapshot every micro-batch the user appears
+    in (append-mode emission so file sinks work). Input needs
+    (user_id, value, ts).
+
+    State is bounded: users idle for ``ttl`` of event time (measured by
+    the stream's watermark, declared with ``watermark`` delay) are
+    evicted from the state store. ``ttl`` must be >= the watermark delay
+    or surviving rows could try to set a timeout at/below the watermark.
+
+    The *last* snapshot per user is the one with max ``last_ts`` (ties
+    broken by ``total_events``) — selecting max(total_value) instead
+    would return a mid-stream peak when values can be negative, and
+    max(total_events) a pre-eviction total.
+    """
+    ttl_ms = duration_ms(ttl)
+    if ttl_ms < duration_ms(watermark):
+        raise ValueError(
+            f"ttl ({ttl}) must be >= the watermark delay ({watermark})"
+        )
     return (
-        stream_df.groupBy("user_id")
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
         .applyInPandasWithState(
-            _update_running,
+            _make_update(ttl_ms),
             outputStructType=RUNNING_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
