@@ -223,3 +223,57 @@ def test_countmin_unseen_item_estimates_zero(spark):
     got = {r.k: r.est_count for r in K.count_min_estimate(sketch, probes, "k").collect()}
     assert got["never-seen"] == 0
     assert got["a"] >= 2  # CM estimates upper-bound the true count
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 5-node path needs multiple propagation rounds (diameter 4);
+    disconnected pairs and isolated nodes keep their own components."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11)], ["doc_a", "doc_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 99]],
+                                  ["doc_id"])
+    got = {
+        r.doc_id: r.component_id
+        for r in D.connected_components(pairs, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_hll_merge_matches_whole_build(spark, sf_dir):
+    """HLL mergeability: cell-wise max of per-split registers equals the
+    registers of the whole build — per-partition sketches roll up."""
+    from twitter_kafka_etl_spark.operators import sketches as K
+
+    ev = read_table(spark, sf_dir, "events")
+    lo = ev.filter(F.dayofmonth("ts") <= 15)
+    hi = ev.filter(F.dayofmonth("ts") > 15)
+    whole = K.hll_build(ev, "event_type", "user_id")
+    merged = K.hll_merge(
+        K.hll_build(lo, "event_type", "user_id"),
+        K.hll_build(hi, "event_type", "user_id"),
+        "event_type",
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_hll_estimate_within_expected_error(spark, sf_dir):
+    """64 registers → ~13% standard error; assert a 30% envelope
+    against the exact distinct count (deterministic: fixed hashes)."""
+    from twitter_kafka_etl_spark.operators import sketches as K
+
+    ev = read_table(spark, sf_dir, "events")
+    est = {
+        r.event_type: r.est_distinct
+        for r in K.hll_estimate(
+            K.hll_build(ev, "event_type", "user_id"), "event_type"
+        ).collect()
+    }
+    truth = {
+        r.event_type: r.d
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    for k, t in truth.items():
+        assert abs(est[k] - t) / t < 0.30, (k, est[k], t)

@@ -334,3 +334,32 @@ def test_stateful_ttl_below_watermark_rejected(spark):
     )
     with pytest.raises(ValueError, match="ttl"):
         running_user_totals(stream, watermark="2 days", ttl="1 day")
+
+
+def test_external_sink_generic_adapter(spark, sf_dir):
+    """The S6 adapter delivers micro-batches to any named DataSource
+    with idempotence stamping — exercised with the parquet format
+    standing in for a document store (same writer surface)."""
+    from twitter_kafka_etl_spark.streaming.sinks import (
+        external_sink,
+        foreach_batch_fanout,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), "tkes_ext_sink")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type")
+    ev.filter("event_id % 2 = 0").coalesce(1).write.parquet(f"{root}/in/f00")
+    ev.filter("event_id % 2 = 1").coalesce(1).write.parquet(f"{root}/in/f01")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/in/*")
+    )
+    sink = external_sink(
+        "parquet", {"path": f"{root}/out"}, idempotent_key="_batch_id"
+    )
+    q = foreach_batch_fanout(stream, [sink], checkpoint=f"{root}/ckpt")
+    q.awaitTermination()
+    got = spark.read.parquet(f"{root}/out")
+    assert got.count() == ev.count()
+    assert got.select("_batch_id").distinct().count() == 2  # per-batch stamp

@@ -17,6 +17,7 @@ plans/extensions.py — are exactly reproducible.
 - ``simhash``               32-bit SimHash per document
 - ``simhash_pairs``         near-dup pairs via chunk-banding + hamming check
 - ``ngram_jaccard_pairs``   exact Jaccard over an inverted-index join
+- ``connected_components``  near-dup pairs → duplicate clusters (min-label)
 """
 
 from __future__ import annotations
@@ -327,4 +328,74 @@ def ngram_jaccard_pairs(
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate clustering: candidate pairs → (doc_id, component_id),
+    component_id = min doc id reachable through the pair graph. This is
+    the step that turns pair generators (minhash_lsh_pairs,
+    simhash_pairs, ngram_jaccard_pairs, cosine_pairs) into an actual
+    dedup decision: keep component_id, drop the rest.
+
+    Distributed min-label propagation: each round every node adopts the
+    minimum label among itself and its neighbors — one equi-join + one
+    partial-agg shuffle per round, lineage truncated by
+    ``localCheckpoint`` so plans stay flat. Rounds needed = the pair
+    graph's component diameter, which for near-dup clusters (LSH bucket
+    quasi-cliques) is 1-3; ``max_iter`` bounds adversarial chains. The
+    per-round convergence check is one count() on the changed set —
+    driver-side control flow, executor-side data (the GraphX/Pregel
+    pattern, not a driver loop over rows).
+
+    ``nodes`` (optional, a frame with ``id_col``) adds isolated
+    documents as singleton components so every document gets a cluster
+    assignment.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    members = edges.select(F.col("src").alias("id")).distinct()
+    if nodes is not None:
+        members = members.union(
+            nodes.select(F.col(id_col).alias("id"))
+        ).distinct()
+    labels = members.withColumn("lbl", F.col("id"))
+    edges = edges.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col), F.col("lbl").alias("component_id")
     )

@@ -16,8 +16,10 @@ Scale properties:
   (classic CM overestimate bound: err <= 2N/width with prob 1-2^-depth).
 
 Spark's built-ins (approx_count_distinct / percentile_approx) cover the
-HLL and quantile cases; count-min covers frequency estimation, which has
-no built-in.
+in-engine HLL and quantile cases; count-min covers frequency estimation,
+which has no built-in. The deterministic HLL below exists because the
+built-in's registers are JVM-private: they can't be oracle-checked,
+persisted portably, or merged with sketches built by another engine.
 """
 
 from __future__ import annotations
@@ -108,4 +110,84 @@ def count_min_estimate(
         .na.fill({"counts": 0})
         .groupBy(col)
         .agg(F.min("counts").alias("est_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) — deterministic variant.
+#
+# Spark's approx_count_distinct is HLL++ but its hash/registers are not
+# reproducible outside the JVM, so it can't be oracle-checked or merged
+# with sketches built elsewhere. This variant derives registers from the
+# md5 token hash: bucket = low p bits, rho = leading-zero rank of the
+# remaining w bits — bit-identical in any engine. The harmonic-mean sum
+# adds powers of two (all partial sums exact in a double), so even the
+# float estimate is deterministic across engines and summation orders.
+# ---------------------------------------------------------------------------
+
+HLL_P = 6                  # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+HLL_W = 25                 # remaining bits of the 31-bit token hash
+HLL_ALPHA = 0.709          # standard alpha_64
+
+
+def _rho(v: Column, w: int = HLL_W) -> Column:
+    """Leading-zero rank of ``v`` in a ``w``-bit word: w - bitlength + 1
+    (v = 0 → w + 1). A literal WHEN-chain — exact, no float log2."""
+    # build innermost-first so the LARGEST threshold lands outermost:
+    # the chain must test v >= 2^(w-1) before v >= 2^(w-2), etc.
+    expr = F.lit(w + 1)
+    for i in range(w - 1, -1, -1):          # i zeros → rho = i + 1
+        expr = F.when(v >= F.lit(1 << (w - 1 - i)), F.lit(i + 1)).otherwise(expr)
+    return expr
+
+
+def hll_build(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group HLL registers as a (group, bucket, rho) long table —
+    one shuffle, max folds map-side; <= m rows per group at any scale.
+    Registers MERGE by cell-wise max (hll_merge), so per-partition
+    sketches roll up without rescanning raw data."""
+    h = token_hash(F.col(value_col).cast("string"))
+    return (
+        df.select(
+            F.col(group_col),
+            (h % HLL_M).alias("bucket"),
+            _rho(F.shiftright(h, HLL_P)).alias("rho"),
+        )
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, group_col: str) -> DataFrame:
+    """Merge register tables built over disjoint (or any) row sets:
+    cell-wise max — HLL's defining mergeability."""
+    return (
+        a.unionByName(b).groupBy(group_col, "bucket").agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_col: str) -> DataFrame:
+    """Distinct-count estimate per group: alpha * m^2 / sum(2^-M_j),
+    absent registers contributing 2^0; below 2.5m with empty registers,
+    the standard linear-counting correction m*ln(m/V) replaces the raw
+    estimate (raw HLL is badly biased at small cardinalities).
+    Deterministic: the harmonic sum is over exact dyadic rationals, so
+    no summation-order drift exists; the branch condition is exact."""
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / F.col("__s")
+    v = F.lit(HLL_M) - F.col("__n")  # empty registers
+    est = F.when(
+        (v > 0) & (raw <= 2.5 * HLL_M),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+    ).otherwise(raw)
+    return (
+        registers.groupBy(group_col)
+        .agg(
+            (
+                F.sum(F.pow(F.lit(2.0), -F.col("rho")))
+                + (F.lit(HLL_M) - F.count(F.lit(1)))
+            ).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(group_col, F.round(est, 6).alias("est_distinct"))
     )

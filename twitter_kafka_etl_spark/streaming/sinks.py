@@ -61,3 +61,33 @@ def parquet_append_sink(path: str) -> Callable[[DataFrame, int], None]:
         batch_df.write.mode("append").parquet(path)
 
     return _sink
+
+
+def external_sink(
+    fmt: str,
+    options: dict[str, str] | None = None,
+    mode: str = "append",
+    idempotent_key: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Generic document-store / external-system sink factory (S6) —
+    the adapter the reference hardcodes to MongoDB
+    (consumer.scala:176-181). Any DataSource with a Spark batch writer
+    plugs in by name: ``external_sink("mongodb", {"connection.uri": …,
+    "database": …, "collection": …})``, ``external_sink("jdbc", …)``,
+    ``external_sink("delta", …)``.
+
+    ``idempotent_key``: column name to stamp with the micro-batch id —
+    replayed batches (restart between sink write and checkpoint commit)
+    can then be deduplicated store-side (upsert on it, or MERGE), the
+    standard exactly-once recipe for stores without transactional
+    streaming commits.
+    """
+    from pyspark.sql import functions as F
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df
+        if idempotent_key:
+            out = out.withColumn(idempotent_key, F.lit(batch_id))
+        out.write.format(fmt).options(**(options or {})).mode(mode).save()
+
+    return _sink
