@@ -277,3 +277,31 @@ def test_hll_estimate_within_expected_error(spark, sf_dir):
     }
     for k, t in truth.items():
         assert abs(est[k] - t) / t < 0.30, (k, est[k], t)
+
+
+def test_repetition_signals_flag_boilerplate(spark):
+    """A spam doc repeating one phrase scores near 1.0 on both signals;
+    an all-distinct doc scores 0; a 1-token doc emits zeros."""
+    rows = [
+        (1, "buy now " * 50 + "buy now"),      # pure repetition
+        (2, " ".join(f"w{i}" for i in range(40))),  # all distinct 2-grams
+        (3, "single"),
+    ]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows], ["doc_id", "text"])
+    got = {r.doc_id: r for r in T.repetition_signals(df).collect()}
+    assert got[1].dup_frac > 0.9 and got[1].top_share > 0.45
+    assert got[2].dup_frac == 0.0
+    assert got[3].n_grams == 0 and got[3].dup_frac == 0.0
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    """A term unique to one doc must outrank terms shared by all docs."""
+    df = spark.createDataFrame(
+        [(1, "common common zebra"), (2, "common filler"),
+         (3, "common filler"), (4, "common filler")],
+        ["doc_id", "text"],
+    )
+    top = T.tfidf_top_terms(df, k=1).collect()
+    doc1 = next(r for r in top if r.doc_id == 1)
+    # zebra: 1*(4+1)/(1+1) = 2.5 > common: 2*(4+1)/(4+1) = 2.0
+    assert doc1.term == "zebra"

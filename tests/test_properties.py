@@ -433,3 +433,31 @@ def test_ann_recall_monotone_in_probe_width(spark, sf_dir):
         for n in (1, 2, 4)
     ]
     assert ivf == sorted(ivf)
+
+
+def test_ngram_jaccard_collapse_exact_is_identity(spark, sf_dir):
+    """The collapse-expand rewrite must be invisible: on a corpus where
+    every text has 3 byte-identical copies plus near-dup variants, the
+    collapsed and naive plans return identical (pair, jaccard) sets —
+    including within-group 1.0 pairs and zero-shingle exclusions."""
+    from twitter_kafka_etl_spark.io import read_table
+    from twitter_kafka_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = read_table(spark, sf_dir, "documents").limit(60)
+    dup = base.selectExpr("doc_id + 100000 AS doc_id", "text")
+    dup2 = base.selectExpr("doc_id + 200000 AS doc_id", "text")
+    short = spark.createDataFrame(
+        [(900001, "too short"), (900002, "too short")], ["doc_id", "text"]
+    )  # zero 3-gram shingles: must NOT pair even though identical
+    corpus = base.select("doc_id", "text").union(dup).union(dup2).union(short)
+    naive = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(corpus, collapse_exact=False).collect()
+    }
+    fast = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(corpus, collapse_exact=True).collect()
+    }
+    assert fast == naive
+    assert not any(a >= 900000 and b >= 900000 for a, b, _ in fast)
+    assert len(fast) >= 3 * 60  # within-group 1.0 pairs are present

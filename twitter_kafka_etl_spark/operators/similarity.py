@@ -172,21 +172,37 @@ def ivf_assign(
     assignment is embarrassingly parallel and the cell id becomes the
     partition/bucket key for search."""
     cents = df.filter(F.pmod(F.col(id_col), F.lit(centroid_mod)) == 0).select(
-        F.col(id_col).alias("cent_id"), as_double(vec_col).alias("cvec")
+        F.col(id_col).alias("cent_id"),
+        as_double(vec_col).alias("cvec"),
+        norm(as_double(vec_col)).alias("cnorm"),
     )
+    vecs = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    # score map-side against the broadcast centroids and drop BOTH
+    # vector arrays before anything shuffles: the n×C scored rows are
+    # (id, cent_id, sim) triples, and the argmax is a max_by partial
+    # aggregate — n rows cross the exchange, not n×C rows of arrays.
+    # (A row_number window here shuffled n×C rows each carrying two
+    # 64-dim arrays: 182 s at sf1.) Norms are computed once per side —
+    # dot/(nv*nc) is the identical arithmetic to cosine(), one fold per
+    # pair instead of three.
     scored = (
-        df.select(F.col(id_col), as_double(vec_col).alias("v"))
+        vecs.withColumn("vnorm", norm(F.col("v")))
         .join(F.broadcast(cents))
-        .withColumn("cent_sim", cosine(F.col("v"), F.col("cvec")))
+        .select(
+            F.col(id_col),
+            F.col("cent_id"),
+            (dot(F.col("v"), F.col("cvec"))
+             / (F.col("vnorm") * F.col("cnorm"))).alias("cent_sim"),
+        )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(F.desc("cent_sim"), "cent_id")
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "v", "cent_id")
+    # max of (sim, -cent_id) == highest similarity, ties to lowest id —
+    # the same deterministic rule as ORDER BY sim DESC, cent_id ASC
+    best = scored.groupBy(id_col).agg(
+        F.max_by("cent_id", F.struct("cent_sim", -F.col("cent_id"))).alias(
+            "cent_id"
+        )
     )
+    return best.join(vecs, id_col).select(id_col, "v", "cent_id")
 
 
 def topk_ivf(

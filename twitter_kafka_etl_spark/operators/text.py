@@ -200,3 +200,97 @@ def enrich_text(df: DataFrame, text_col: str = "text") -> DataFrame:
         "sentiment": classify_sentiment(F.col(text_col)),
         "emotion": classify_emotion(F.col(text_col)),
     })
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Uses the *rational* idf variant (N+1)/(df+1) instead of its log:
+    every score is then a ratio of exact integers — one IEEE division,
+    bit-identical in any engine — where ln() depends on the platform's
+    libm rounding. Ranking is unchanged (log is monotone), which is all
+    TF-IDF's ordering semantics promise.
+
+    Plan: explode → tf groupBy (one shuffle) → document-frequency via a
+    count window over term (second shuffle) → global N joined in as a
+    broadcast 1-row aggregate (no driver action) → per-doc top-k window.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    w_term = Window.partitionBy("term")
+    w_doc = Window.partitionBy(id_col).orderBy(F.desc("score"), "term")
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(w_term))
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * (F.col("__n") + 1).cast("double") / (F.col("df") + 1),
+        )
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_doc))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            "term",
+            F.round("score", 6).alias("tfidf"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Intra-document repetition quality signals (the Gopher/C4-style
+    filters): duplicate n-gram fraction and the share of the single most
+    repeated n-gram. High values flag boilerplate/spam for removal
+    before training.
+
+    Plan: n-gram explode → per-(doc, gram) counts → per-doc aggregate —
+    two partial-agg shuffles, O(total grams) work, no per-row quadratic
+    scan. Documents shorter than ``n`` tokens emit zeros via the left
+    join back to the input.
+    """
+    from twitter_kafka_etl_spark.operators.dedup import _gram_array
+
+    toked, grams = _gram_array(df, n, text_col)
+    g = toked.select(F.col(id_col), F.explode(grams).alias("g"))
+    per = g.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    sig = per.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("nd"),
+        F.max("c").alias("top_c"),
+    )
+    n_g = F.col("n_grams")
+    return (
+        df.select(F.col(id_col))
+        .join(sig, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(n_g, F.lit(0)).cast("bigint").alias("n_grams"),
+            F.round(
+                F.when(n_g > 0, (n_g - F.col("nd")) / n_g.cast("double"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+            F.round(
+                F.when(n_g > 0, F.col("top_c") / n_g.cast("double"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_share"),
+        )
+    )

@@ -928,3 +928,77 @@ def x27(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tok").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x28 — TF-IDF characteristic terms (rational idf: engine-portable, no ln)
+# ---------------------------------------------------------------------------
+@_register(
+    "x28_text_tfidf",
+    "top-3 characteristic terms per document by TF-IDF with rational idf "
+    "(N+1)/(df+1) — same ranking as log-idf (monotone transform) but "
+    "every score is one IEEE division of exact integers, so no libm-"
+    "rounding drift across engines; explode → tf groupBy → df count "
+    "window → broadcast N → per-doc top-k window (two shuffles)",
+    """
+    WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+    sc AS (
+      SELECT doc_id, term,
+             tf * ((SELECT COUNT(*) FROM documents) + 1.0)
+                / (COUNT(*) OVER (PARTITION BY term) + 1) AS score
+      FROM tf
+    ),
+    r AS (
+      SELECT doc_id, term, round(score, 6) AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rank
+      FROM sc
+    )
+    SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+    tags=("text", "extension"),
+)
+def x28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+# ---------------------------------------------------------------------------
+# x29 — intra-document repetition signals (Gopher/C4-style filters)
+# ---------------------------------------------------------------------------
+@_register(
+    "x29_text_repetition",
+    "intra-document repetition quality signals: duplicate 2-gram "
+    "fraction and most-repeated-2-gram share (the Gopher/C4 boilerplate "
+    "filters) — n-gram explode + two partial-agg shuffles, O(grams) "
+    "work, zeros for sub-n-token docs via left join",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 2 THEN
+               list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             ELSE []::VARCHAR[] END) AS g
+      FROM toks
+    ),
+    per AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS nd, MAX(c) AS top_c
+      FROM per GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+           round(CASE WHEN s.n_grams > 0
+                      THEN (s.n_grams - s.nd) / CAST(s.n_grams AS DOUBLE)
+                      ELSE 0.0 END, 6) AS dup_frac,
+           round(CASE WHEN s.n_grams > 0
+                      THEN s.top_c / CAST(s.n_grams AS DOUBLE)
+                      ELSE 0.0 END, 6) AS top_share
+    FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id
+    """,
+    tags=("text", "extension"),
+)
+def x29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.repetition_signals(_docs(spark, sf_dir), n=2)

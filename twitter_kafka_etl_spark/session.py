@@ -71,11 +71,22 @@ def get_spark(
     """
     par = default_parallelism()
     builder = SparkSession.builder.appName(app_name)
+    local_mode = False
     if master:
         builder = builder.master(master)
+        local_mode = master.startswith("local")
     elif "SPARK_MASTER" not in os.environ:
         builder = builder.master(f"local[{par}]")
+        local_mode = True
     conf = dict(ENGINE_CONF)
+    if local_mode:
+        # local mode runs all 32 executor threads in the driver JVM; the
+        # 1g default heap OOMs at sf1. A max-heap cap, not a reservation
+        # — only effective before the JVM launches. On a cluster,
+        # executor/driver memory comes from spark-submit.
+        conf.setdefault(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        )
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or par)
     conf["spark.default.parallelism"] = str(par)
     if extra_conf:
