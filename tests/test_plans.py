@@ -227,6 +227,21 @@ def test_cosine_pairs_auto_switches_on_row_count(spark, sf_dir):
     assert "FlatMapGroupsInPandas" not in big
 
 
+def test_ivf_assign_shuffles_no_arrays(spark, sf_dir):
+    """IVF assignment must aggregate map-side over array-free rows: the
+    argmax is a max_by partial agg (two HashAggregate nodes), not a
+    row_number window dragging n×C vector arrays through an exchange."""
+    from twitter_kafka_etl_spark.operators.similarity import ivf_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    plan = plan_of(ivf_assign(emb))
+    assert "Window" not in plan
+    # partial + final aggregate pair for the argmax (max_by over a
+    # struct ordering lowers to SortAggregate, still map-side partial)
+    assert "partial_max_by" in plan
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+
+
 def test_q31_range_join_is_equi_join(spark, sf_dir):
     """The range join must be a bucket equi-join + filter — never a
     BroadcastNestedLoopJoin/CartesianProduct that can't scale."""
