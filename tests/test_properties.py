@@ -461,3 +461,29 @@ def test_ngram_jaccard_collapse_exact_is_identity(spark, sf_dir):
     assert fast == naive
     assert not any(a >= 900000 and b >= 900000 for a, b, _ in fast)
     assert len(fast) >= 3 * 60  # within-group 1.0 pairs are present
+
+
+def test_simhash_pairs_collapse_exact_is_identity(spark, sf_dir):
+    """Signature-collapse rewrite is invisible: on a corpus with 3
+    copies of every text, collapsed and naive plans emit identical
+    (pair, hamming) sets — within-group hamming 0 included."""
+    from twitter_kafka_etl_spark.io import read_table
+    from twitter_kafka_etl_spark.operators.dedup import simhash, simhash_pairs
+
+    base = read_table(spark, sf_dir, "documents").limit(60)
+    corpus = (
+        base.select("doc_id", "text")
+        .union(base.selectExpr("doc_id + 100000 AS doc_id", "text"))
+        .union(base.selectExpr("doc_id + 200000 AS doc_id", "text"))
+    )
+    sigs = simhash(corpus)
+    naive = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(sigs, collapse_exact=False).collect()
+    }
+    fast = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(sigs, collapse_exact=True).collect()
+    }
+    assert fast == naive
+    assert len(fast) >= 3 * 60  # the within-group 0-hamming pairs exist

@@ -195,34 +195,14 @@ def simhash(
     return per_bit.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
 
 
-def simhash_pairs(
+def _simhash_pairs_core(
     sig_df: DataFrame,
-    id_col: str = "doc_id",
-    max_hamming: int = 3,
-    bits: int = 32,
-    n_chunks: int = 4,
+    id_col: str,
+    max_hamming: int,
+    bits: int,
+    n_chunks: int,
 ) -> DataFrame:
-    """Near-dup pairs: hamming(simhash) <= k via chunk banding.
-
-    Pigeonhole: distance <= n_chunks-1 implies at least one equal chunk.
-    Chunks are unpivoted into one (id, band, chunk, simhash) table and
-    self-joined on (band, chunk) — ONE shuffled equi-join whose two
-    sides share a reused exchange, instead of n_chunks separate joins
-    each recomputing the signature. The exact hamming check then
-    filters candidates. No cross join at any scale; skewed chunk values
-    are split by AQE like any equi-join.
-
-    The pigeonhole guarantee requires ``max_hamming <= n_chunks - 1``:
-    with k differing bits spread across n_chunks chunks, some chunk is
-    untouched only if k < n_chunks. A larger ``max_hamming`` would
-    silently miss qualifying pairs, so it raises instead.
-    """
-    if max_hamming > n_chunks - 1:
-        raise ValueError(
-            f"pigeonhole banding is complete only for max_hamming <= "
-            f"n_chunks - 1; got max_hamming={max_hamming}, n_chunks={n_chunks} "
-            f"— raise n_chunks to at least max_hamming + 1"
-        )
+    """Chunk-banded hamming join over the given (id, simhash) rows."""
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
     bands = None
@@ -255,6 +235,94 @@ def simhash_pairs(
         .distinct()
         .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
     )
+
+
+def simhash_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+    n_chunks: int = 4,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """Near-dup pairs: hamming(simhash) <= k via chunk banding.
+
+    Pigeonhole: distance <= n_chunks-1 implies at least one equal chunk.
+    Chunks are unpivoted into one (id, band, chunk, simhash) table and
+    self-joined on (band, chunk) — ONE shuffled equi-join whose two
+    sides share a reused exchange, instead of n_chunks separate joins
+    each recomputing the signature. The exact hamming check then
+    filters candidates. No cross join at any scale; skewed chunk values
+    are split by AQE like any equi-join.
+
+    The pigeonhole guarantee requires ``max_hamming <= n_chunks - 1``:
+    with k differing bits spread across n_chunks chunks, some chunk is
+    untouched only if k < n_chunks. A larger ``max_hamming`` would
+    silently miss qualifying pairs, so it raises instead.
+
+    ``collapse_exact`` (default on): duplicate-heavy corpora put many
+    documents on the *same* signature, and every such group pairs
+    quadratically inside one band bucket. Identical signatures collapse
+    to one representative before the banded join (work scales 1/d² in
+    the duplication factor); pairs expand back through two equi-joins —
+    cross-group pairs inherit the rep pair's hamming, within-group
+    pairs are hamming 0. Output is identical either way (equivalence
+    asserted in tests; measured 3× at a 10-fold-replicated sf1).
+    """
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"pigeonhole banding is complete only for max_hamming <= "
+            f"n_chunks - 1; got max_hamming={max_hamming}, n_chunks={n_chunks} "
+            f"— raise n_chunks to at least max_hamming + 1"
+        )
+    if not collapse_exact:
+        return _simhash_pairs_core(sig_df, id_col, max_hamming, bits, n_chunks)
+    members = sig_df.select(F.col(id_col).alias("m_id"), F.col("simhash"))
+    reps = members.groupBy("simhash").agg(F.min("m_id").alias("rep_id"))
+    rep_sigs = reps.select(F.col("rep_id").alias(id_col), "simhash")
+    rep_pairs = _simhash_pairs_core(rep_sigs, id_col, max_hamming, bits, n_chunks)
+    sig_of = reps.select("rep_id", "simhash")
+    cross = (
+        rep_pairs.join(
+            sig_of.select(
+                F.col("rep_id").alias("doc_a"), F.col("simhash").alias("sig_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sig_of.select(
+                F.col("rep_id").alias("doc_b"), F.col("simhash").alias("sig_b")
+            ),
+            "doc_b",
+        )
+        .join(
+            members.select(F.col("m_id").alias("id_a"), F.col("simhash").alias("sig_a")),
+            "sig_a",
+        )
+        .join(
+            members.select(F.col("m_id").alias("id_b"), F.col("simhash").alias("sig_b")),
+            "sig_b",
+        )
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            F.col("hamming"),
+        )
+    )
+    m1, m2 = members.alias("m1"), members.alias("m2")
+    within = (
+        m1.join(
+            m2,
+            (F.col("m1.simhash") == F.col("m2.simhash"))
+            & (F.col("m1.m_id") < F.col("m2.m_id")),
+        )
+        .select(
+            F.col("m1.m_id").alias("doc_a"),
+            F.col("m2.m_id").alias("doc_b"),
+            F.lit(0).cast("bigint").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 #: default hot-shingle document-frequency cap: a shingle in more than
