@@ -305,3 +305,24 @@ def test_tfidf_rare_term_outranks_common(spark):
     doc1 = next(r for r in top if r.doc_id == 1)
     # zebra: 1*(4+1)/(1+1) = 2.5 > common: 2*(4+1)/(4+1) = 2.0
     assert doc1.term == "zebra"
+
+
+def test_stratified_sample_exact_n_and_partition_invariant(spark, sf_dir):
+    """Exactly N rows per stratum (or the whole stratum if smaller), and
+    the SAME rows regardless of input partitioning — the property that
+    makes the sample reproducible on a cluster."""
+    from twitter_kafka_etl_spark.operators.curation import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    s1 = stratified_sample(docs, ["lang"], 7, "doc_id")
+    per = {r.lang: r.n for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(7, sizes[lang])
+    ids1 = {(r.lang, r.doc_id) for r in s1.select("lang", "doc_id").collect()}
+    ids2 = {
+        (r.lang, r.doc_id)
+        for r in stratified_sample(docs.repartition(17), ["lang"], 7, "doc_id")
+        .select("lang", "doc_id").collect()
+    }
+    assert ids1 == ids2

@@ -112,3 +112,30 @@ def chunk_spans(
         start.cast("bigint").alias("start_tok"),
         F.least(F.lit(size), F.col("__t") - start).cast("bigint").alias("chunk_tokens"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    n_per_stratum: int,
+    id_col: str,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic stratified sampling: exactly ``n_per_stratum`` rows
+    per stratum (fewer if the stratum is smaller), selected by md5 order
+    so the same rows are chosen on every run, engine, and partitioning —
+    the per-group analog of ``hash_sample`` for balancing skewed classes
+    (languages, sources) in a training mix.
+
+    One window shuffle on the strata key; the md5 sort key is salted so
+    different sampling purposes draw independent subsets.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata_cols).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+        .withColumn("sample_rank", F.col("sample_rank").cast("bigint"))
+    )

@@ -1002,3 +1002,101 @@ def x28(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x29(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_signals(_docs(spark, sf_dir), n=2)
+
+
+# ---------------------------------------------------------------------------
+# x30 — per-source quality rollup (the curation dashboard query)
+# ---------------------------------------------------------------------------
+@_register(
+    "x30_source_quality_rollup",
+    "per-source curation rollup joining the doc-level signals: doc/token "
+    "counts, mean quality score (decimal-summed — order-independent "
+    "across any partitioning), share of high-repetition docs. The "
+    "query a data curator runs to decide which sources to keep at 100 TB",
+    """
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+               FROM documents),
+    q AS (
+      SELECT doc_id, source, len(tk) AS tok,
+             round((len(list_distinct(tk)) / len(tk)) * 0.5 +
+                   (1.0 - len(list_filter(tk, x -> x = 'a' OR x = 'the'))
+                     / len(tk)) * 0.5, 6) AS qs
+      FROM t
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(tk) >= 2 THEN
+               list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+             ELSE []::VARCHAR[] END) AS g
+      FROM t
+    ),
+    per AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id,
+             (SUM(c) - COUNT(*)) / CAST(SUM(c) AS DOUBLE) AS dup_frac
+      FROM per GROUP BY doc_id
+    )
+    SELECT q.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(q.tok) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(CAST(q.qs AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_quality,
+           CAST(count_if(COALESCE(rep.dup_frac, 0) > 0.2) AS BIGINT)
+             AS high_repetition_docs
+    FROM q LEFT JOIN rep ON rep.doc_id = q.doc_id
+    GROUP BY q.source
+    """,
+    tags=("curation", "text", "extension"),
+)
+def x30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    q = T.quality_features(docs).select(
+        "doc_id", "source", F.col("n_tokens").alias("tok"), F.col("quality_score")
+    )
+    rep = T.repetition_signals(docs).select("doc_id", "dup_frac")
+    from twitter_kafka_etl_spark.functions.scalar import decimal_sum
+
+    return (
+        q.join(rep, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("total_tokens"),
+            F.round(
+                decimal_sum("quality_score", 18, 6).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
+            F.sum(
+                F.when(F.coalesce(F.col("dup_frac"), F.lit(0.0)) > 0.2, 1).otherwise(0)
+            ).cast("bigint").alias("high_repetition_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x31 — deterministic stratified sampling (N per language)
+# ---------------------------------------------------------------------------
+@_register(
+    "x31_curation_stratified",
+    "stratified sample: exactly 20 docs per language, chosen by salted "
+    "md5 order — deterministic across runs/engines/partitionings, the "
+    "class-balancing step of a training mix (one window shuffle)",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('strat' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM r WHERE sample_rank <= 20
+    """,
+    tags=("curation", "extension"),
+)
+def x31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.stratified_sample(
+        _docs(spark, sf_dir), ["lang"], 20, "doc_id"
+    ).select("doc_id", "lang", "sample_rank")
