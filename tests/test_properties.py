@@ -487,3 +487,44 @@ def test_simhash_pairs_collapse_exact_is_identity(spark, sf_dir):
     }
     assert fast == naive
     assert len(fast) >= 3 * 60  # the within-group 0-hamming pairs exist
+
+
+def test_minhash_lsh_collapse_exact_is_identity(spark, sf_dir):
+    """Signature-collapse is invisible to minhash LSH: 3 copies of each
+    text yield identical pair sets from collapsed and naive plans."""
+    from twitter_kafka_etl_spark.io import read_table
+    from twitter_kafka_etl_spark.operators.dedup import (
+        minhash_lsh_pairs, minhash_signatures, shingle,
+    )
+
+    base = read_table(spark, sf_dir, "documents").limit(60)
+    corpus = (
+        base.select("doc_id", "text")
+        .union(base.selectExpr("doc_id + 100000 AS doc_id", "text"))
+        .union(base.selectExpr("doc_id + 200000 AS doc_id", "text"))
+    )
+    sigs = minhash_signatures(shingle(corpus))
+    naive = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(sigs, collapse_exact=False).collect()
+    }
+    fast = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(sigs, collapse_exact=True).collect()
+    }
+    assert fast == naive
+    assert len(fast) >= 3 * 60
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """A path longer than max_iter rounds must raise, never return
+    silently-split components."""
+    import pytest
+
+    from twitter_kafka_etl_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=2)

@@ -133,18 +133,13 @@ def minhash_signatures(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def _minhash_lsh_pairs_core(
     signatures: DataFrame,
-    id_col: str = "doc_id",
-    n_bands: int = N_BANDS,
-    rows_per_band: int = ROWS_PER_BAND,
+    id_col: str,
+    n_bands: int,
+    rows_per_band: int,
 ) -> DataFrame:
-    """Banded LSH: equal band-signature → candidate pair.
-
-    Bands are unioned into one (id, band, sig) table and self-joined on
-    (band, sig) — a plain shuffled equi-join, so skewed buckets are
-    handled by AQE skew-join splitting at scale.
-    """
+    """Banded equi-join over the given signature rows."""
     bands = None
     for b in range(n_bands):
         cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
@@ -168,6 +163,66 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """Banded LSH: equal band-signature → candidate pair.
+
+    Bands are unioned into one (id, band, sig) table and self-joined on
+    (band, sig) — a plain shuffled equi-join, so skewed buckets are
+    handled by AQE skew-join splitting at scale.
+
+    ``collapse_exact`` (default on): byte-identical documents carry
+    identical signatures, collide in EVERY band, and pair quadratically
+    inside each bucket. Identical full signatures collapse to one
+    representative before the banded join; candidate pairs expand back
+    via equi-joins (cross-group pairs inherit the rep pair's bucket
+    collision; within-group pairs always collide). Output identical
+    either way — the banded join just runs on distinct signatures.
+    """
+    if not collapse_exact:
+        return _minhash_lsh_pairs_core(signatures, id_col, n_bands, rows_per_band)
+    mh_cols = [f"mh{i}" for i in range(n_bands * rows_per_band)]
+    key = F.concat_ws("_", *[F.col(c).cast("string") for c in mh_cols])
+    members = signatures.select(F.col(id_col).alias("m_id"), key.alias("__sig"))
+    reps = members.groupBy("__sig").agg(F.min("m_id").alias("rep_id"))
+    rep_sigs = signatures.join(
+        reps.select(F.col("rep_id").alias(id_col)), id_col, "left_semi"
+    )
+    rep_pairs = _minhash_lsh_pairs_core(rep_sigs, id_col, n_bands, rows_per_band)
+    sig_of = reps.select("rep_id", "__sig")
+    cross = (
+        rep_pairs.join(
+            sig_of.select(F.col("rep_id").alias("doc_a"), F.col("__sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sig_of.select(F.col("rep_id").alias("doc_b"), F.col("__sig").alias("sig_b")),
+            "doc_b",
+        )
+        .join(members.select(F.col("m_id").alias("id_a"), F.col("__sig").alias("sig_a")), "sig_a")
+        .join(members.select(F.col("m_id").alias("id_b"), F.col("__sig").alias("sig_b")), "sig_b")
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+        )
+    )
+    m1, m2 = members.alias("m1"), members.alias("m2")
+    within = (
+        m1.join(
+            m2,
+            (F.col("m1.__sig") == F.col("m2.__sig"))
+            & (F.col("m1.m_id") < F.col("m2.m_id")),
+        )
+        .select(F.col("m1.m_id").alias("doc_a"), F.col("m2.m_id").alias("doc_b"))
+    )
+    return cross.unionByName(within)
 
 
 def simhash(
@@ -541,6 +596,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silently returning mid-propagation labels would split real
+        # components — refuse instead (rounds needed = graph diameter)
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            f"rounds; the pair graph has a longer path — raise max_iter"
+        )
     return labels.select(
         F.col("id").alias(id_col), F.col("lbl").alias("component_id")
     )
