@@ -1,0 +1,103 @@
+"""Training-data curation, end to end, on this engine.
+
+The LLM-pipeline counterpart to ``end_to_end.py``: the full document
+curation flow a 100 TB pre-training run needs, built from the engine's
+oracle-gated operators and run as a handful of fused Catalyst plans:
+
+1. signal pass    — quality score, language ID, repetition signals
+                    (one projection chain, no shuffle)
+2. filter pass    — drop low-quality / boilerplate / off-language docs
+3. dedup pass     — exact fingerprint collapse, then MinHash-LSH near-dup
+                    candidates → connected components → keep cluster reps
+4. assignment     — leak-proof train/val/test split + per-language
+                    stratified sample for eval sets
+5. packing        — 512-token training sequences per source
+6. accounting     — per-source rollup a curator reviews before a run
+
+Run: ``python examples/curation_pipeline.py [sf_dir]`` (default sf0.001).
+
+Every step is deterministic (md5-derived hashes, no rand()): re-running
+on retried/re-partitioned data reproduces byte-identical curation
+decisions — the property that makes a 100 TB pipeline debuggable.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from twitter_kafka_etl_spark.io import read_table
+from twitter_kafka_etl_spark.operators import curation as C
+from twitter_kafka_etl_spark.operators import dedup as D
+from twitter_kafka_etl_spark.operators import text as T
+from twitter_kafka_etl_spark.session import get_spark
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = get_spark("tkes-curation")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = read_table(spark, sf_dir, "documents")
+
+    # 1 — doc-level signals (parallel branches, joined on doc_id)
+    signals = (
+        T.quality_features(docs)
+        .select("doc_id", "text", "lang", "source", "quality_score")
+        .join(T.lang_id(docs).select("doc_id", "pred_lang"), "doc_id")
+        .join(T.repetition_signals(docs).select("doc_id", "dup_frac"), "doc_id")
+    )
+
+    # 2 — keep: decent quality, known language, not boilerplate
+    kept = signals.filter(
+        (F.col("quality_score") >= 0.4)
+        & (F.col("pred_lang") != "und")
+        & (F.col("dup_frac") <= 0.5)
+    )
+    print(f"filter pass: {docs.count()} -> {kept.count()} docs")
+
+    # 3 — dedup: exact collapse, then near-dup clusters -> representatives
+    keepers = D.exact_duplicates(kept).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    uniq = kept.join(keepers, "doc_id")
+    pairs = D.minhash_lsh_pairs(D.minhash_signatures(D.shingle(uniq)))
+    comps = D.connected_components(pairs, nodes=uniq)
+    reps = comps.filter(F.col("doc_id") == F.col("component_id")).select("doc_id")
+    deduped = uniq.join(reps, "doc_id")
+    print(f"dedup pass: {uniq.count()} unique -> {deduped.count()} cluster reps")
+
+    # 4 — splits + a balanced eval sample
+    assigned = C.split_assign(deduped, "doc_id")
+    eval_sample = C.stratified_sample(
+        assigned.filter(F.col("split") == "val"), ["lang"], 5, "doc_id"
+    )
+    print("eval sample per lang:")
+    eval_sample.groupBy("lang").count().orderBy("lang").show()
+
+    # 5 — pack the training split into 512-token sequences per source
+    train = assigned.filter(F.col("split") == "train").withColumn(
+        "tok", F.size(F.split("text", " ")).cast("bigint")
+    )
+    packed = C.pack_sequences(train, "tok", 512, ["source"], ["doc_id"])
+    n_seqs = packed.select("source", "seq_id").distinct().count()
+    print(f"packed into {n_seqs} training sequences")
+
+    # 6 — what a curator reviews before launching the run
+    rollup = (
+        train.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("tokens"),
+            F.round(F.avg("quality_score"), 4).alias("avg_q"),
+        )
+        .orderBy(F.desc("tokens"))
+    )
+    rollup.show(5)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
