@@ -230,11 +230,15 @@ def test_cosine_pairs_auto_switches_on_row_count(spark, sf_dir):
 def test_ivf_assign_shuffles_no_arrays(spark, sf_dir):
     """IVF assignment must aggregate map-side over array-free rows: the
     argmax is a max_by partial agg (two HashAggregate nodes), not a
-    row_number window dragging n×C vector arrays through an exchange."""
+    row_number window dragging n×C vector arrays through an exchange.
+    Candidate generation is the narrow Arrow/BLAS mapInPandas stage —
+    never a row-at-a-time Python UDF."""
     from twitter_kafka_etl_spark.operators.similarity import ivf_assign
 
     emb = read_table(spark, sf_dir, "embeddings")
     plan = plan_of(ivf_assign(emb))
+    assert "MapInPandas" in plan  # vectorized candidate gen
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
     assert "Window" not in plan
     # partial + final aggregate pair for the argmax (max_by over a
     # struct ordering lowers to SortAggregate, still map-side partial)

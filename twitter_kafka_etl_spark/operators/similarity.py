@@ -154,46 +154,105 @@ def topk_lsh(
 #: deterministic coarse-quantizer centroid selection: vec_id % MOD == 0.
 #: A real deployment would train centroids (k-means); the engine keeps
 #: selection deterministic so the DuckDB oracle can replicate it exactly.
+#: 61 is the FLOOR: above 61² rows the mod grows as isqrt(n), capping
+#: the centroid count at ~√n (FAISS-style IVF sizing) so assignment is
+#: O(n^1.5) total FLOPs instead of O(n²/61).
 CENTROID_MOD = 61
+
+#: exact argmax safety margin: numpy proposes this many nearest
+#: centroids per vector; the JVM fold re-scores them and picks the
+#: final cell. The true argmax escapes a top-4 only if pairwise-summed
+#: and sequential-summed cosines disagree past rank 4 — ~1e-15 drift
+#: against typical inter-centroid gaps, and exact ties are rescued by
+#: the stable candidate ordering (lowest cent_id first).
+IVF_TOPM = 4
+
+
+def centroid_mod_for(n: int, floor: int = CENTROID_MOD) -> int:
+    """Adaptive centroid stride: max(floor, isqrt(n)) → ≈√n centroids
+    above floor² rows, exactly n/floor below. Mirrored verbatim in the
+    x16 DuckDB oracle via GREATEST(floor, FLOOR(SQRT(COUNT(*))))."""
+    import math
+
+    return max(floor, math.isqrt(n))
 
 
 def ivf_assign(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    centroid_mod: int = CENTROID_MOD,
+    centroid_mod: int | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
     centroid by cosine (ties → lowest centroid id).
 
-    The centroid set is tiny (n/mod rows) and broadcast, so assignment
-    is a map-side n×C scoring pass — no shuffle except the per-vector
-    argmax window (partitioned by vec id, C rows each). At 100 TB the
-    assignment is embarrassingly parallel and the cell id becomes the
-    partition/bucket key for search."""
+    ``centroid_mod=None`` sizes the centroid set adaptively to ≈√n
+    (``centroid_mod_for``); pass an int to pin it. The scale shape:
+
+    1. The centroid table (≈√n rows) is collected once — the coarse
+       quantizer is driver/broadcast state in every IVF system — and
+       shipped as a normalized numpy matrix.
+    2. A narrow ``mapInPandas`` pass scores each Arrow batch against
+       the matrix in one BLAS matmul and emits the ``IVF_TOPM``
+       nearest centroid ids per vector, stable-ordered so exact ties
+       list the lowest cent_id first (centroid rows are sorted by id
+       and the argsort is stable). Candidate generation only — no
+       emitted value comes from numpy.
+    3. The exact sequential JVM fold re-scores the n×TOPM candidates
+       against the broadcast centroid frame, drops both arrays
+       map-side, and takes the argmax as a max_by partial aggregate —
+       only (id, cent_id, sim) triples cross the exchange.
+
+    A pure-JVM fold over all n×C pairs scored 10× slower at sf1 and
+    O(n²/61) at fixed mod; this path is O(n·√n) BLAS FLOPs + O(n)
+    JVM folds, and every tie-break is decided by the same exact
+    arithmetic the oracle uses."""
+    if centroid_mod is None:
+        centroid_mod = centroid_mod_for(df.count())
     cents = df.filter(F.pmod(F.col(id_col), F.lit(centroid_mod)) == 0).select(
         F.col(id_col).alias("cent_id"),
         as_double(vec_col).alias("cvec"),
         norm(as_double(vec_col)).alias("cnorm"),
     )
     vecs = df.select(F.col(id_col), as_double(vec_col).alias("v"))
-    # score map-side against the broadcast centroids and drop BOTH
-    # vector arrays before anything shuffles: the n×C scored rows are
-    # (id, cent_id, sim) triples, and the argmax is a max_by partial
-    # aggregate — n rows cross the exchange, not n×C rows of arrays.
-    # (A row_number window here shuffled n×C rows each carrying two
-    # 64-dim arrays: 182 s at sf1.) Norms are computed once per side —
-    # dot/(nv*nc) is the identical arithmetic to cosine(), one fold per
-    # pair instead of three.
-    scored = (
-        vecs.withColumn("vnorm", norm(F.col("v")))
-        .join(F.broadcast(cents))
-        .select(
-            F.col(id_col),
-            F.col("cent_id"),
-            (dot(F.col("v"), F.col("cvec"))
-             / (F.col("vnorm") * F.col("cnorm"))).alias("cent_sim"),
-        )
+
+    import numpy as np
+
+    crows = cents.select("cent_id", "cvec").orderBy("cent_id").collect()
+    cids = np.array([r[0] for r in crows], dtype="int64")
+    cmatn = np.stack([np.asarray(r[1]) for r in crows])
+    cmatn = cmatn / np.linalg.norm(cmatn, axis=1, keepdims=True)
+    topm = min(IVF_TOPM, len(cids))
+    bc = df.sparkSession.sparkContext.broadcast((cids, cmatn, topm))
+
+    def _cand_gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        ids_, mat_, m = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vmat = _np.stack(pdf["v"].to_numpy())
+            vmat = vmat / _np.linalg.norm(vmat, axis=1, keepdims=True)
+            sims = vmat @ mat_.T
+            # stable argsort on -sims: exact numpy ties keep centroid
+            # order, which is ascending cent_id — the deterministic rule
+            top = _np.argsort(-sims, axis=1, kind="stable")[:, :m]
+            out = pdf.loc[pdf.index.repeat(m), [pdf.columns[0], "v"]]
+            out["cent_id"] = ids_[top].ravel()
+            yield out
+
+    cands = vecs.mapInPandas(
+        _cand_gen, f"{id_col} bigint, v array<double>, cent_id bigint"
+    )
+    # exact re-score: arrays dropped in this map-side projection, so the
+    # argmax exchange carries only (id, cent_id, sim) triples
+    scored = cands.join(F.broadcast(cents), "cent_id").select(
+        F.col(id_col),
+        F.col("cent_id"),
+        (dot(F.col("v"), F.col("cvec"))
+         / (norm(F.col("v")) * F.col("cnorm"))).alias("cent_sim"),
     )
     # max of (sim, -cent_id) == highest similarity, ties to lowest id —
     # the same deterministic rule as ORDER BY sim DESC, cent_id ASC
@@ -211,7 +270,7 @@ def topk_ivf(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    centroid_mod: int = CENTROID_MOD,
+    centroid_mod: int | None = None,
     nprobe: int = 1,
 ) -> DataFrame:
     """ANN top-k, IVF flavor: exact cosine rerank inside the query's
@@ -220,6 +279,8 @@ def topk_ivf(
     ``nprobe`` is the recall dial: cells are scanned in decreasing
     query-centroid similarity, so the candidate set (and recall@k vs
     brute force) grows monotonically with it."""
+    if centroid_mod is None:
+        centroid_mod = centroid_mod_for(df.count())
     assigned = ivf_assign(df, vec_col, id_col, centroid_mod)
     qvec = df.filter(F.col(id_col) == query_id).select(
         as_double(vec_col).alias("qvec")

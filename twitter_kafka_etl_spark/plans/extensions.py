@@ -451,12 +451,15 @@ def x15(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "x16_sim_ivf",
     "ANN top-5 neighbors of vec_id=0 via IVF coarse quantization: "
-    "deterministic centroids (vec_id % 61 = 0), nearest-centroid "
-    "assignment, exact cosine rerank inside the query's cell (nprobe=1)",
+    "deterministic centroids (vec_id % max(61, isqrt(n)) = 0, ≈√n cells "
+    "above 61² rows), nearest-centroid assignment, exact cosine rerank "
+    "inside the query's cell (nprobe=1)",
     f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    -- centroid stride mirrors similarity.centroid_mod_for: max(61, isqrt(n))
     cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e
-              WHERE vec_id % {S.CENTROID_MOD} = 0),
+              WHERE vec_id % (SELECT GREATEST({S.CENTROID_MOD},
+                       CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM e) = 0),
     assign AS (
       SELECT vec_id, v, cent_id FROM (
         SELECT e.vec_id, e.v, c.cent_id,
