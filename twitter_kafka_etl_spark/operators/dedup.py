@@ -123,14 +123,20 @@ def minhash_signatures(
     params: Sequence[tuple[int, int]] | None = None,
 ) -> DataFrame:
     """k MinHash values per document: min((a*h + b) mod p) per hash fn.
-    One shuffle (groupBy id); k mins fold map-side."""
+    One shuffle (groupBy id); k mins fold map-side.
+
+    The md5-backed shingle hash is projected ONCE before the aggregate:
+    referenced directly inside the k min() expressions it is evaluated
+    k times per row (2× the whole signature pass at sf1, k=16)."""
     params = list(params or hash_params())
-    h = token_hash(F.col("shingle"))
+    pre = shingled.select(
+        F.col(id_col), token_hash(F.col("shingle")).alias("__h")
+    )
     aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % MERSENNE).alias(f"mh{i}")
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MERSENNE).alias(f"mh{i}")
         for i, (a, b) in enumerate(params)
     ]
-    return shingled.groupBy(id_col).agg(*aggs)
+    return pre.groupBy(id_col).agg(*aggs)
 
 
 def _minhash_lsh_pairs_core(
@@ -395,6 +401,7 @@ def _jaccard_pairs_core(
     text_col: str,
     id_col: str,
     df_cap: int | None,
+    persist: bool = True,
 ) -> DataFrame:
     """The inverted-index Jaccard join over the given documents."""
     # join on the 60-bit shingle hash, not the string: 8-byte shuffle
@@ -402,6 +409,14 @@ def _jaccard_pairs_core(
     sh = shingle(df, n=n, text_col=text_col, id_col=id_col).select(
         F.col(id_col), token_hash60(F.col("shingle")).alias("sh_h")
     )
+    if persist:
+        # the shingle table feeds three consumers (hot-set agg + both
+        # self-join sides): materialize the tokenize→explode→hash pass
+        # once instead of three times (4× on the sf1 core). One spillable
+        # disk write beats three recomputes at any scale.
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     if df_cap is not None:
         # the hot set is tiny (few distinct stopword shingles), so the
         # anti-join broadcasts; cost is one partial-agg pass over sh
@@ -450,6 +465,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     df_cap: int | None = JACCARD_DF_CAP,
     collapse_exact: bool = True,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard over an inverted-index join.
 
@@ -476,7 +492,9 @@ def ngram_jaccard_pairs(
     10-fold-replicated sf1). Output is bitwise identical either way.
     """
     if not collapse_exact:
-        return _jaccard_pairs_core(df, n, threshold, text_col, id_col, df_cap)
+        return _jaccard_pairs_core(
+            df, n, threshold, text_col, id_col, df_cap, persist
+        )
     members = df.select(
         F.col(id_col).alias("m_id"), F.md5(F.col(text_col)).alias("fp")
     )
@@ -484,8 +502,16 @@ def ngram_jaccard_pairs(
     rep_docs = df.join(
         reps.select(F.col("rep_id").alias(id_col), "fp"), id_col
     )
+    if persist:
+        # the collapsed working set feeds the shingle join, the doc-size
+        # projection AND the within-group fan-out — without pinning it,
+        # every consumer re-runs the full-corpus md5→groupBy→join
+        # lineage (3× the work on the sf1 core measured end-to-end)
+        from pyspark import StorageLevel
+
+        rep_docs = rep_docs.persist(StorageLevel.MEMORY_AND_DISK)
     rep_pairs = _jaccard_pairs_core(
-        rep_docs, n, threshold, text_col, id_col, df_cap
+        rep_docs, n, threshold, text_col, id_col, df_cap, persist
     )
     # attach the two groups' fingerprints, then fan out to members
     fp_of = reps.select(F.col("rep_id"), F.col("fp"))
@@ -559,9 +585,23 @@ def connected_components(
     documents as singleton components so every document gets a cluster
     assignment.
     """
+    # symmetrize via a narrow explode fan-out, NOT a union of two selects
+    # over `pairs` — a union re-executes the (expensive) pair-generator
+    # lineage once per branch before the checkpoint below pins it
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
     )
     members = edges.select(F.col("src").alias("id")).distinct()
