@@ -326,3 +326,85 @@ def test_stratified_sample_exact_n_and_partition_invariant(spark, sf_dir):
         .select("lang", "doc_id").collect()
     }
     assert ids1 == ids2
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from twitter_kafka_etl_spark.operators import sketches as K
+
+    a = spark.createDataFrame([(i,) for i in range(0, 50)], ["k"])
+    b = spark.createDataFrame([(i,) for i in range(50, 100)], ["k"])
+    both = a.unionByName(b)
+    # members always hit (one-sided error)
+    probe = K.bloom_probe(K.bloom_build(both, "k"), both, "k")
+    assert probe.filter(~F.col("bloom_hit")).count() == 0
+    # merge of part-filters == filter over the union, word for word
+    merged = K.bloom_merge(K.bloom_build(a, "k"), K.bloom_build(b, "k"))
+    whole = K.bloom_build(both, "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_bloom_miss_is_definite(spark):
+    from twitter_kafka_etl_spark.operators import sketches as K
+
+    members = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+    sketch = K.bloom_build(members, "k")
+    probes = spark.createDataFrame([(i,) for i in range(100, 400)], ["k"])
+    out = K.bloom_probe(sketch, probes, "k")
+    # every reported miss must truly be absent from the build set
+    misses = {r.k for r in out.filter(~F.col("bloom_hit")).collect()}
+    assert misses and misses.isdisjoint(set(range(100)))
+
+
+def test_decontaminate_benchmark_docs_fully_contaminated(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # benchmark
+            (2, "a b c d e f"),          # exact copy → ratio 1.0
+            (3, "a b c x y z"),          # shares 1 of 4 grams
+            (4, "p q r s t u"),          # disjoint
+            (5, "p q"),                  # too short: zero grams
+        ],
+        ["doc_id", "text"],
+    )
+    bench = docs.filter(F.col("doc_id") == 1)
+    out = {r.doc_id: r for r in D.decontaminate(docs, bench, n=3).collect()}
+    assert out[1].contamination == 1.0 and out[1].flagged
+    assert out[2].contamination == 1.0 and out[2].flagged
+    assert out[3].contaminated_grams == 1 and not out[3].flagged
+    assert out[4].contaminated_grams == 0
+    assert out[5].n_grams == 0 and out[5].contamination == 0.0
+
+
+def test_vocab_coverage_full_vocab_has_zero_oov(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b b d e")], ["doc_id", "text"]
+    )
+    # vocab large enough for every token → OOV 0 everywhere
+    full = T.vocab_coverage(docs, top_k=100)
+    assert full.filter(F.col("oov_tokens") > 0).count() == 0
+    # top-2 vocab is {a, b} (counts 3,3 tie broken by token asc);
+    # doc 2 then has 2 OOV tokens (d, e)
+    out = {r.doc_id: r for r in T.vocab_coverage(docs, top_k=2).collect()}
+    assert out[1].oov_tokens == 1  # c
+    assert out[2].oov_tokens == 2 and out[2].oov_rate == 0.5
+
+
+def test_histogram_partitions_all_rows(spark, sf_dir):
+    from twitter_kafka_etl_spark.operators.relational import (
+        fixed_width_histogram,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    h = fixed_width_histogram(li, "l_extendedprice", 0.0, 120000.0, 24)
+    rows = h.collect()
+    assert sum(r.n for r in rows) == li.count()
+    assert all(0 <= r.bucket < 24 for r in rows)
+    # out-of-range values clamp into the edge bins instead of vanishing
+    tiny = spark.createDataFrame(
+        [(-5.0,), (999999.0,)], ["l_extendedprice"]
+    )
+    edge = {r.bucket for r in fixed_width_histogram(
+        tiny, "l_extendedprice", 0.0, 120000.0, 24).collect()}
+    assert edge == {0, 23}

@@ -83,6 +83,8 @@ def test_q12_whole_stage_codegen(spark, sf_dir):
         "x19_sketch_countmin", "x20_sketch_countmin_estimate",
         "x21_curation_sample", "x22_curation_split",
         "x23_curation_pack", "x24_curation_chunks",
+        "x32_decontaminate", "x33_sketch_bloom",
+        "x34_vocab_coverage", "x35_price_histogram",
     ],
 )
 def test_no_python_udf_in_jvm_paths(spark, sf_dir, name):

@@ -557,6 +557,62 @@ def ngram_jaccard_pairs(
     return cross.unionByName(within)
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    flag_threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: per-document n-gram overlap against a
+    held-out benchmark corpus — the step that keeps eval questions out
+    of a training mix. Returns one row per document:
+    ``(id, n_grams, contaminated_grams, contamination, flagged)`` where
+    ``contamination`` = |grams(doc) ∩ grams(benchmark)| / |grams(doc)|.
+
+    Scale design: the benchmark gram set is the *small* side by
+    construction (eval suites are KBs-to-MBs against a 100 TB corpus),
+    so it broadcasts — the corpus-side shingle pass is embarrassingly
+    parallel with no shuffle for candidate generation, and the only
+    shuffle is the per-doc hit count (map-side partial agg). Grams join
+    on the 60-bit md5 hash, not strings: 8-byte keys, engine-portable.
+    """
+    doc_sh = shingle(docs, n=n, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), token_hash60(F.col("shingle")).alias("g_h")
+    )
+    bench_sh = (
+        shingle(benchmark, n=n, text_col=text_col, id_col=id_col)
+        .select(token_hash60(F.col("shingle")).alias("g_h"))
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "g_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("contaminated_grams"))
+    )
+    # |grams(doc)| as a narrow map-side expression — no second shuffle
+    toked, grams = _gram_array(docs, n, text_col)
+    sizes = toked.select(
+        F.col(id_col), F.size(F.array_distinct(grams)).alias("n_grams")
+    )
+    ratio = F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+        F.coalesce("contaminated_grams", F.lit(0)) / F.col("n_grams")
+    )
+    return (
+        sizes.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce("contaminated_grams", F.lit(0))
+            .cast("bigint")
+            .alias("contaminated_grams"),
+            F.round(ratio, 6).alias("contamination"),
+            (ratio >= flag_threshold).alias("flagged"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame | None = None,
@@ -583,7 +639,12 @@ def connected_components(
 
     ``nodes`` (optional, a frame with ``id_col``) adds isolated
     documents as singleton components so every document gets a cluster
-    assignment.
+    assignment — attached AFTER convergence via one left join, so the
+    iteration only ever touches edge-endpoint nodes. In a dedup corpus
+    the pair graph covers a small fraction of documents; propagating
+    over |V_edges| instead of |V| shrinks every per-round shuffle and
+    checkpoint by orders of magnitude at 100 TB (isolated nodes can
+    never change their label anyway).
     """
     # symmetrize via a narrow explode fan-out, NOT a union of two selects
     # over `pairs` — a union re-executes the (expensive) pair-generator
@@ -604,11 +665,8 @@ def connected_components(
         .select("e.src", "e.dst")
         .distinct()
     )
+    # symmetric edges: src alone covers every endpoint
     members = edges.select(F.col("src").alias("id")).distinct()
-    if nodes is not None:
-        members = members.union(
-            nodes.select(F.col(id_col).alias("id"))
-        ).distinct()
     labels = members.withColumn("lbl", F.col("id"))
     edges = edges.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
@@ -619,21 +677,22 @@ def connected_components(
             .agg(F.min("lbl").alias("nlbl"))
             .withColumnRenamed("src", "id")
         )
+        # fold the convergence flag into the same pass — a separate
+        # old-vs-new join would re-shuffle the whole label table per
+        # round just to count changes
         new_labels = (
             labels.join(nbr, "id", "left")
             .select(
                 "id",
                 F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+                (F.coalesce("nlbl", "lbl") < F.col("lbl"))
+                .cast("int")
+                .alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.sum("__chg")).first()[0] or 0
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     else:
@@ -643,6 +702,16 @@ def connected_components(
             f"connected_components did not converge within {max_iter} "
             f"rounds; the pair graph has a longer path — raise max_iter"
         )
-    return labels.select(
+    out = labels.select(
         F.col("id").alias(id_col), F.col("lbl").alias("component_id")
     )
+    if nodes is not None:
+        out = (
+            nodes.select(F.col(id_col))
+            .join(out, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("component_id", F.col(id_col)).alias("component_id"),
+            )
+        )
+    return out

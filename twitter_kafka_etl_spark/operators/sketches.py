@@ -191,3 +191,104 @@ def hll_estimate(registers: DataFrame, group_col: str) -> DataFrame:
         )
         .select(group_col, F.round(est, 6).alias("est_distinct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — deterministic, mergeable membership sketch.
+#
+# Spark's own BloomFilter (DataFrameStatFunctions.bloomFilter / the AQE
+# runtime bloom join) lives JVM-side with a non-portable hash, so — like
+# the built-in HLL — it can't be oracle-checked, persisted portably, or
+# merged with a filter built by another engine. This variant packs the
+# bitmap into 32-bit words derived from the md5 token hash: bit-identical
+# in any engine, merged by cell-wise OR.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 4096            # bits
+BLOOM_K = 4               # hash functions
+BLOOM_SEED = 11
+BLOOM_WORD = 32           # bits per packed word (fits signed ops safely)
+
+
+def _bloom_coords(h: Column, m: int, k: int, seed: int) -> list[Column]:
+    """(word, bit-value) coordinates of the k bloom positions of ``h``.
+
+    The bit value is pow(2, bit) — exact in a double for bit < 52 —
+    because Spark's shiftleft takes only literal shift amounts."""
+    out = []
+    for a, b in hash_params(k, seed=seed):
+        pos = ((F.lit(a) * h + F.lit(b)) % MERSENNE) % m
+        word = F.floor(pos / BLOOM_WORD).cast("int")
+        bit_val = F.pow(F.lit(2.0), (pos % BLOOM_WORD)).cast("bigint")
+        out.append((word, bit_val))
+    return out
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    seed: int = BLOOM_SEED,
+) -> DataFrame:
+    """Build the filter as a (word, bits) packed-bitmap table.
+
+    Each row fans out to its k (word, bit) coordinates via one array
+    explode; the groupBy ORs words map-side. Output <= m/32 rows no
+    matter the input size — the whole point of a membership sketch at
+    100 TB: ship the bitmap, not the key set."""
+    h = token_hash(F.col(col).cast("string"))
+    coords = F.explode(
+        F.array(
+            *[
+                F.struct(w.alias("word"), v.alias("v"))
+                for w, v in _bloom_coords(h, m, k, seed)
+            ]
+        )
+    )
+    return (
+        df.select(coords.alias("co"))
+        .select(F.col("co.word").alias("word"), F.col("co.v").alias("v"))
+        .groupBy("word")
+        .agg(F.bit_or("v").alias("bits"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge filters built with the same (m, k, seed): word-wise OR —
+    per-partition/per-day filters roll up without rescanning raw data."""
+    return a.unionByName(b).groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    seed: int = BLOOM_SEED,
+) -> DataFrame:
+    """Membership probe: an item is a (possible) member iff all k of its
+    bits are set. The <= m/32-row sketch broadcasts; probing never scans
+    the build data. One-sided error only: misses are definite, hits may
+    be false positives at the classic (1 - e^{-kn/m})^k rate."""
+    h = token_hash(F.col(col).cast("string"))
+    coords = F.explode(
+        F.array(
+            *[
+                F.struct(w.alias("word"), v.alias("v"))
+                for w, v in _bloom_coords(h, m, k, seed)
+            ]
+        )
+    )
+    probes = items.select(F.col(col), coords.alias("co")).select(
+        col, F.col("co.word").alias("word"), F.col("co.v").alias("v")
+    )
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("v")) != 0
+    ).cast("int")
+    return (
+        probes.join(F.broadcast(sketch), "word", "left")
+        .groupBy(col)
+        .agg((F.min(hit) == 1).alias("bloom_hit"))
+    )

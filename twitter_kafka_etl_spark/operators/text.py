@@ -294,3 +294,51 @@ def repetition_signals(
             ).alias("top_share"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary build + per-document OOV rate — the tokenizer-prep
+    step of a training pipeline: pick the ``top_k`` tokens by global
+    frequency (ties broken by token asc, so the vocab is deterministic),
+    then score every document by the fraction of its token occurrences
+    that fall outside that vocabulary.
+
+    Plan: one explode+groupBy pass builds the global counts; the top-k
+    cut is a row_number over the (tiny: one row per *distinct* token)
+    counts table; the vocab then broadcasts back onto the token stream,
+    so the per-doc pass adds exactly one partial-agg shuffle. At 100 TB
+    the counts table is bounded by the distinct-token count, not the
+    corpus — for open vocabularies feed a min-count filter first.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    vocab = (
+        counts.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= top_k)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    oov = F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            oov.alias("oov_tokens"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("oov_tokens").cast("bigint").alias("oov_tokens"),
+            F.round(F.col("oov_tokens") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )

@@ -1103,3 +1103,196 @@ def x31(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.stratified_sample(
         _docs(spark, sf_dir), ["lang"], 20, "doc_id"
     ).select("doc_id", "lang", "sample_rank")
+
+
+# ---------------------------------------------------------------------------
+# x32 — benchmark decontamination (n-gram overlap vs a held-out set)
+# ---------------------------------------------------------------------------
+#: 60-bit md5 gram hash, the DuckDB twin of dedup.token_hash60
+_HASH60_SQL = "CAST('0x' || substr(md5({col}), 1, 15) AS BIGINT)"
+
+
+@_register(
+    "x32_decontaminate",
+    "benchmark decontamination: per-doc 3-gram overlap vs the held-out "
+    "set (doc_id % 41 = 0) — the keep-evals-out-of-training step; the "
+    "small benchmark gram set broadcasts, grams join on 60-bit hashes",
+    f"""
+    WITH {_SHINGLE_CTE},
+    hsh AS (
+      SELECT doc_id, {_HASH60_SQL.format(col='shingle')} AS g FROM sh
+    ),
+    bench AS (SELECT DISTINCT g FROM hsh WHERE doc_id % 41 = 0),
+    hit AS (
+      SELECT h.doc_id, COUNT(*) AS c
+      FROM hsh h JOIN bench b ON b.g = h.g GROUP BY h.doc_id
+    ),
+    sizes AS (
+      SELECT d.doc_id, COALESCE(s.c0, 0) AS n_grams
+      FROM documents d LEFT JOIN
+        (SELECT doc_id, COUNT(*) AS c0 FROM sh GROUP BY doc_id) s
+        USING (doc_id)
+    )
+    SELECT s.doc_id,
+           CAST(s.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.c, 0) AS BIGINT) AS contaminated_grams,
+           round(CASE WHEN s.n_grams = 0 THEN 0.0
+                 ELSE COALESCE(h.c, 0) / CAST(s.n_grams AS DOUBLE) END,
+                 6) AS contamination,
+           (CASE WHEN s.n_grams = 0 THEN 0.0
+            ELSE COALESCE(h.c, 0) / CAST(s.n_grams AS DOUBLE) END)
+             >= 0.5 AS flagged
+    FROM sizes s LEFT JOIN hit h USING (doc_id)
+    """,
+    tags=("dedup", "curation", "extension"),
+)
+def x32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    return D.decontaminate(docs, bench, n=3, flag_threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# x33 — bloom-filter membership sketch (build + probe, FP-rate visible)
+# ---------------------------------------------------------------------------
+_BLOOM_PARAMS = D.hash_params(K.BLOOM_K, seed=K.BLOOM_SEED)
+_BLOOM_CUT = "TIMESTAMP '1995-07-01'"
+
+
+def _bloom_coords_sql(table: str, hcol: str, carry: str = "") -> str:
+    """UNION ALL branches emitting each row's k (word, bit-value) bloom
+    coordinates, optionally carrying an id column through."""
+    carry_sql = f", {carry}" if carry else ""
+    branches = []
+    for a, b in _BLOOM_PARAMS:
+        pos = f"((({a} * {hcol} + {b}) % {D.MERSENNE}) % {K.BLOOM_M})"
+        branches.append(
+            f"SELECT {pos} // {K.BLOOM_WORD} AS word, "
+            f"CAST(pow(2, {pos} % {K.BLOOM_WORD}) AS BIGINT) AS v"
+            f"{carry_sql} FROM {table}"
+        )
+    return "\n      UNION ALL\n      ".join(branches)
+
+
+@_register(
+    "x33_sketch_bloom",
+    "bloom membership (m=4096, k=4, md5-derived bits packed into 32-bit "
+    "words): build over custkeys ordering before 1995-07-01, probe every "
+    "customer; output shows hits vs ground truth (one-sided error: "
+    "misses definite, hits may be false positives)",
+    f"""
+    WITH bh AS (
+      SELECT {_HASH_SQL.format(col='CAST(o_custkey AS VARCHAR)')} AS h
+      FROM orders WHERE o_orderdate < {_BLOOM_CUT}
+    ),
+    coords AS (
+      {_bloom_coords_sql('bh', 'h')}
+    ),
+    sketch AS (SELECT word, bit_or(v) AS bits FROM coords GROUP BY word),
+    items AS (
+      SELECT c_custkey AS custkey,
+             {_HASH_SQL.format(col='CAST(c_custkey AS VARCHAR)')} AS h
+      FROM customer
+    ),
+    probes AS (
+      {_bloom_coords_sql('items', 'h', carry='custkey')}
+    ),
+    hit AS (
+      SELECT p.custkey,
+             MIN(CASE WHEN (COALESCE(s.bits, 0) & p.v) <> 0
+                 THEN 1 ELSE 0 END) AS all_set
+      FROM probes p LEFT JOIN sketch s USING (word)
+      GROUP BY p.custkey
+    ),
+    truth AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate < {_BLOOM_CUT}
+    )
+    SELECT h.custkey, h.all_set = 1 AS bloom_hit,
+           t.o_custkey IS NOT NULL AS actual
+    FROM hit h LEFT JOIN truth t ON t.o_custkey = h.custkey
+    """,
+    tags=("sketch", "extension"),
+)
+def x33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    members = orders.filter(
+        F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp")
+    ).select("o_custkey")
+    sketch = K.bloom_build(members, "o_custkey")
+    probed = K.bloom_probe(
+        sketch, cust.select(F.col("c_custkey").alias("custkey")), "custkey"
+    )
+    truth = members.distinct().withColumnRenamed("o_custkey", "custkey")
+    return probed.join(
+        truth.withColumn("__t", F.lit(1)), "custkey", "left"
+    ).select(
+        "custkey", "bloom_hit", F.col("__t").isNotNull().alias("actual")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x34 — vocabulary build + per-doc OOV rate (tokenizer prep)
+# ---------------------------------------------------------------------------
+@_register(
+    "x34_vocab_coverage",
+    "top-20 global vocabulary (count desc, token asc — deterministic) "
+    "+ per-doc OOV rate: one counts pass over distinct tokens, vocab "
+    "broadcast back onto the token stream, one partial-agg shuffle",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS r
+        FROM counts
+      ) WHERE r <= 20
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           round(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "curation", "extension"),
+)
+def x34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.vocab_coverage(_docs(spark, sf_dir), top_k=20)
+
+
+# ---------------------------------------------------------------------------
+# x35 — fixed-width histogram (the 100 TB column-profiling primitive)
+# ---------------------------------------------------------------------------
+from twitter_kafka_etl_spark.operators import relational as R  # noqa: E402
+
+
+@_register(
+    "x35_price_histogram",
+    "fixed-width histogram of l_extendedprice (24 bins over [0, 120k]): "
+    "narrow bucket expression + one partial-agg shuffle of <= nbins "
+    "groups — no sort, no percentile state; decimal-exact per-bin sums",
+    """
+    WITH b AS (
+      SELECT LEAST(GREATEST(CAST(floor((l_extendedprice - 0.0) / 5000.0)
+               AS BIGINT), 0), 23) AS bucket,
+             l_extendedprice
+      FROM lineitem
+    )
+    SELECT bucket,
+           round(0.0 + bucket * 5000.0, 6) AS bucket_lo,
+           COUNT(*) AS n,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2)))
+                 AS DOUBLE), 2) AS total
+    FROM b GROUP BY bucket
+    """,
+    tags=("relational", "extension"),
+)
+def x35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return R.fixed_width_histogram(li, "l_extendedprice", 0.0, 120000.0, 24)
