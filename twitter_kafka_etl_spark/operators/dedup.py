@@ -145,16 +145,34 @@ def _minhash_lsh_pairs_core(
     n_bands: int,
     rows_per_band: int,
 ) -> DataFrame:
-    """Banded equi-join over the given signature rows."""
-    bands = None
-    for b in range(n_bands):
-        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        part = signatures.select(
-            F.col(id_col),
-            F.lit(b).alias("band"),
-            F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).alias("sig"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    """Banded equi-join over the given signature rows.
+
+    Bands are produced by a single explode over an array of per-band
+    structs — ONE scan of the signature table, not an ``n_bands``-way
+    union (each union branch re-evaluates the upstream plan; at sf1 the
+    union form re-ran the shingle+signature subtree four times)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = signatures.select(
+        F.col(id_col), F.explode(band_structs).alias("__bs")
+    ).select(
+        F.col(id_col),
+        F.col("__bs.band").alias("band"),
+        F.col("__bs.sig").alias("sig"),
+    )
     a = bands.alias("a")
     b_ = bands.alias("b")
     return (
@@ -194,6 +212,11 @@ def minhash_lsh_pairs(
     """
     if not collapse_exact:
         return _minhash_lsh_pairs_core(signatures, id_col, n_bands, rows_per_band)
+    # The collapse-expand plan references the signature table from several
+    # branches (members, the rep semi-join, the banded join). Persist it so
+    # the upstream shingle+signature subtree computes once — signatures are
+    # k int64s per doc, tiny next to the corpus even at 100 TB.
+    signatures = signatures.persist()
     mh_cols = [f"mh{i}" for i in range(n_bands * rows_per_band)]
     key = F.concat_ws("_", *[F.col(c).cast("string") for c in mh_cols])
     members = signatures.select(F.col(id_col).alias("m_id"), key.alias("__sig"))
