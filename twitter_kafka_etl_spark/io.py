@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from twitter_kafka_etl_spark.session import default_parallelism
+
 TABLES = (
     "region",
     "nation",
@@ -40,19 +42,33 @@ TABLES = (
 )
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, rebalance: bool = False
+) -> DataFrame:
     """Batch parquet scan of one synthetic table (TESTDATA.md layout).
 
     Handles nanosecond-precision parquet timestamps (``events.ts`` is
     TIMESTAMP(NANOS), which Spark's vectorized reader rejects): reads
     nanos as long and truncates to microseconds — the same floor
     conversion DuckDB applies, so oracle comparisons agree.
+
+    ``rebalance=True`` is for expression-heavy consumers (tokenization,
+    shingling, BLAS over embeddings): when the scan yields fewer input
+    splits than the configured parallelism — single-row-group files can't
+    be split, so a small table scans as ONE task no matter how many cores
+    exist — it repartitions up to the core count. The guard makes it free
+    at scale: a 100 TB table already has orders of magnitude more splits
+    than cores and is returned untouched, no shuffle.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for fld in df.schema.fields:
         if fld.name == "ts" and fld.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if rebalance:
+        par = default_parallelism()
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
     return df
 
 

@@ -16,7 +16,7 @@ Cross-engine determinism relies on:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from twitter_kafka_etl_spark.io import read_table
@@ -71,11 +71,13 @@ _BAND_BRANCHES = "\n    UNION ALL\n".join(
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, sf_dir, "documents")
+    # rebalance: every consumer tokenizes/shingles — CPU-bound per row, so
+    # scan splits must cover the cores (see read_table docstring).
+    return read_table(spark, sf_dir, "documents", rebalance=True)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, sf_dir, "embeddings")
+    return read_table(spark, sf_dir, "embeddings", rebalance=True)
 
 
 # ---------------------------------------------------------------------------
@@ -912,24 +914,31 @@ def x26(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("curation", "text", "dedup", "extension"),
 )
 def x27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quality + lang are per-row signals: computed as columns in ONE narrow
+    # pass (no self-joins). Keeper selection is the only shuffle; exact
+    # duplicates share identical text, hence identical quality/lang, so
+    # filtering BEFORE the keeper window keeps whole dup-groups or none —
+    # same keepers as dedup-then-filter, but the shuffle only carries
+    # survivors, and only (doc_id, fp, tok), never the text.
     docs = _docs(spark, sf_dir)
-    q = T.quality_features(docs).select("doc_id", "quality_score")
-    lang = T.lang_id(docs).select("doc_id", "pred_lang")
-    keep = D.exact_duplicates(docs).select(F.col("keeper_id").alias("doc_id"))
-    base = (
-        docs.join(q, "doc_id")
-        .join(lang, "doc_id")
-        .join(keep, "doc_id")
-        .filter((F.col("quality_score") >= 0.5) & (F.col("pred_lang") == "en"))
+    enriched = T.lang_id(T.quality_features(docs))
+    slim = enriched.filter(
+        (F.col("quality_score") >= 0.5) & (F.col("pred_lang") == "en")
+    ).select(
+        "doc_id",
+        F.md5(D.fingerprint_norm(F.col("text"))).alias("fp"),
+        F.size(F.split("text", " ")).cast("bigint").alias("tok"),
     )
-    assigned = C.split_assign(base, "doc_id")
-    return (
-        assigned.withColumn("tok", F.size(F.split("text", " ")).cast("bigint"))
-        .groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("tok").cast("bigint").alias("total_tokens"),
-        )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    keepers = (
+        slim.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "fp")
+    )
+    assigned = C.split_assign(keepers, "doc_id")
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("total_tokens"),
     )
 
 

@@ -87,6 +87,14 @@ def get_spark(
         conf.setdefault(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
         )
+        # Local testdata is a handful of large parquet files; the 128m
+        # default split gives expression-heavy scans (tokenization, shingle
+        # builds) fewer input tasks than cores. Smaller splits restore scan
+        # parallelism. Cluster runs read many files and keep the default.
+        conf.setdefault(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_SPLIT_BYTES", "16m"),
+        )
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or par)
     conf["spark.default.parallelism"] = str(par)
     if extra_conf:
