@@ -42,6 +42,26 @@ TABLES = (
 )
 
 
+def normalize_event_time(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to session-time TIMESTAMP.
+
+    Parquet written with ``isAdjustedToUTC=false`` reads back as
+    TIMESTAMP_NTZ under Spark 4's ``inferTimestampNTZ`` default — a type
+    ``withWatermark`` rejects outright (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE),
+    so every streaming path downstream of a raw scan would break. The
+    engine pins the session timezone to UTC (session.py), which makes
+    this cast value-preserving: the same wall-clock instant, now
+    watermark-eligible."""
+    ntz = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString() == "timestamp_ntz"
+    ]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def read_table(
     spark: SparkSession, sf_dir: str, name: str, rebalance: bool = False
 ) -> DataFrame:
@@ -65,6 +85,7 @@ def read_table(
     for fld in df.schema.fields:
         if fld.name == "ts" and fld.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    df = normalize_event_time(df)
     if rebalance:
         par = default_parallelism()
         if df.rdd.getNumPartitions() < par:
@@ -107,6 +128,13 @@ def read_table_time_range(
         df = df.filter(
             (F.col(ts_col) >= nanos(ts_lo_iso)) & (F.col(ts_col) < nanos(ts_hi_iso))
         ).withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} DIV 1000")))
+    elif fld.get(ts_col) == "timestamp_ntz":
+        # compare in the column's own type so the bound still pushes into
+        # the parquet scan, THEN normalize to session-time TIMESTAMP
+        df = df.filter(
+            (F.col(ts_col) >= F.lit(ts_lo_iso).cast("timestamp_ntz"))
+            & (F.col(ts_col) < F.lit(ts_hi_iso).cast("timestamp_ntz"))
+        ).withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     else:
         df = df.filter(
             (F.col(ts_col) >= F.lit(ts_lo_iso).cast("timestamp"))

@@ -107,8 +107,11 @@ def running_user_totals(
         raise ValueError(
             f"ttl ({ttl}) must be >= the watermark delay ({watermark})"
         )
+    from twitter_kafka_etl_spark.streaming.windows import _event_time
+
     return (
-        stream_df.withWatermark(ts_col, watermark)
+        _event_time(stream_df, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             _make_update(ttl_ms),

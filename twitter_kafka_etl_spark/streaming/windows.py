@@ -15,6 +15,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """``withWatermark`` rejects TIMESTAMP_NTZ (the type a raw parquet
+    scan yields under Spark 4's inferTimestampNTZ default). The session
+    timezone is pinned to UTC, so casting to TIMESTAMP is value-
+    preserving — do it here so every watermark caller is safe regardless
+    of how the stream was read."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def tumbling_counts(
     df: DataFrame,
     ts_col: str = "ts",
@@ -28,7 +39,7 @@ def tumbling_counts(
     window×key is dropped once the watermark passes the window end.
     """
     if watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = _event_time(df, ts_col).withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.window(ts_col, duration).alias("win"), *keys)
         .agg(F.count(F.lit(1)).alias("counts"))
@@ -51,7 +62,7 @@ def sliding_counts(
 ) -> DataFrame:
     """T8 — sliding windows; each event lands in duration/slide windows."""
     if watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = _event_time(df, ts_col).withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.window(ts_col, duration, slide).alias("win"), *keys)
         .agg(F.count(F.lit(1)).alias("counts"))
@@ -74,7 +85,7 @@ def session_counts(
     """T8 — session windows: a session closes after ``gap`` of silence.
     State size is bounded by watermark + gap, not by stream length."""
     if watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = _event_time(df, ts_col).withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.session_window(ts_col, gap).alias("win"), *keys)
         .agg(F.count(F.lit(1)).alias("counts"))
@@ -98,7 +109,11 @@ def dedup_within_watermark(
     the watermark delay of each other; key state is evicted once the
     watermark passes, so state is bounded by (keys arriving per delay
     window), not by stream length."""
-    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))
+    return (
+        _event_time(df, ts_col)
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(list(keys))
+    )
 
 
 def kafka_shaped(
