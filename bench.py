@@ -40,7 +40,14 @@ def run_one(spark, spec, sf_dir: str) -> float:
     # json parsing, array transforms) is actually paid — count() alone
     # lets Catalyst drop unreferenced projections on map-only queries.
     df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    elapsed = time.perf_counter() - t0
+    # Per-query hygiene OUTSIDE the timed region: operators that persist
+    # a working set (dedup/similarity) leave it cached after the sink
+    # completes; 78 queries of leftover blocks + checkpoint files degrade
+    # later queries (x06 measured 65 s mid-suite vs 7 s isolated). Each
+    # bench entry is an independent query — evict between them.
+    spark.catalog.clearCache()
+    return elapsed
 
 
 def main() -> None:

@@ -194,7 +194,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     n_bands: int = N_BANDS,
     rows_per_band: int = ROWS_PER_BAND,
-    collapse_exact: bool = True,
+    collapse_exact: bool | None = None,
 ) -> DataFrame:
     """Banded LSH: equal band-signature → candidate pair.
 
@@ -202,14 +202,27 @@ def minhash_lsh_pairs(
     (band, sig) — a plain shuffled equi-join, so skewed buckets are
     handled by AQE skew-join splitting at scale.
 
-    ``collapse_exact`` (default on): byte-identical documents carry
-    identical signatures, collide in EVERY band, and pair quadratically
-    inside each bucket. Identical full signatures collapse to one
+    ``collapse_exact``: byte-identical documents carry identical
+    signatures, collide in EVERY band, and pair quadratically inside
+    each bucket. Identical full signatures collapse to one
     representative before the banded join; candidate pairs expand back
     via equi-joins (cross-group pairs inherit the rep pair's bucket
     collision; within-group pairs always collide). Output identical
     either way — the banded join just runs on distinct signatures.
+    ``None`` (default) probes the signature duplication factor and
+    collapses only when it pays (see ``_auto_collapse``).
     """
+    if collapse_exact is None:
+        # probe on the raw lineage, NOT a persisted handle: caching the
+        # signature table here forces the downstream self-join through an
+        # InMemoryRelation that defeats the reused-exchange plan
+        # (measured 3× slower at sf0.1). The probe costs one extra
+        # signature pass — O(n) insurance against an O(n²) bucket
+        # blow-up when the corpus is duplicate-heavy.
+        mh_all = [f"mh{i}" for i in range(n_bands * rows_per_band)]
+        collapse_exact = _auto_collapse(
+            signatures, F.concat_ws("_", *[F.col(c).cast("string") for c in mh_all])
+        )
     if not collapse_exact:
         return _minhash_lsh_pairs_core(signatures, id_col, n_bands, rows_per_band)
     # The collapse-expand plan references the signature table from several
@@ -327,7 +340,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bits: int = 32,
     n_chunks: int = 4,
-    collapse_exact: bool = True,
+    collapse_exact: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs: hamming(simhash) <= k via chunk banding.
 
@@ -352,6 +365,8 @@ def simhash_pairs(
     cross-group pairs inherit the rep pair's hamming, within-group
     pairs are hamming 0. Output is identical either way (equivalence
     asserted in tests; measured 3× at a 10-fold-replicated sf1).
+    ``None`` (default) probes the signature duplication factor and
+    collapses only when it pays (see ``_auto_collapse``).
     """
     if max_hamming > n_chunks - 1:
         raise ValueError(
@@ -359,6 +374,11 @@ def simhash_pairs(
             f"n_chunks - 1; got max_hamming={max_hamming}, n_chunks={n_chunks} "
             f"— raise n_chunks to at least max_hamming + 1"
         )
+    if collapse_exact is None:
+        # probe on the raw lineage (see minhash_lsh_pairs: persisting for
+        # the probe defeats the reused-exchange self-join plan); one
+        # extra simhash pass buys the right plan either way
+        collapse_exact = _auto_collapse(sig_df, F.col("simhash"))
     if not collapse_exact:
         return _simhash_pairs_core(sig_df, id_col, max_hamming, bits, n_chunks)
     members = sig_df.select(F.col(id_col).alias("m_id"), F.col("simhash"))
@@ -480,6 +500,23 @@ def _jaccard_pairs_core(
     )
 
 
+#: duplication factor (rows / distinct keys) above which the
+#: collapse-expand rewrite pays for its extra joins. Below it the
+#: rewrite is pure overhead: measured 2× slower on a duplicate-free
+#: corpus at sf0.1, 10× faster on a 10-fold-replicated sf1.
+COLLAPSE_DUP_FACTOR = 1.05
+
+
+def _auto_collapse(df: DataFrame, key: Column) -> bool:
+    """Decide the collapse-exact rewrite from the corpus itself: one
+    partial-agg count/countDistinct probe (cheap next to the pair join
+    at any scale — it's a map-side agg over one column)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct(key).alias("nd")
+    ).first()
+    return bool(row and row["nd"] and row["n"] >= COLLAPSE_DUP_FACTOR * row["nd"])
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -487,7 +524,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     df_cap: int | None = JACCARD_DF_CAP,
-    collapse_exact: bool = True,
+    collapse_exact: bool | None = None,
     persist: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard over an inverted-index join.
@@ -513,7 +550,14 @@ def ngram_jaccard_pairs(
     shingle self-join then runs on distinct texts only: a corpus with
     duplication factor d does 1/d² of the join work (measured 10× at a
     10-fold-replicated sf1). Output is bitwise identical either way.
+
+    ``collapse_exact=None`` (default) probes the corpus duplication
+    factor with one cheap aggregate and collapses only when it pays —
+    on a duplicate-free corpus the rewrite's expansion joins are pure
+    overhead (2× at sf0.1).
     """
+    if collapse_exact is None:
+        collapse_exact = _auto_collapse(df, F.md5(F.col(text_col)))
     if not collapse_exact:
         return _jaccard_pairs_core(
             df, n, threshold, text_col, id_col, df_cap, persist
