@@ -35,19 +35,25 @@ def entry(spark: SparkSession) -> DataFrame:
 def _rank(name: str) -> int:
     """Emission order for the driver's per-round correctness pass.
 
-    The round-1 driver file capped at exactly 50 entries in emission
-    order, leaving x14-x24 without driver rows. Round 1 verified
-    q01-q37 and x01-x13 green, so this round fronts the never-checked
-    queries (x14-x24, then the rows-only qs set); the already-verified
-    block fills the remaining slots. Every query is still emitted.
+    The driver file caps at exactly 50 entries in emission order.
+    Round 1 verified q01-q37 + x01-x13; round 2 verified q01-q22,
+    x14-x35 and ran the qs set (qs3/qs4/qs6 errored on the NTZ
+    regression, fixed since). Round 3 fronts: the brand-new queries
+    (x36+, qs7), the repaired streaming set, then the blocks absent
+    from the round-2 file (q23-q37, x01-x13). Every query is still
+    emitted; the tail is the twice-verified block.
     """
-    if name.startswith("x") and name[1:3].isdigit() and int(name[1:3]) >= 14:
+    if name.startswith("x") and name[1:3].isdigit() and int(name[1:3]) >= 36:
         return 0
     if name.startswith("qs"):
         return 1
-    if name.startswith("q"):
+    if name.startswith("x") and name[1:3].isdigit() and int(name[1:3]) <= 13:
         return 2
-    return 3  # x01-x13
+    if name.startswith("q") and name[1:3].isdigit() and int(name[1:3]) >= 23:
+        return 3
+    if name.startswith("q"):
+        return 4  # q01-q22
+    return 5  # x14-x35
 
 
 def _ordered() -> list[str]:

@@ -408,3 +408,87 @@ def test_histogram_partitions_all_rows(spark, sf_dir):
     edge = {r.bucket for r in fixed_width_histogram(
         tiny, "l_extendedprice", 0.0, 120000.0, 24).collect()}
     assert edge == {0, 23}
+
+
+def test_select_keepers_one_per_component(spark):
+    from twitter_kafka_etl_spark.operators.curation import select_keepers
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5)], ["doc_id", "component_id"]
+    )
+    scored = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.7)],
+        ["doc_id", "quality_score"],
+    )
+    rows = {r.doc_id: r for r in select_keepers(scored, comp).collect()}
+    # exactly one keeper per component
+    keepers = [r.doc_id for r in rows.values() if r.keep]
+    assert sorted(keepers) == [2, 4, 5]  # doc 2 beats 3 on id tie-break
+    assert not rows[1].keep and not rows[3].keep
+
+
+def test_length_percentile_flags_band(spark):
+    from twitter_kafka_etl_spark.operators.curation import (
+        length_percentile_flags,
+    )
+
+    # 10 docs with 1..10 tokens: p10 (ceil(10*10/100)=1st value) = 1,
+    # p90 (ceil(10*90/100)=9th) = 9 → only the 10-token doc flags long,
+    # nothing flags short (nothing is < 1)
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * i)) for i in range(1, 11)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in length_percentile_flags(docs).collect()}
+    assert not any(r.flag_short for r in out.values())
+    assert [d for d, r in out.items() if r.flag_long] == [10]
+
+
+def test_corpus_freq_score_exact(spark):
+    from twitter_kafka_etl_spark.operators.text import corpus_freq_score
+
+    # corpus: a a b  |  a c  → N=5; counts: a=3, b=1, c=1
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in corpus_freq_score(docs).collect()}
+    assert out[1].sum_freq == 3 + 3 + 1 and out[1].n_tokens == 3
+    assert out[1].freq_score == round(7 / 15, 6)
+    assert out[2].sum_freq == 3 + 1 and out[2].freq_score == round(4 / 10, 6)
+
+
+def test_zipf_top_tokens_head(spark):
+    from twitter_kafka_etl_spark.operators.text import zipf_top_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c")], ["doc_id", "text"]
+    )
+    rows = zipf_top_tokens(docs, k=2).orderBy("rank").collect()
+    assert [(r.tok, r["count"], r.rank) for r in rows] == [("a", 3, 1), ("b", 2, 2)]
+    assert rows[0].share == 0.5 and rows[1].cum_share == round(5 / 6, 6)
+
+
+def test_label_centroids_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    from twitter_kafka_etl_spark.operators.similarity import label_centroids
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    got = {
+        (r.label, r.pos): r.centroid for r in label_centroids(emb).collect()
+    }
+    pdf = emb.toPandas()
+    for lbl, grp in pdf.groupby("label"):
+        mean = np.mean(np.stack(grp["embedding"].map(np.asarray)), axis=0)
+        for pos in (0, 7, 63):
+            assert abs(got[(lbl, pos)] - mean[pos]) < 1e-5
+
+
+def test_auto_collapse_probe(spark):
+    from twitter_kafka_etl_spark.operators.dedup import _auto_collapse
+
+    uniq = spark.createDataFrame([(i, f"t{i}") for i in range(20)], ["i", "t"])
+    dup = spark.createDataFrame(
+        [(i, f"t{i % 4}") for i in range(20)], ["i", "t"]
+    )
+    assert not _auto_collapse(uniq, F.col("t"))
+    assert _auto_collapse(dup, F.col("t"))

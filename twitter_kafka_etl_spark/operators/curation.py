@@ -114,6 +114,90 @@ def chunk_spans(
     )
 
 
+def select_keepers(
+    scored: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+    component_col: str = "component_id",
+) -> DataFrame:
+    """The dedup *decision*: given per-document quality scores and the
+    duplicate clusters from ``dedup.connected_components``, keep exactly
+    one document per cluster — the highest-quality member, ties broken
+    by min id (so the choice is deterministic under any partitioning).
+    This is the step LLM pipelines run between "pairs found" and "rows
+    dropped": near-dup groups keep their best-written member, not an
+    arbitrary one.
+
+    One window shuffle on the component key; singleton components pass
+    through as their own keeper. Output: (id, component, score, keep).
+    """
+    joined = components.join(
+        scored.select(F.col(id_col), F.col(score_col)), id_col
+    )
+    w = Window.partitionBy(component_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return joined.withColumn("__r", F.row_number().over(w)).select(
+        F.col(id_col),
+        F.col(component_col),
+        F.col(score_col),
+        (F.col("__r") == 1).alias("keep"),
+    )
+
+
+def length_percentile_flags(
+    df: DataFrame,
+    q_lo: int = 10,
+    q_hi: int = 90,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag documents outside the corpus's [p_lo, p_hi] token-length
+    band — the outlier filter a training mix applies before packing
+    (truncated fragments below, concatenation junk above).
+
+    Percentiles are EXACT discrete quantiles computed scale-safely: the
+    length histogram (groupBy length — bounded by the distinct-length
+    count, not the corpus) gets a cumulative count; p_q = the smallest
+    length whose cumulative count reaches ceil(N*q/100). The window
+    ordering runs over the tiny histogram, never the corpus; thresholds
+    broadcast back as a one-row frame. All arithmetic is integer, so
+    both engines agree bit-for-bit.
+    """
+    lens = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("n_tokens")
+    )
+    hist = lens.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    n_total = lens.agg(F.count(F.lit(1)).alias("n"))
+    # ceil(n*q/100) in pure integer arithmetic: (n*q + 99) div 100
+    th = (
+        cum.join(F.broadcast(n_total))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"(n * {q_lo} + 99) div 100"),
+                    F.col("n_tokens"),
+                )
+            ).alias("p_lo"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"(n * {q_hi} + 99) div 100"),
+                    F.col("n_tokens"),
+                )
+            ).alias("p_hi"),
+        )
+    )
+    return lens.join(F.broadcast(th)).select(
+        F.col(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.col("n_tokens") < F.col("p_lo")).alias("flag_short"),
+        (F.col("n_tokens") > F.col("p_hi")).alias("flag_long"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: Sequence[str],

@@ -73,6 +73,43 @@ def lsh_assign(
     return df.withColumn(out, lsh_bucket(as_double(vec_col), planes))
 
 
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid components — the "train the coarse quantizer"
+    step of IVF-style ANN, and the class-prototype pass of embedding
+    diagnostics. Output is long form: (label, pos, centroid) — one row
+    per label × dimension, which keeps the aggregate a plain groupBy
+    (no array re-assembly whose element order would depend on shuffle
+    nondeterminism).
+
+    Sums run in DECIMAL(38,12): float addition is order-dependent under
+    partitioning, decimal addition is exact — the same determinism
+    discipline as the quality rollup's decimal-summed means. One
+    posexplode (narrow) + one partial-agg shuffle on (label, pos);
+    output size is labels × dims regardless of input row count.
+    """
+    pos = df.select(
+        F.col(label_col), F.posexplode(as_double(vec_col)).alias("pos", "v")
+    )
+    return (
+        pos.groupBy(label_col, "pos")
+        .agg(
+            F.sum(F.col("v").cast("decimal(38,12)")).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .select(
+            F.col(label_col),
+            F.col("pos").cast("bigint").alias("pos"),
+            # cast the EXACT decimal sum to double, then one division:
+            # decimal/bigint division scale rules differ between engines
+            F.round(F.col("s").cast("double") / F.col("c"), 6).alias("centroid"),
+        )
+    )
+
+
 def topk_bruteforce(
     df: DataFrame,
     query_id: int,

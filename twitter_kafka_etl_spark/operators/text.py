@@ -18,7 +18,7 @@ Operators:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
@@ -292,6 +292,86 @@ def repetition_signals(
                 .otherwise(F.lit(0.0)),
                 6,
             ).alias("top_share"),
+        )
+    )
+
+
+def corpus_freq_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram corpus-frequency fluency score — the cheap stand-in for a
+    language-model perplexity filter: documents whose tokens are rare in
+    the corpus score low (OCR junk, codes, foreign-script noise),
+    common-word prose scores high.
+
+    score = (Σ_occurrences corpus_count(token)) / (n_tokens_doc · N_corpus)
+    — the mean corpus-frequency share of the document's tokens. Both the
+    numerator and denominator are exact integer aggregates; the single
+    final IEEE division makes the value bit-identical across engines
+    (a log-probability variant would hit libm rounding differences).
+
+    Plan: explode → token counts (one partial-agg shuffle, bounded by
+    the vocabulary) → join counts back onto the token stream (shares
+    the token partitioning, so the exchange is reused) → per-doc sum
+    (second partial-agg shuffle). N rides along as a broadcast one-row
+    aggregate — no driver action.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    per_doc = (
+        toks.join(counts, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__c").alias("sum_freq"),
+        )
+    )
+    return per_doc.join(F.broadcast(total)).select(
+        F.col(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("sum_freq").cast("bigint").alias("sum_freq"),
+        F.round(
+            F.col("sum_freq")
+            / (F.col("n_tokens") * F.col("__n")).cast("double"),
+            6,
+        ).alias("freq_score"),
+    )
+
+
+def zipf_top_tokens(
+    df: DataFrame, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Token rank/frequency head — the Zipf profile a corpus audit reads
+    before choosing stopword caps and vocabulary cuts. Top-``k`` tokens
+    by global count (ties broken by token asc), each with its corpus
+    share and the cumulative share of the head so far.
+
+    The ranking window orders the *distinct-token* counts table —
+    bounded by the vocabulary, not the corpus (same caveat as
+    ``vocab_coverage``: feed a min-count filter first for open vocabs).
+    Shares divide exact integers, rounded once.
+    """
+    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_c", F.sum("c").over(w_cum))
+        .filter(F.col("rank") <= k)
+        .join(F.broadcast(total))
+        .select(
+            "tok",
+            F.col("c").cast("bigint").alias("count"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round(F.col("c") / F.col("__n").cast("double"), 6).alias("share"),
+            F.round(F.col("cum_c") / F.col("__n").cast("double"), 6).alias(
+                "cum_share"
+            ),
         )
     )
 

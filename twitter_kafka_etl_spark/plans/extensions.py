@@ -1305,3 +1305,177 @@ from twitter_kafka_etl_spark.operators import relational as R  # noqa: E402
 def x35(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     return R.fixed_width_histogram(li, "l_extendedprice", 0.0, 120000.0, 24)
+
+
+# ---------------------------------------------------------------------------
+# x36 — the dedup DECISION: components + quality → keeper per cluster
+# ---------------------------------------------------------------------------
+@_register(
+    "x36_dedup_keepers",
+    "keeper selection: minhash-LSH pair graph → connected components → "
+    "keep the highest-quality member per duplicate cluster (ties by min "
+    "id) — the decision step between 'pairs found' and 'rows dropped'; "
+    "one window shuffle on the component key",
+    f"""
+    WITH RECURSIVE {_SIG_CTE},
+    bands AS (
+    {_BAND_BRANCHES}
+    ),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM prs
+      UNION SELECT doc_b, doc_a FROM prs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS component_id
+             FROM reach GROUP BY id),
+    q AS (
+      SELECT doc_id,
+             round((len(list_distinct(tk)) / len(tk)) * 0.5 +
+                   (1.0 - len(list_filter(tk, x -> x = 'a' OR x = 'the'))
+                     / len(tk)) * 0.5, 6) AS quality_score
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+    )
+    SELECT c.doc_id, c.component_id, q.quality_score,
+           ROW_NUMBER() OVER (PARTITION BY c.component_id
+                              ORDER BY q.quality_score DESC, c.doc_id) = 1
+             AS keep
+    FROM comp c JOIN q USING (doc_id)
+    """,
+    tags=("dedup", "curation", "extension"),
+)
+def x36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_kafka_etl_spark.operators import curation as C
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(D.minhash_signatures(D.shingle(docs)))
+    comp = D.connected_components(pairs, nodes=docs)
+    scored = T.quality_features(docs).select("doc_id", "quality_score")
+    return C.select_keepers(scored, comp)
+
+
+# ---------------------------------------------------------------------------
+# x37 — unigram corpus-frequency fluency score (perplexity-filter stand-in)
+# ---------------------------------------------------------------------------
+@_register(
+    "x37_text_corpus_freq",
+    "unigram corpus-frequency fluency score: mean corpus-frequency share "
+    "of each document's tokens — exact integer numerator/denominator, "
+    "one final division (the engine-portable perplexity-filter stand-in)",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+    c AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS n FROM t),
+    d AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(c.c) AS sum_freq
+      FROM t JOIN c USING (tok) GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum_freq AS BIGINT) AS sum_freq,
+           round(CAST(sum_freq AS DOUBLE) / (n_tokens * n), 6) AS freq_score
+    FROM d, tot
+    """,
+    tags=("text", "extension"),
+)
+def x37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.corpus_freq_score(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x38 — exact length-percentile outlier flags
+# ---------------------------------------------------------------------------
+@_register(
+    "x38_length_percentiles",
+    "token-length outlier flags at exact discrete p10/p90: cumulative "
+    "count over the length HISTOGRAM (vocabulary of lengths, not the "
+    "corpus), thresholds broadcast back — integer arithmetic only",
+    """
+    WITH lens AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+                  FROM documents),
+    h AS (SELECT n_tokens AS v, COUNT(*) AS c FROM lens GROUP BY v),
+    cc AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM h),
+    tot AS (SELECT COUNT(*) AS n FROM lens),
+    th AS (
+      SELECT MIN(CASE WHEN cum >= (n * 10 + 99) // 100 THEN v END) AS p_lo,
+             MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN v END) AS p_hi
+      FROM cc, tot
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           n_tokens < p_lo AS flag_short,
+           n_tokens > p_hi AS flag_long
+    FROM lens, th
+    """,
+    tags=("curation", "text", "extension"),
+)
+def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_kafka_etl_spark.operators import curation as C
+
+    return C.length_percentile_flags(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x39 — Zipf head: top tokens by corpus frequency with cumulative share
+# ---------------------------------------------------------------------------
+@_register(
+    "x39_zipf_tokens",
+    "Zipf profile head: top-20 tokens by global count with corpus share "
+    "and cumulative head share — ranking window over the distinct-token "
+    "counts table (vocabulary-bounded), exact integer shares",
+    """
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    c AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS n FROM t),
+    r AS (
+      SELECT tok, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS rank,
+             CAST(SUM(c) OVER (ORDER BY c DESC, tok ASC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+      FROM c
+    )
+    SELECT tok, CAST(c AS BIGINT) AS count, CAST(rank AS BIGINT) AS rank,
+           round(CAST(c AS DOUBLE) / n, 6) AS share,
+           round(CAST(cum_c AS DOUBLE) / n, 6) AS cum_share
+    FROM r, tot WHERE rank <= 20
+    """,
+    tags=("text", "extension"),
+)
+def x39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.zipf_top_tokens(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x40 — per-label embedding centroids (IVF coarse-quantizer training pass)
+# ---------------------------------------------------------------------------
+@_register(
+    "x40_label_centroids",
+    "per-label embedding centroids in long form (label, dim, value): "
+    "posexplode + one partial-agg shuffle on (label, pos); sums in "
+    "DECIMAL(38,12) so the mean is order-independent — the coarse-"
+    "quantizer/class-prototype pass over the embedding table",
+    """
+    WITH x AS (
+      SELECT label,
+             unnest(list_transform(range(1, len(embedding) + 1),
+                    i -> {'p': i, 'v': embedding[i]})) AS s
+      FROM embeddings
+    ),
+    f AS (SELECT label, s.p - 1 AS pos, CAST(s.v AS DOUBLE) AS v FROM x)
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           round(CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+             AS centroid
+    FROM f GROUP BY label, pos
+    """,
+    tags=("similarity", "extension"),
+)
+def x40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.label_centroids(_emb(spark, sf_dir))

@@ -341,3 +341,44 @@ def qs6(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.total_value").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# QS7 — T8 streaming mode: watermarked session windows
+# ---------------------------------------------------------------------------
+@_register(
+    "qs7_stream_session_windows",
+    "watermarked per-user session windows on a stream (T8 streaming "
+    "mode — q28 covers the batch form): sessions close after 30 min of "
+    "event-time silence; state per open session is bounded by watermark "
+    "+ gap, not stream length; rows-only",
+    None,
+    tags=("streaming",),
+)
+def qs7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table_time_range(
+        spark, sf_dir, "events", "2024-01-02 00:00:00", "2024-01-03 00:00:00"
+    )
+    root = os.path.join(tempfile.gettempdir(), "tkes_stream_qs7")
+    shutil.rmtree(root, ignore_errors=True)
+    in_dir = os.path.join(root, "input")
+    # two micro-batches split mid-day: sessions spanning the boundary
+    # must merge across batches in the state store
+    (
+        ev.withColumn(
+            "__f", F.when(F.hour("ts") < 12, F.lit(0)).otherwise(F.lit(1))
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("__f")
+        .parquet(in_dir)
+    )
+    _order_files(in_dir)
+    stream = _read_stream(spark, in_dir, ev)
+    agg = W.session_counts(
+        stream, "ts", gap="30 minutes", keys=("user_id",), watermark="1 hour"
+    )
+    out = _run_to_sink(agg, root)
+    return spark.read.parquet(out).select(
+        "session_start", "session_end", "user_id", "counts"
+    )
