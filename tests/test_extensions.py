@@ -492,3 +492,45 @@ def test_auto_collapse_probe(spark):
     )
     assert not _auto_collapse(uniq, F.col("t"))
     assert _auto_collapse(dup, F.col("t"))
+
+
+def test_grouped_percentiles_exact(spark):
+    from twitter_kafka_etl_spark.operators.relational import (
+        grouped_percentiles,
+    )
+
+    # group g: values 1..4 → n=4; p25 at cum>=1 → 1, p50 at cum>=2 → 2,
+    # p75 at cum>=3 → 3. group h: single value.
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("h", 9.0)],
+        ["k", "v"],
+    )
+    out = {r.k: r for r in grouped_percentiles(df, "v", ("k",)).collect()}
+    assert (out["g"].p25, out["g"].p50, out["g"].p75) == (1.0, 2.0, 3.0)
+    assert (out["h"].p25, out["h"].p50, out["h"].p75) == (9.0, 9.0, 9.0)
+
+
+def test_balance_strata_cap_is_min(spark):
+    from twitter_kafka_etl_spark.operators.curation import balance_strata
+
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(10)] + [(100 + i, "small") for i in range(3)],
+        ["doc_id", "lang"],
+    )
+    out = balance_strata(df, ("lang",), "doc_id")
+    counts = {r.lang: r["cnt"] for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert counts == {"big": 3, "small": 3}
+    # deterministic: same members on a re-run
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in balance_strata(df, ("lang",), "doc_id").collect())
+    assert a == b
+
+
+def test_write_external_batch(spark, tmp_path):
+    from twitter_kafka_etl_spark.io import write_external
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    out = str(tmp_path / "ext")
+    write_external(df, "parquet", mode="overwrite", path=out)
+    assert spark.read.parquet(out).count() == 2

@@ -183,6 +183,29 @@ def write_partitioned(
     writer.save(path)
 
 
+def write_external(
+    df: DataFrame,
+    fmt: str,
+    options: dict[str, str] | None = None,
+    mode: str = "append",
+    path: str | None = None,
+) -> None:
+    """Generic external-system batch sink (S6) — the batch form of
+    ``streaming.sinks.external_sink``, replacing the reference's
+    hardcoded MongoDB write (consumer.scala:176-181). Any DataSource
+    with a Spark batch writer plugs in by name:
+    ``write_external(df, "mongodb", {"connection.uri": …})``,
+    ``write_external(df, "jdbc", {...})``, or a path-based format
+    (``write_external(df, "parquet", path=...)``). Unlike the
+    reference's second sink (consumer.scala:183-187), this one calls
+    ``.save()``."""
+    writer = df.write.format(fmt).options(**(options or {})).mode(mode)
+    if path is not None:
+        writer.save(path)
+    else:
+        writer.save()
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

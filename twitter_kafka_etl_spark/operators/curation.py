@@ -223,3 +223,34 @@ def stratified_sample(
         .filter(F.col("sample_rank") <= n_per_stratum)
         .withColumn("sample_rank", F.col("sample_rank").cast("bigint"))
     )
+
+
+def balance_strata(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    id_col: str,
+    salt: str = "balance",
+) -> DataFrame:
+    """Class-balance a skewed corpus: downsample every stratum to the
+    size of the SMALLEST stratum, selecting members in salted-md5 order
+    — the deterministic, data-dependent form of ``stratified_sample``
+    (there the cap is given; here it comes from the data). The language/
+    source balancing step of a training-mix build, reproducible under
+    any partitioning or re-run.
+
+    Plan: per-stratum sizes (partial-agg shuffle) → global min as a
+    broadcast one-row frame (no driver action) → per-stratum md5-order
+    rank (one window shuffle) filtered to the cap.
+    """
+    sizes = df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("__n"))
+    cap = sizes.agg(F.min("__n").alias("__cap"))
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata_cols).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .join(F.broadcast(cap))
+        .filter(F.col("sample_rank") <= F.col("__cap"))
+        .select(
+            *df.columns, F.col("sample_rank").cast("bigint").alias("rank")
+        )
+    )

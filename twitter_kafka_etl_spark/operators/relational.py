@@ -418,3 +418,43 @@ def fixed_width_histogram(
             "total",
         )
     )
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...],
+    qs: tuple[int, ...] = (25, 50, 75),
+) -> DataFrame:
+    """Per-group EXACT discrete percentiles, scale-safely: the
+    cumulative-count walk runs over the per-group VALUE HISTOGRAM
+    (bounded by distinct values per group), never a per-group row sort,
+    and ceil thresholds stay in integer arithmetic — the grouped form of
+    the corpus length-percentile filter, and the exact replacement for
+    ``approx_percentile`` where cross-engine determinism matters.
+
+    p_q = the smallest value whose cumulative count reaches
+    ceil(n_group * q / 100). Two partial-agg shuffles (histogram, group
+    sizes) + one histogram-sized window.
+    """
+    hist = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(w))
+    sizes = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    joined = cum.join(sizes, list(group_cols))
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__cum") >= F.expr(f"(__n * {q} + 99) div 100"),
+                F.col(value_col),
+            )
+        ).alias(f"p{q}")
+        for q in qs
+    ]
+    return joined.groupBy(*group_cols).agg(*aggs)

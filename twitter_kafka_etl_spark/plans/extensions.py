@@ -1479,3 +1479,67 @@ def x39(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x40(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.label_centroids(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x41 — per-group EXACT percentiles (grouped profiling primitive)
+# ---------------------------------------------------------------------------
+@_register(
+    "x41_grouped_percentiles",
+    "exact discrete p25/p50/p75 of value per event_type: cumulative "
+    "window over the per-group VALUE HISTOGRAM (distinct values, never "
+    "a per-group row sort), integer ceil thresholds — the deterministic "
+    "replacement for approx_percentile in cross-engine profiling",
+    """
+    WITH h AS (SELECT event_type, value AS v, COUNT(*) AS c
+               FROM events GROUP BY 1, 2),
+    cc AS (SELECT event_type, v,
+                  CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM h),
+    n AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1)
+    SELECT event_type,
+           MIN(CASE WHEN cum >= (n * 25 + 99) // 100 THEN v END) AS p25,
+           MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS p50,
+           MIN(CASE WHEN cum >= (n * 75 + 99) // 100 THEN v END) AS p75
+    FROM cc JOIN n USING (event_type) GROUP BY event_type
+    """,
+    tags=("relational", "extension"),
+)
+def x41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return R.grouped_percentiles(ev, "value", ("event_type",))
+
+
+# ---------------------------------------------------------------------------
+# x42 — strata balancing (downsample to the smallest class)
+# ---------------------------------------------------------------------------
+@_register(
+    "x42_curation_balance",
+    "class-balance by language: every stratum downsampled to the "
+    "smallest stratum's size in salted-md5 order — data-dependent cap "
+    "(vs x31's given cap), broadcast as a one-row frame; deterministic "
+    "under any partitioning",
+    """
+    WITH s AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    cap AS (SELECT MIN(n) AS cap FROM s),
+    r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('balance' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rank
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rank AS BIGINT) AS rank
+    FROM r, cap WHERE rank <= cap
+    """,
+    tags=("curation", "extension"),
+)
+def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_kafka_etl_spark.operators import curation as C
+
+    docs = _docs(spark, sf_dir)
+    return C.balance_strata(docs, ("lang",), "doc_id").select(
+        "doc_id", "lang", "rank"
+    )
