@@ -45,8 +45,17 @@ def run_one(spark, spec, sf_dir: str) -> float:
     # a working set (dedup/similarity) leave it cached after the sink
     # completes; 78 queries of leftover blocks + checkpoint files degrade
     # later queries (x06 measured 65 s mid-suite vs 7 s isolated). Each
-    # bench entry is an independent query — evict between them.
+    # bench entry is an independent query — evict between them. Shuffle
+    # files and broadcasts are only reclaimed when the DRIVER garbage-
+    # collects their handles (ContextCleaner is GC-driven; the periodic
+    # GC default is 30 min — longer than the whole suite), so force a GC
+    # too: without it mid-suite queries still ran ~3x their isolated
+    # time at sf1.
     spark.catalog.clearCache()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — hygiene only, never fail the bench
+        pass
     return elapsed
 
 

@@ -65,9 +65,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     uniq = kept.join(keepers, "doc_id")
     pairs = D.minhash_lsh_pairs(D.minhash_signatures(D.shingle(uniq)))
     comps = D.connected_components(pairs, nodes=uniq)
-    reps = comps.filter(F.col("doc_id") == F.col("component_id")).select("doc_id")
-    deduped = uniq.join(reps, "doc_id")
-    print(f"dedup pass: {uniq.count()} unique -> {deduped.count()} cluster reps")
+    # keep each cluster's BEST-quality member (not the arbitrary min id)
+    keep = (
+        C.select_keepers(uniq.select("doc_id", "quality_score"), comps)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    deduped = uniq.join(keep, "doc_id")
+    print(f"dedup pass: {uniq.count()} unique -> {deduped.count()} cluster keepers")
 
     # 4 — splits + a balanced eval sample
     assigned = C.split_assign(deduped, "doc_id")

@@ -534,3 +534,17 @@ def test_write_external_batch(spark, tmp_path):
     out = str(tmp_path / "ext")
     write_external(df, "parquet", mode="overwrite", path=out)
     assert spark.read.parquet(out).count() == 2
+
+
+def test_enrich_text_pluggable_backend(spark):
+    """A custom batch model drops into the same plan as the lexicon
+    default — the Spark-NLP-replacement seam (consumer.scala:85,148)."""
+    from twitter_kafka_etl_spark.operators.text import enrich_text
+
+    def shouty_model(texts):
+        return texts.map(lambda t: "positive" if t.isupper() else "negative")
+
+    df = spark.createDataFrame([(1, "GREAT"), (2, "meh")], ["doc_id", "text"])
+    out = {r.doc_id: r.sentiment for r in enrich_text(
+        df, sentiment_backend=shouty_model).collect()}
+    assert out == {1: "positive", 2: "negative"}

@@ -193,12 +193,42 @@ def classify_emotion(texts: pd.Series) -> pd.Series:
     return texts.map(one)
 
 
-def enrich_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+def make_classifier(batch_fn) -> Column:
+    """Wrap ANY batch text-classification function — (pd.Series of str)
+    -> (pd.Series of str) — as an Arrow pandas UDF with the engine's
+    (text) -> label plan shape. This is the seam where a real model
+    replaces the lexicon backend: ``batch_fn`` receives whole Arrow
+    batches, so model inference runs batched on the executor exactly
+    like the reference's Spark-NLP annotators (consumer.scala:85,148) —
+    load the model once per worker inside ``batch_fn``'s closure.
+    """
+    return pandas_udf(batch_fn, StringType())
+
+
+def enrich_text(
+    df: DataFrame,
+    text_col: str = "text",
+    sentiment_backend=None,
+    emotion_backend=None,
+) -> DataFrame:
     """The reference's two-stage NLP enrichment (consumer.scala:125-155)
-    as one projection: sentiment + emotion columns appended."""
+    as one projection: sentiment + emotion columns appended. Backends
+    default to the deterministic lexicon UDFs; pass batch functions
+    (pd.Series -> pd.Series) to swap in real models without touching
+    the plan (see ``make_classifier``)."""
+    sent = (
+        make_classifier(sentiment_backend)
+        if sentiment_backend is not None
+        else classify_sentiment
+    )
+    emo = (
+        make_classifier(emotion_backend)
+        if emotion_backend is not None
+        else classify_emotion
+    )
     return df.withColumns({
-        "sentiment": classify_sentiment(F.col(text_col)),
-        "emotion": classify_emotion(F.col(text_col)),
+        "sentiment": sent(F.col(text_col)),
+        "emotion": emo(F.col(text_col)),
     })
 
 
