@@ -548,3 +548,16 @@ def test_enrich_text_pluggable_backend(spark):
     out = {r.doc_id: r.sentiment for r in enrich_text(
         df, sentiment_backend=shouty_model).collect()}
     assert out == {1: "positive", 2: "negative"}
+
+
+def test_salted_join_equals_plain_join(spark):
+    from twitter_kafka_etl_spark.operators.relational import salted_join
+
+    # one pathologically hot key (0) plus normal keys
+    big = spark.createDataFrame(
+        [(i, i % 3 if i % 2 else 0) for i in range(200)], ["row_id", "k"]
+    )
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "v"])
+    got = sorted(map(tuple, salted_join(big, dim, "k").collect()))
+    want = sorted(map(tuple, big.join(dim, "k").collect()))
+    assert got == want

@@ -363,3 +363,12 @@ def test_external_sink_generic_adapter(spark, sf_dir):
     got = spark.read.parquet(f"{root}/out")
     assert got.count() == ev.count()
     assert got.select("_batch_id").distinct().count() == 2  # per-batch stamp
+
+
+def test_state_partitions_scale_with_volume(spark):
+    from twitter_kafka_etl_spark.session import default_parallelism
+    from twitter_kafka_etl_spark.streaming.queries import _state_partitions
+
+    small = spark.range(100)
+    assert _state_partitions(small) == 8
+    assert _state_partitions(small, big_rows=50) == default_parallelism()

@@ -458,3 +458,4 @@ def grouped_percentiles(
         for q in qs
     ]
     return joined.groupBy(*group_cols).agg(*aggs)
+

@@ -1543,3 +1543,32 @@ def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.balance_strata(docs, ("lang",), "doc_id").select(
         "doc_id", "lang", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# x43 — salted skew join (result == plain join, pathological-skew insurance)
+# ---------------------------------------------------------------------------
+@_register(
+    "x43_salted_join",
+    "skew-salted equi-join lineitem ⋈ part: fact rows carry a "
+    "deterministic xxhash64 salt, the dimension replicates n_salts ways, "
+    "the join key becomes (key, salt) — one hot key spreads over "
+    "n_salts reducers; output identical to the plain join (the oracle "
+    "IS the plain join)",
+    """
+    SELECT l.l_orderkey, l.l_partkey, l.l_quantity, p.p_name
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    tags=("relational", "extension"),
+)
+def x43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_partkey").alias("p_partkey"), "l_quantity"
+    )
+    pt = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return R.salted_join(li, pt, "p_partkey").select(
+        "l_orderkey",
+        F.col("p_partkey").alias("l_partkey"),
+        "l_quantity",
+        "p_name",
+    )
