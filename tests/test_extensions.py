@@ -561,3 +561,43 @@ def test_salted_join_equals_plain_join(spark):
     got = sorted(map(tuple, salted_join(big, dim, "k").collect()))
     want = sorted(map(tuple, big.join(dim, "k").collect()))
     assert got == want
+
+
+def test_redact_pii_masks_in_order(spark):
+    from twitter_kafka_etl_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.com from 10.0.0.1 code 4711"),
+            (2, "no pii here"),
+            (3, "x 12 345 6"),
+        ],
+        ["id", "text"],
+    )
+    got = {r.id: (r.redacted, r.n_redactions) for r in redact_pii(df).collect()}
+    # the email's digits are inside the <EMAIL> mask, never double-masked
+    assert got[1] == ("mail <EMAIL> from <IP> code <NUM>", 3)
+    assert got[2] == ("no pii here", 0)
+    assert got[3] == ("x <NUM> <NUM> 6", 2)  # single digit untouched
+
+
+def test_quantize_int8_bounds(spark, sf_dir):
+    from twitter_kafka_etl_spark.io import read_table
+    from twitter_kafka_etl_spark.operators.similarity import quantize_int8
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = quantize_int8(emb).collect()
+    assert len(out) == emb.count()
+    for r in out:
+        assert all(-127 <= q <= 127 for q in r.qvec)
+        # rounding to nearest grid point: error <= scale/2 (+ slack for
+        # the 6-digit display rounding of BOTH output fields)
+        assert r.max_err <= r.scale / 2 + 1e-6
+
+
+def test_quantize_int8_zero_vector(spark):
+    from twitter_kafka_etl_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], ["vec_id", "embedding"])
+    r = quantize_int8(df).collect()[0]
+    assert r.qvec == [0, 0, 0] and r.scale == 0.0 and r.max_err == 0.0

@@ -372,3 +372,38 @@ def test_state_partitions_scale_with_volume(spark):
     small = spark.range(100)
     assert _state_partitions(small) == 8
     assert _state_partitions(small, big_rows=50) == default_parallelism()
+
+
+def test_qs8_interval_join_matches_batch(spark):
+    """The streaming interval join emits exactly the batch join's pairs —
+    cross-batch matches come out of the join buffers, not luck."""
+    from twitter_kafka_etl_spark.io import read_table_time_range
+    from twitter_kafka_etl_spark.plans import REGISTRY
+
+    # sf0.001's single staged day has zero click->purchase pairs within
+    # 2h — the equality would pass vacuously; sf0.01 has real matches
+    sf_dir = "/root/testdata/sf0.01"
+
+    got = sorted(
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in REGISTRY["qs8_stream_interval_join"].build(spark, sf_dir).collect()
+    )
+    ev = read_table_time_range(
+        spark, sf_dir, "events", "2024-01-02 00:00:00", "2024-01-03 00:00:00"
+    )
+    c = ev.filter("event_type = 'click'").selectExpr(
+        "user_id", "event_id AS click_id", "ts AS click_ts"
+    )
+    p = ev.filter("event_type = 'purchase'").selectExpr(
+        "user_id AS u2", "event_id AS purchase_id", "ts AS purchase_ts"
+    )
+    want = sorted(
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            (c.user_id == p.u2)
+            & (p.purchase_ts >= c.click_ts)
+            & (p.purchase_ts <= c.click_ts + F.expr("INTERVAL 2 HOURS")),
+        ).collect()
+    )
+    assert got == want and len(got) > 0

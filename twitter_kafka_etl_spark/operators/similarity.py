@@ -575,3 +575,42 @@ def cosine_pairs(
         )
     )
     return exact.filter(F.col("cos_sim") >= threshold)
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/bandwidth
+    lever for embedding corpora (4x smaller vectors, SIMD-friendly int
+    dot products downstream). scale = max|v| / 127; each component maps
+    to floor(v/scale + 0.5), exactly representable in [-127, 127].
+
+    Engine-portable determinism: every step (exact float->double widen,
+    one double division, +0.5, floor, order-free array max) is the same
+    IEEE operation in any engine, so the quantized vectors — not just
+    summaries — hash-match an oracle bit-for-bit. Narrow per-row array
+    expressions: no shuffle, no Python, scale-free.
+
+    Output: (id, scale [rounded for display], qvec array<int>,
+    max_err = max reconstruction error |v_i - q_i * scale|).
+    """
+    v = as_double(vec_col)
+    s = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    q = F.when(
+        s == 0, F.transform(v, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(v, lambda x: F.floor(x / s + F.lit(0.5)).cast("int"))
+    )
+    staged = df.select(
+        F.col(id_col),
+        F.round(s, 6).alias("scale"),
+        q.alias("qvec"),
+        F.array_max(
+            F.zip_with(v, q, lambda x, qi: F.abs(x - qi * s))
+        ).alias("__err"),
+    )
+    return staged.select(
+        id_col, "scale", "qvec", F.round("__err", 6).alias("max_err")
+    )

@@ -1572,3 +1572,70 @@ def x43(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         "p_name",
     )
+
+
+# ---------------------------------------------------------------------------
+# x44 — PII-shape redaction (oracle generated from the SAME pattern list)
+# ---------------------------------------------------------------------------
+def _pii_sql(col: str) -> tuple[str, str]:
+    """DuckDB twin of operators.text.redact_pii: same patterns, same
+    order, counts taken on the same intermediate each mask sees."""
+    cur, counts = col, []
+    for pat, tag in T.PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all({cur}, '{pat}'))")
+        cur = f"regexp_replace({cur}, '{pat}', '{tag}', 'g')"
+    return cur, " + ".join(counts)
+
+
+_PII_RED, _PII_CNT = _pii_sql("props")
+
+
+@_register(
+    "x44_pii_redaction",
+    "PII-shape redaction over event payloads: ordered email/IP/number "
+    "masking with per-pattern counts — pure JVM regexp, shuffle-free "
+    "(the pre-training scrub pass)",
+    f"""
+    SELECT event_id, {_PII_RED} AS redacted,
+           CAST({_PII_CNT} AS BIGINT) AS n_redactions
+    FROM events
+    """,
+    tags=("text", "extension"),
+)
+def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return T.redact_pii(ev, "props").select(
+        "event_id", "redacted", "n_redactions"
+    )
+
+
+# ---------------------------------------------------------------------------
+# x45 — int8 embedding quantization (bit-exact across engines)
+# ---------------------------------------------------------------------------
+@_register(
+    "x45_embedding_quantize",
+    "symmetric int8 embedding quantization: scale = max|v|/127, "
+    "q_i = floor(v_i/scale + 0.5) — every step an identical IEEE op in "
+    "both engines, so the full quantized VECTORS hash-match, plus the "
+    "max reconstruction error; narrow per-row arrays, no shuffle",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+          FROM e),
+    q AS (SELECT vec_id, v, sc,
+                 CASE WHEN sc = 0 THEN list_transform(v, x -> 0)
+                      ELSE list_transform(
+                          v, x -> CAST(floor(x / sc + 0.5) AS INT))
+                 END AS qv
+          FROM s)
+    SELECT vec_id, round(sc, 6) AS scale, qv AS qvec,
+           round(list_max(list_transform(
+               range(1, len(v) + 1), i -> abs(v[i] - qv[i] * sc))), 6)
+             AS max_err
+    FROM q
+    """,
+    tags=("similarity", "extension"),
+)
+def x45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.quantize_int8(_emb(spark, sf_dir))

@@ -399,3 +399,71 @@ def qs7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "session_start", "session_end", "user_id", "counts"
     )
+
+
+# ---------------------------------------------------------------------------
+# QS8 — stream-stream interval join (click -> purchase attribution)
+# ---------------------------------------------------------------------------
+@_register(
+    "qs8_stream_interval_join",
+    "stream-stream inner interval join: purchases within 2h of the same "
+    "user's click, both streams watermarked so the two join buffers "
+    "evict at the watermark (bounded state on unbounded streams — a "
+    "surface the reference's batch hand-off cannot express); rows-only",
+    None,
+    tags=("streaming",),
+)
+def qs8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table_time_range(
+        spark, sf_dir, "events", "2024-01-02 00:00:00", "2024-01-03 00:00:00"
+    )
+    root = os.path.join(tempfile.gettempdir(), "tkes_stream_qs8")
+    shutil.rmtree(root, ignore_errors=True)
+    in_dir = os.path.join(root, "input")
+    # two micro-batches split mid-day: pairs straddling the boundary are
+    # matched from buffered state, not within one batch
+    (
+        ev.withColumn(
+            "__f", F.when(F.hour("ts") < 12, F.lit(0)).otherwise(F.lit(1))
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("__f")
+        .parquet(in_dir)
+    )
+    _order_files(in_dir)
+    # one staged input read as two independent streams, filtered to the
+    # two event classes — exactly how a Kafka deployment would consume
+    # two topics (or one topic twice)
+    clicks = (
+        _read_stream(spark, in_dir, ev)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        _read_stream(spark, in_dir, ev)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+    )
+    joined = W.interval_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        within="2 hours",
+        watermark="1 hour",
+    )
+    out = _run_to_sink(joined, root)
+    return spark.read.parquet(out).select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "value"
+    )

@@ -130,3 +130,34 @@ def kafka_shaped(
         payload.alias("value"),
         topic_col.cast("string").alias("topic"),
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner interval join (T-surface the reference's
+    batch-handoff design cannot express at all): right-side events that
+    occur in [left_ts, left_ts + within] for the same key, e.g. purchases
+    attributed to the click they followed.
+
+    Both sides carry watermarks and the join condition bounds event time
+    in BOTH directions, so Spark derives state-eviction watermarks for
+    the two join buffers — state stays bounded on unbounded streams
+    (without the time bound a stream-stream inner join must buffer
+    everything forever). Columns must be pre-renamed disjoint except
+    ``key``.
+    """
+    l = _event_time(left, left_ts).withWatermark(left_ts, watermark)
+    r = _event_time(right, right_ts).withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])
