@@ -601,3 +601,22 @@ def test_quantize_int8_zero_vector(spark):
     df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], ["vec_id", "embedding"])
     r = quantize_int8(df).collect()[0]
     assert r.qvec == [0, 0, 0] and r.scale == 0.0 and r.max_err == 0.0
+
+
+def test_estimate_jaccard_identical_docs_score_one(spark):
+    from twitter_kafka_etl_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark shuffles the key columns across executors today"),
+            (2, "spark shuffles the key columns across executors today"),
+            (3, "an entirely different document about nothing shared at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    sigs = D.minhash_signatures(D.shingle(df))
+    pairs = D.minhash_lsh_pairs(sigs)
+    got = {(r.doc_a, r.doc_b): r.est_jaccard
+           for r in D.estimate_jaccard(sigs, pairs).collect()}
+    assert got[(1, 2)] == 1.0
+    assert all(v <= 1.0 for v in got.values())

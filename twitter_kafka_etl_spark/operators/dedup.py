@@ -808,3 +808,38 @@ def _propagate_min_labels(
             f"rounds; the pair graph has a longer path — raise max_iter"
         )
     return labels
+
+
+def estimate_jaccard(
+    signatures: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = N_HASHES,
+) -> DataFrame:
+    """MinHash Jaccard ESTIMATE for candidate pairs: the fraction of the
+    k signature components on which the two documents agree — an
+    unbiased estimator of the true Jaccard (each min-hash collides with
+    probability J). This is the 100 TB decision path: signatures are k
+    int64s per document, so scoring a candidate needs two equi-joins on
+    a tiny table instead of re-reading both documents' text (what the
+    exact re-verify x06 pays). Output: (doc_a, doc_b, est_jaccard).
+    """
+    mh = [f"mh{i}" for i in range(k)]
+    sa = signatures.select(
+        F.col(id_col).alias("doc_a"), *[F.col(c).alias(f"a_{c}") for c in mh]
+    )
+    sb = signatures.select(
+        F.col(id_col).alias("doc_b"), *[F.col(c).alias(f"b_{c}") for c in mh]
+    )
+    agree = sum(
+        (F.col(f"a_{c}") == F.col(f"b_{c}")).cast("int") for c in mh
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(float(k)), 6).alias("est_jaccard"),
+        )
+    )

@@ -1639,3 +1639,46 @@ def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x45(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantize_int8(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x46 — MinHash-estimated Jaccard on the LSH candidate pairs
+# ---------------------------------------------------------------------------
+_AGREE_SQL = " + ".join(
+    f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+    for i in range(D.N_HASHES)
+)
+
+
+@_register(
+    "x46_dedup_jaccard_estimate",
+    "MinHash Jaccard estimate per LSH candidate pair: fraction of the "
+    "16 signature components that agree — scores candidates from the "
+    "tiny signature table (two equi-joins) instead of re-reading text, "
+    "the near-dup decision input at corpus scale",
+    f"""
+    WITH {_SIG_CTE},
+    bands AS (
+    {_BAND_BRANCHES}
+    ),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(({_AGREE_SQL}) / {float(D.N_HASHES)}, 6) AS est_jaccard
+    FROM prs p
+    JOIN sigs sa ON p.doc_a = sa.doc_id
+    JOIN sigs sb ON p.doc_b = sb.doc_id
+    """,
+    tags=("dedup", "extension"),
+)
+def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sigs = D.minhash_signatures(D.shingle(docs))
+    # persist: the signature table feeds both the band join and the two
+    # estimate joins; k int64s per doc, tiny at any scale
+    sigs = sigs.persist()
+    pairs = D.minhash_lsh_pairs(sigs)
+    return D.estimate_jaccard(sigs, pairs)
