@@ -620,3 +620,17 @@ def test_estimate_jaccard_identical_docs_score_one(spark):
            for r in D.estimate_jaccard(sigs, pairs).collect()}
     assert got[(1, 2)] == 1.0
     assert all(v <= 1.0 for v in got.values())
+
+
+def test_project_embeddings_matches_manual_dot(spark):
+    from twitter_kafka_etl_spark.operators.similarity import (
+        hyperplanes, project_embeddings,
+    )
+
+    planes = hyperplanes()
+    vec = [float(i % 7) - 3.0 for i in range(64)]
+    df = spark.createDataFrame([(1, vec)], ["vec_id", "embedding"])
+    r = project_embeddings(df).collect()[0]
+    for i, p in enumerate(planes):
+        want = round(sum(v * pv for v, pv in zip(vec, p)), 6)
+        assert getattr(r, f"p{i}") == want

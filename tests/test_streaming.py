@@ -407,3 +407,24 @@ def test_qs8_interval_join_matches_batch(spark):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_qs9_stream_static_enrich_matches_batch(spark, sf_dir):
+    from twitter_kafka_etl_spark.io import read_table, read_table_time_range
+    from twitter_kafka_etl_spark.plans import REGISTRY
+
+    got = {
+        (r.event_id, r.c_mktsegment)
+        for r in REGISTRY["qs9_stream_static_enrich"].build(spark, sf_dir).collect()
+    }
+    ev = read_table_time_range(
+        spark, sf_dir, "events", "2024-01-02 00:00:00", "2024-01-03 00:00:00"
+    ).select("event_id", "user_id")
+    dim = read_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS user_id", "c_mktsegment"
+    )
+    want = {
+        (r.event_id, r.c_mktsegment)
+        for r in ev.join(dim, "user_id", "left").collect()
+    }
+    assert got == want and len(got) > 0

@@ -213,12 +213,14 @@ def minhash_lsh_pairs(
     collapses only when it pays (see ``_auto_collapse``).
     """
     if collapse_exact is None:
-        # probe on the raw lineage, NOT a persisted handle: caching the
-        # signature table here forces the downstream self-join through an
-        # InMemoryRelation that defeats the reused-exchange plan
-        # (measured 3× slower at sf0.1). The probe costs one extra
-        # signature pass — O(n) insurance against an O(n²) bucket
-        # blow-up when the corpus is duplicate-heavy.
+        # Materialize the signature table once (k int64s per doc — tiny
+        # next to the corpus at any scale) so the probe AND both sides of
+        # the banded self-join read the materialized rows. Probing the raw
+        # lineage re-ran the whole shingle+minhash subtree just to pick a
+        # plan (~2x the query at sf1); a persist() instead of a
+        # checkpoint forces the self-join through an InMemoryRelation
+        # that defeats the reused-exchange plan (measured 3x at sf0.1).
+        signatures = signatures.localCheckpoint(eager=True)
         mh_all = [f"mh{i}" for i in range(n_bands * rows_per_band)]
         collapse_exact = _auto_collapse(
             signatures, F.concat_ws("_", *[F.col(c).cast("string") for c in mh_all])
@@ -226,9 +228,9 @@ def minhash_lsh_pairs(
     if not collapse_exact:
         return _minhash_lsh_pairs_core(signatures, id_col, n_bands, rows_per_band)
     # The collapse-expand plan references the signature table from several
-    # branches (members, the rep semi-join, the banded join). Persist it so
-    # the upstream shingle+signature subtree computes once — signatures are
-    # k int64s per doc, tiny next to the corpus even at 100 TB.
+    # branches (members, the rep semi-join, the banded join); the
+    # checkpoint above (or this persist, when the caller forced the path)
+    # makes the shingle+signature subtree compute once.
     signatures = signatures.persist()
     mh_cols = [f"mh{i}" for i in range(n_bands * rows_per_band)]
     key = F.concat_ws("_", *[F.col(c).cast("string") for c in mh_cols])
@@ -299,18 +301,33 @@ def _simhash_pairs_core(
     bits: int,
     n_chunks: int,
 ) -> DataFrame:
-    """Chunk-banded hamming join over the given (id, simhash) rows."""
+    """Chunk-banded hamming join over the given (id, simhash) rows.
+
+    Bands come from a single explode over an array of per-chunk structs —
+    ONE scan of the signature rows. The previous ``n_chunks``-way union
+    re-evaluated the upstream explode+groupBy signature subtree once per
+    branch (same lesson as _minhash_lsh_pairs_core)."""
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
-    bands = None
-    for i in range(n_chunks):
-        p = sig_df.select(
-            F.col(id_col),
-            F.col("simhash"),
-            F.lit(i).alias("band"),
-            (F.shiftright("simhash", i * chunk_bits).bitwiseAND(mask)).alias("chunk"),
-        )
-        bands = p if bands is None else bands.unionByName(p)
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                (F.shiftright("simhash", i * chunk_bits).bitwiseAND(mask)).alias(
+                    "chunk"
+                ),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    bands = sig_df.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunk_structs).alias("__c")
+    ).select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.col("__c.band").alias("band"),
+        F.col("__c.chunk").alias("chunk"),
+    )
     a, b = bands.alias("a"), bands.alias("b")
     pairs = a.join(
         b,
@@ -375,9 +392,10 @@ def simhash_pairs(
             f"— raise n_chunks to at least max_hamming + 1"
         )
     if collapse_exact is None:
-        # probe on the raw lineage (see minhash_lsh_pairs: persisting for
-        # the probe defeats the reused-exchange self-join plan); one
-        # extra simhash pass buys the right plan either way
+        # materialize once so the probe and both join sides read the tiny
+        # (id, simhash) rows instead of re-running the explode+groupBy
+        # signature subtree (see minhash_lsh_pairs)
+        sig_df = sig_df.localCheckpoint(eager=True)
         collapse_exact = _auto_collapse(sig_df, F.col("simhash"))
     if not collapse_exact:
         return _simhash_pairs_core(sig_df, id_col, max_hamming, bits, n_chunks)

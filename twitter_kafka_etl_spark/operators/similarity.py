@@ -614,3 +614,27 @@ def quantize_int8(
     return staged.select(
         id_col, "scale", "qvec", F.round("__err", 6).alias("max_err")
     )
+
+
+def project_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: list[list[int]] | None = None,
+) -> DataFrame:
+    """Random-projection dimensionality reduction: k = len(planes) exact
+    dot products against deterministic +-1 hyperplanes — the cheap dim
+    cut (64 -> 8 here) LLM pipelines apply before ANN indexing or
+    clustering (Johnson-Lindenstrauss: pairwise distances survive up to
+    1+-eps). Integer planes keep every projection an exact +- sum, so
+    results hash-match across engines. Narrow per-row arithmetic: no
+    shuffle, no Python, unconditionally scale-safe."""
+    planes = planes or hyperplanes()
+    v = as_double(vec_col)
+    return df.select(
+        F.col(id_col),
+        *[
+            F.round(dot(v, _plane_col(p)), 6).alias(f"p{i}")
+            for i, p in enumerate(planes)
+        ],
+    )

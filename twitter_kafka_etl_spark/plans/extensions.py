@@ -1682,3 +1682,29 @@ def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = sigs.persist()
     pairs = D.minhash_lsh_pairs(sigs)
     return D.estimate_jaccard(sigs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# x47 — random-projection dim reduction (the pre-ANN 64d -> 8d cut)
+# ---------------------------------------------------------------------------
+_PROJ_COLS = ",\n           ".join(
+    f"round(list_dot_product(v, {lit}), 6) AS p{i}"
+    for i, lit in enumerate(_PLANE_LITS)
+)
+
+
+@_register(
+    "x47_embedding_project",
+    "random-projection dim reduction 64d -> 8d against the deterministic "
+    "+-1 hyperplanes (Johnson-Lindenstrauss cut before ANN indexing) — "
+    "exact +- sums, narrow per-row arithmetic, no shuffle",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id,
+           {_PROJ_COLS}
+    FROM e
+    """,
+    tags=("similarity", "extension"),
+)
+def x47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.project_embeddings(_emb(spark, sf_dir))

@@ -467,3 +467,44 @@ def qs8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "value"
     )
+
+
+# ---------------------------------------------------------------------------
+# QS9 — stream-static broadcast enrichment
+# ---------------------------------------------------------------------------
+@_register(
+    "qs9_stream_static_enrich",
+    "stream-static join: each micro-batch broadcast-joins the static "
+    "customer dimension (no state store — the dim is re-resolved per "
+    "batch, so slowly-changing dims pick up updates); the reference "
+    "could only enrich after landing to batch storage; rows-only",
+    None,
+    tags=("streaming",),
+)
+def qs9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table_time_range(
+        spark, sf_dir, "events", "2024-01-02 00:00:00", "2024-01-03 00:00:00"
+    ).select("event_id", "user_id", "event_type", "value")
+    dim = (
+        read_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            "c_mktsegment",
+            "c_nationkey",
+        )
+    )
+    root = os.path.join(tempfile.gettempdir(), "tkes_stream_qs9")
+    shutil.rmtree(root, ignore_errors=True)
+    in_dir = os.path.join(root, "input")
+    half = ev.withColumn("__f", F.pmod("event_id", F.lit(2)).cast("int"))
+    half.coalesce(1).write.mode("overwrite").partitionBy("__f").parquet(in_dir)
+    _order_files(in_dir)
+    stream = _read_stream(spark, in_dir, ev)
+    # broadcast: the dim ships to every task once per batch instead of
+    # shuffling the stream — a stream-side shuffle would also force
+    # stateful join machinery this query doesn't need
+    enriched = stream.join(F.broadcast(dim), "user_id", "left")
+    out = _run_to_sink(enriched, root)
+    return spark.read.parquet(out).select(
+        "event_id", "user_id", "event_type", "c_mktsegment", "c_nationkey"
+    )
