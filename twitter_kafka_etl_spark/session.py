@@ -95,6 +95,17 @@ def get_spark(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_SPLIT_BYTES", "16m"),
         )
+        # Every distinct query compiles fresh whole-stage-codegen classes;
+        # a long suite (90+ queries) fills the JVM's 240m default code
+        # cache, after which the JIT stops compiling and expression-heavy
+        # operators (md5/minhash/shingle) run interpreted — measured 4-10x
+        # mid-suite slowdowns. Flushing + a larger cache keeps codegen
+        # compiled. Launch-time option: only effective for the JVM this
+        # builder starts; spark-submit owns it on a cluster.
+        conf.setdefault(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or par)
     conf["spark.default.parallelism"] = str(par)
     if extra_conf:
