@@ -634,3 +634,28 @@ def test_project_embeddings_matches_manual_dot(spark):
     for i, p in enumerate(planes):
         want = round(sum(v * pv for v, pv in zip(vec, p)), 6)
         assert getattr(r, f"p{i}") == want
+
+
+def test_ams_f2_exact_on_single_key(spark):
+    """All rows share one key: every signed sum is +-n, so every sketch
+    estimates F2 = n^2 exactly."""
+    from twitter_kafka_etl_spark.operators.sketches import ams_f2_sketch
+
+    df = spark.createDataFrame([(1, "k")] * 37, ["row", "key"])
+    out = ams_f2_sketch(df, "key").collect()
+    assert len(out) == 8
+    assert all(r.est_f2 == 37 * 37 for r in out)
+
+
+def test_ams_f2_estimates_self_join_size(spark, sf_dir):
+    from twitter_kafka_etl_spark.io import read_table
+    from twitter_kafka_etl_spark.operators.sketches import ams_f2_sketch
+
+    ev = read_table(spark, sf_dir, "events")
+    exact = (
+        ev.groupBy("user_id").count().selectExpr("sum(count * count) AS f2")
+    ).first().f2
+    ests = [r.est_f2 for r in ams_f2_sketch(ev, "user_id").collect()]
+    mean = sum(ests) / len(ests)
+    # k=8 sketches: std(est) = F2*sqrt(2/k) = F2/2 -> mean within ~2 std
+    assert exact / 3 <= mean <= exact * 3

@@ -292,3 +292,42 @@ def bloom_probe(
         .groupBy(col)
         .agg((F.min(hit) == 1).alias("bloom_hit"))
     )
+
+
+def ams_f2_sketch(df: DataFrame, key_col: str, k: int = 8) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-frequency-moment sketch: k
+    independent +-1 hash signs over the key; each signed row-sum s_i is
+    an unbiased estimator of F2 = sum(count_key^2) via s_i^2.
+
+    F2 is the self-join size of the key column — the quantity a planner
+    needs to predict join blow-ups — and the AMS form computes it in ONE
+    pass with NO keyed shuffle and O(k) state: every s_i is a map-side
+    partial sum folded into a single-row aggregate, so the plan is
+    scan -> partial agg -> 1-row combine even over 100 TB (contrast the
+    exact form: a full groupBy(key) shuffle). md5-derived signs make the
+    sketch identical in any engine. Output: (sketch_id, signed_sum,
+    est_f2) — median/mean of est_f2 across sketches is the estimate.
+    """
+    aggs = []
+    for i in range(k):
+        h = token_hash(
+            F.concat_ws("_", F.lit(str(i)), F.col(key_col).cast("string"))
+        )
+        sign = F.when(h % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+        aggs.append(F.sum(sign).alias(f"s{i}"))
+    row = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("sketch_id"), F.col(f"s{i}").alias("signed_sum")
+            )
+            for i in range(k)
+        ]
+    )
+    return row.select(F.explode(pairs).alias("e")).select(
+        F.col("e.sketch_id").cast("bigint").alias("sketch_id"),
+        F.col("e.signed_sum").cast("bigint").alias("signed_sum"),
+        (F.col("e.signed_sum") * F.col("e.signed_sum"))
+        .cast("bigint")
+        .alias("est_f2"),
+    )

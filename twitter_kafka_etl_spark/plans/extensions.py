@@ -1708,3 +1708,42 @@ _PROJ_COLS = ",\n           ".join(
 )
 def x47(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.project_embeddings(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x48 — AMS F2 sketch (self-join-size estimate, one pass, no keyed shuffle)
+# ---------------------------------------------------------------------------
+_AMS_K = 8
+_AMS_SUMS = ",\n           ".join(
+    "SUM(CASE WHEN "
+    + _HASH_SQL.format(col=f"concat('{i}', '_', CAST(user_id AS VARCHAR))")
+    + " % 2 = 1 THEN 1 ELSE -1 END) AS s{i}".format(i=i)
+    for i in range(_AMS_K)
+)
+_AMS_BRANCHES = "\n    UNION ALL\n".join(
+    f"    SELECT {i} AS sketch_id, s{i} AS signed_sum, s{i} * s{i} AS est_f2 FROM s"
+    for i in range(_AMS_K)
+)
+
+
+@_register(
+    "x48_sketch_ams_f2",
+    "AMS second-moment sketch over event user_id: k +-1-signed row sums, "
+    "each squared an unbiased self-join-size estimate — ONE pass, no "
+    "keyed shuffle, O(k) state at any scale (the exact form needs a full "
+    "groupBy shuffle); md5 signs make it engine-exact",
+    f"""
+    WITH s AS (
+      SELECT
+           {_AMS_SUMS}
+      FROM events
+    )
+{_AMS_BRANCHES}
+    """,
+    tags=("sketch", "extension"),
+)
+def x48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_kafka_etl_spark.operators import sketches as K2
+
+    ev = read_table(spark, sf_dir, "events")
+    return K2.ams_f2_sketch(ev, "user_id", k=_AMS_K)
