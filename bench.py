@@ -59,7 +59,7 @@ def run_one(spark, spec, sf_dir: str) -> float:
         # GCs their handles — drop them explicitly so block-manager
         # residue can't accumulate across 90+ queries
         for rdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).values():
-            rdd.unpersist(False)
+            rdd.unpersist(True)  # blocking: residue gone BEFORE next timing
         spark.sparkContext._jvm.System.gc()
     except Exception:  # noqa: BLE001 — hygiene only, never fail the bench
         pass

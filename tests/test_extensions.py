@@ -659,3 +659,19 @@ def test_ams_f2_estimates_self_join_size(spark, sf_dir):
     mean = sum(ests) / len(ests)
     # k=8 sketches: std(est) = F2*sqrt(2/k) = F2/2 -> mean within ~2 std
     assert exact / 3 <= mean <= exact * 3
+
+
+def test_ams_f2_null_keys_use_sentinel(spark):
+    """NULL keys hash via the 'NULL' sentinel (concat_ws would silently
+    drop them and diverge from the SQL oracle's concat preimage)."""
+    from twitter_kafka_etl_spark.operators.sketches import ams_f2_sketch
+
+    with_null = spark.createDataFrame(
+        [(1, None), (2, None), (3, "a")], ["row", "key"]
+    )
+    as_sentinel = spark.createDataFrame(
+        [(1, "NULL"), (2, "NULL"), (3, "a")], ["row", "key"]
+    )
+    got = [r.signed_sum for r in ams_f2_sketch(with_null, "key").collect()]
+    want = [r.signed_sum for r in ams_f2_sketch(as_sentinel, "key").collect()]
+    assert got == want

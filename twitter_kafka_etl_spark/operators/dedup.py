@@ -212,6 +212,7 @@ def minhash_lsh_pairs(
     ``None`` (default) probes the signature duplication factor and
     collapses only when it pays (see ``_auto_collapse``).
     """
+    checkpointed = False
     if collapse_exact is None:
         # Materialize the signature table once (k int64s per doc — tiny
         # next to the corpus at any scale) so the probe AND both sides of
@@ -220,7 +221,13 @@ def minhash_lsh_pairs(
         # plan (~2x the query at sf1); a persist() instead of a
         # checkpoint forces the self-join through an InMemoryRelation
         # that defeats the reused-exchange plan (measured 3x at sf0.1).
-        signatures = signatures.localCheckpoint(eager=True)
+        # eager=False: the probe action below does the materializing, so
+        # merely BUILDING this plan (tests, plan dumps) runs no job.
+        # Lifetime: checkpoint blocks live until the session ends or the
+        # handle is unpersisted — long-lived sessions looping over
+        # corpora should drop spent handles (see bench.py run_one).
+        signatures = signatures.localCheckpoint(eager=False)
+        checkpointed = True
         mh_all = [f"mh{i}" for i in range(n_bands * rows_per_band)]
         collapse_exact = _auto_collapse(
             signatures, F.concat_ws("_", *[F.col(c).cast("string") for c in mh_all])
@@ -228,10 +235,13 @@ def minhash_lsh_pairs(
     if not collapse_exact:
         return _minhash_lsh_pairs_core(signatures, id_col, n_bands, rows_per_band)
     # The collapse-expand plan references the signature table from several
-    # branches (members, the rep semi-join, the banded join); the
-    # checkpoint above (or this persist, when the caller forced the path)
-    # makes the shingle+signature subtree compute once.
-    signatures = signatures.persist()
+    # branches (members, the rep semi-join, the banded join) — make the
+    # shingle+signature subtree compute once. Only persist when the
+    # caller forced this path on raw lineage: re-wrapping the checkpoint
+    # in an InMemoryRelation would both duplicate storage and reintroduce
+    # the reused-exchange-defeating cache node.
+    if not checkpointed:
+        signatures = signatures.persist()
     mh_cols = [f"mh{i}" for i in range(n_bands * rows_per_band)]
     key = F.concat_ws("_", *[F.col(c).cast("string") for c in mh_cols])
     members = signatures.select(F.col(id_col).alias("m_id"), key.alias("__sig"))
@@ -394,8 +404,9 @@ def simhash_pairs(
     if collapse_exact is None:
         # materialize once so the probe and both join sides read the tiny
         # (id, simhash) rows instead of re-running the explode+groupBy
-        # signature subtree (see minhash_lsh_pairs)
-        sig_df = sig_df.localCheckpoint(eager=True)
+        # signature subtree; eager=False — the probe action materializes
+        # (see minhash_lsh_pairs for lifetime notes)
+        sig_df = sig_df.localCheckpoint(eager=False)
         collapse_exact = _auto_collapse(sig_df, F.col("simhash"))
     if not collapse_exact:
         return _simhash_pairs_core(sig_df, id_col, max_hamming, bits, n_chunks)

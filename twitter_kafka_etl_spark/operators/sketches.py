@@ -310,8 +310,14 @@ def ams_f2_sketch(df: DataFrame, key_col: str, k: int = 8) -> DataFrame:
     """
     aggs = []
     for i in range(k):
+        # NULL keys hash as the literal 'NULL' sentinel on BOTH engines:
+        # concat_ws silently drops null arguments (preimage 'i' here vs
+        # 'i_' in a SQL twin using concat), which would diverge the signs
         h = token_hash(
-            F.concat_ws("_", F.lit(str(i)), F.col(key_col).cast("string"))
+            F.concat(
+                F.lit(f"{i}_"),
+                F.coalesce(F.col(key_col).cast("string"), F.lit("NULL")),
+            )
         )
         sign = F.when(h % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
         aggs.append(F.sum(sign).alias(f"s{i}"))

@@ -1716,7 +1716,9 @@ def x47(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AMS_K = 8
 _AMS_SUMS = ",\n           ".join(
     "SUM(CASE WHEN "
-    + _HASH_SQL.format(col=f"concat('{i}', '_', CAST(user_id AS VARCHAR))")
+    + _HASH_SQL.format(
+        col=f"concat('{i}', '_', COALESCE(CAST(user_id AS VARCHAR), 'NULL'))"
+    )
     + " % 2 = 1 THEN 1 ELSE -1 END) AS s{i}".format(i=i)
     for i in range(_AMS_K)
 )
@@ -1743,7 +1745,5 @@ _AMS_BRANCHES = "\n    UNION ALL\n".join(
     tags=("sketch", "extension"),
 )
 def x48(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from twitter_kafka_etl_spark.operators import sketches as K2
-
     ev = read_table(spark, sf_dir, "events")
-    return K2.ams_f2_sketch(ev, "user_id", k=_AMS_K)
+    return K.ams_f2_sketch(ev, "user_id", k=_AMS_K)
