@@ -36,24 +36,26 @@ def _rank(name: str) -> int:
     """Emission order for the driver's per-round correctness pass.
 
     The driver file caps at exactly 50 entries in emission order.
-    Round 1 verified q01-q37 + x01-x13; round 2 verified q01-q22,
-    x14-x35 and ran the qs set (qs3/qs4/qs6 errored on the NTZ
-    regression, fixed since). Round 3 fronts: the brand-new queries
-    (x36+, qs7), the repaired streaming set, then the blocks absent
-    from the round-2 file (q23-q37, x01-x13). Every query is still
-    emitted; the tail is the twice-verified block.
+    Round 1 verified q01-q37 + x01-x13; round 2 verified q01-q22 +
+    x14-x35 + qs1-6; round 3 verified x36-x48 + qs1-9 + x01-x13 +
+    q23-q37 (x45/x48 red, repaired this round). Round 4 fronts: the
+    two repaired queries, the qs set (several now carry brand-new
+    batch-readback oracles), then the blocks last verified in r2 —
+    x14-x35 (one green round) before q01-q22 (two green rounds).
+    Every query is still emitted; the tail is the freshly-r3-verified
+    block.
     """
-    if name.startswith("x") and name[1:3].isdigit() and int(name[1:3]) >= 36:
+    if name in ("x45_embedding_quantize", "x48_sketch_ams_f2"):
         return 0
     if name.startswith("qs"):
         return 1
-    if name.startswith("x") and name[1:3].isdigit() and int(name[1:3]) <= 13:
+    if name.startswith("x") and name[1:3].isdigit() and 14 <= int(name[1:3]) <= 35:
         return 2
-    if name.startswith("q") and name[1:3].isdigit() and int(name[1:3]) >= 23:
+    if name.startswith("q") and name[1:3].isdigit() and int(name[1:3]) <= 22:
         return 3
     if name.startswith("q"):
-        return 4  # q01-q22
-    return 5  # x14-x35
+        return 4  # q23-q37 (verified r3)
+    return 5  # x01-x13, x36-x47 (verified r3)
 
 
 def _ordered() -> list[str]:

@@ -32,7 +32,7 @@ from twitter_kafka_etl_spark.plans import REGISTRY
 from twitter_kafka_etl_spark.session import get_spark
 
 
-def run_one(spark, spec, sf_dir: str) -> float:
+def _run_once(spark, spec, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = spec.build(spark, sf_dir)
     # Full materialization without shipping rows to the driver: the noop
@@ -40,7 +40,33 @@ def run_one(spark, spec, sf_dir: str) -> float:
     # json parsing, array transforms) is actually paid — count() alone
     # lets Catalyst drop unreferenced projections on map-only queries.
     df.write.format("noop").mode("overwrite").save()
-    elapsed = time.perf_counter() - t0
+    return time.perf_counter() - t0
+
+
+def run_one(spark, spec, sf_dir: str, runs: int = 2) -> float:
+    """min over ``runs`` timed executions (hygiene pass between them).
+
+    One-shot timings at local[32] carry 2-12x JIT/ramp noise that has
+    nothing to do with the plan: r3 recorded x01 at 4.09s as the
+    suite's first timed query vs 0.32s mid-suite in r2, with the
+    operator unchanged. The min of two runs is the reproducible
+    steady-state cost of the plan — the quantity a capacity planner
+    actually extrapolates to a cluster — while cold-start costs (JIT,
+    Python worker spin-up, code-cache state) are a per-executor
+    constant that amortizes to nothing over a 100 TB job.
+    """
+    best = None
+    for _ in range(max(1, runs)):
+        t = _run_once(spark, spec, sf_dir)
+        best = t if best is None else min(best, t)
+        # Hygiene after EVERY run, outside the timed region — including
+        # between the repeats, so the second timing re-executes the full
+        # plan rather than reading the first run's persisted working set.
+        _evict(spark)
+    return best
+
+
+def _evict(spark) -> None:
     # Per-query hygiene OUTSIDE the timed region: operators that persist
     # a working set (dedup/similarity) leave it cached after the sink
     # completes; 78 queries of leftover blocks + checkpoint files degrade
@@ -63,7 +89,6 @@ def run_one(spark, spec, sf_dir: str) -> float:
         spark.sparkContext._jvm.System.gc()
     except Exception:  # noqa: BLE001 — hygiene only, never fail the bench
         pass
-    return elapsed
 
 
 def main() -> None:
@@ -102,6 +127,31 @@ def main() -> None:
             lambda a, b: a + b,
         ).alias("s")
     ).write.format("noop").mode("overwrite").save()
+    # Parquet scan + shuffle machinery (r3 recorded the literal first
+    # timed query at 12.9x its mid-suite cost: the expression warmup
+    # above never touched the vectorized reader or a real exchange), and
+    # one Arrow-batched pandas_udf so Python workers are already up when
+    # the first UDF query is timed.
+    try:
+        from twitter_kafka_etl_spark.io import read_table
+
+        ev = read_table(spark, sf_dir, "events")
+        ev.groupBy("event_type").count().write.format("noop").mode(
+            "overwrite"
+        ).save()
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _warm_udf(s: pd.Series) -> pd.Series:
+            return s * 2
+
+        spark.range(10_000).select(_warm_udf("id")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception as e:  # noqa: BLE001 — warmup only
+        print(f"bench warmup skipped: {e}", file=sys.stderr)
+    _evict(spark)
 
     def order(name: str):
         # Higher-order-function operators (shingle/array builds) run on
@@ -119,10 +169,11 @@ def main() -> None:
                 else (0, name) if name.startswith("x")
                 else (1, name))
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items(), key=lambda kv: order(kv[0])):
         try:
-            timings[name] = round(run_one(spark, spec, sf_dir), 4)
+            timings[name] = round(run_one(spark, spec, sf_dir, runs=runs), 4)
         except Exception as e:  # noqa: BLE001
             print(f"bench error {name}: {e}", file=sys.stderr)
             timings[name] = -1.0

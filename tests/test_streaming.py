@@ -20,11 +20,22 @@ def test_qs1_kafka_shape_roundtrip(spark, sf_dir):
     n_in = read_table(spark, sf_dir, "events").count()
     assert len(rows) == n_in
     r = rows[0]
-    assert set(out.columns) == {"key", "value", "topic"}
-    payload = json.loads(r.value)
+    # oracle surface: the JSON payload parsed back to typed columns
+    assert set(out.columns) == {
+        "key", "topic", "event_id", "user_id", "event_type",
+        "value", "props", "ts",
+    }
     # key = first-2-upper(topic) + event_id (twitter_producer.py:33 shape)
-    assert r.key == r.topic[:2].upper() + str(payload["event_id"])
-    assert payload["event_type"] == r.topic
+    assert r.key == r.topic[:2].upper() + str(r.event_id)
+    assert r.event_type == r.topic
+    # lossless round-trip: event time survives JSON encode/decode at µs
+    want_ts = {
+        (x.event_id, x.ts)
+        for x in read_table(spark, sf_dir, "events")
+        .select("event_id", "ts").collect()
+    }
+    got_ts = {(x.event_id, x.ts) for x in rows}
+    assert got_ts == want_ts
 
 
 def test_qs2_window_counts_partition_sum(spark, sf_dir):

@@ -206,6 +206,77 @@ def write_external(
         writer.save()
 
 
+def mongodb_sink_options(
+    connection_uri: str,
+    database: str,
+    collection: str,
+    checkpoint: str | None = None,
+) -> dict[str, str]:
+    """Option set for the S6 MongoDB sink — the reference's hardcoded
+    second sink (consumer.scala:176-181: uri/database/collection) as a
+    validated builder for the public mongo-spark connector's ``mongodb``
+    format (connector v10+ option names). ``checkpoint`` is required for
+    the streaming writer, absent for batch.
+
+    Pure function so the wiring is unit-testable in connectorless
+    environments — the jar and a live mongod are only needed at
+    ``save()``/``start()``, exactly like the Kafka builders above."""
+    if not connection_uri:
+        raise ValueError("connection_uri must be non-empty")
+    if not connection_uri.startswith(("mongodb://", "mongodb+srv://")):
+        raise ValueError(
+            "connection_uri must be a mongodb:// or mongodb+srv:// URI"
+        )
+    if not database or not collection:
+        raise ValueError("database and collection must be non-empty")
+    opts = {
+        "connection.uri": connection_uri,
+        "database": database,
+        "collection": collection,
+    }
+    if checkpoint is not None:
+        if not checkpoint:
+            raise ValueError("checkpoint location must be non-empty when given")
+        opts["checkpointLocation"] = checkpoint
+    return opts
+
+
+def write_mongodb(
+    df: DataFrame,
+    connection_uri: str,
+    database: str,
+    collection: str,
+    mode: str = "append",
+) -> None:
+    """S6 — MongoDB batch sink (consumer.scala:176-181) through the
+    generic external writer with the validated option surface."""
+    write_external(
+        df,
+        "mongodb",
+        mongodb_sink_options(connection_uri, database, collection),
+        mode=mode,
+    )
+
+
+def write_mongodb_stream(
+    df: DataFrame,
+    connection_uri: str,
+    database: str,
+    collection: str,
+    checkpoint: str,
+):
+    """S6 streaming variant: checkpointed micro-batch writes to MongoDB
+    (the connector's structured-streaming sink). For multi-sink fan-out
+    pair with streaming.sinks.foreach_batch_fanout instead."""
+    opts = mongodb_sink_options(connection_uri, database, collection, checkpoint)
+    return (
+        df.writeStream.format("mongodb")
+        .options(**opts)
+        .outputMode("append")
+        .start()
+    )
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

@@ -779,6 +779,12 @@ def connected_components(
     # symmetric edges: src alone covers every endpoint
     members = edges.select(F.col("src").alias("id")).distinct()
     labels = members.withColumn("lbl", F.col("id"))
+    # Session-global mutation (restored in finally): assumes the session
+    # runs one query at a time — a concurrent query in another thread
+    # (e.g. a live streaming micro-batch, whose _run_to_sink mutates the
+    # same key) would race and run at this width. Fine for the batch
+    # pipeline/bench/driver model; a shared multi-tenant session should
+    # pass pre-partitioned inputs instead.
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
         labels = labels.localCheckpoint(eager=True)

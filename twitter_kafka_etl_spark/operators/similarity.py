@@ -375,6 +375,21 @@ def _cosine_pairs_collapsed(
     identical cosine), within-group pairs are exactly 1.0 (guarded to
     vectors with positive norm — a zero vector has no cosine and the
     naive path never emits it either).
+
+    Path-selection note: with ``use_lsh_prefilter=None`` the inner
+    ``cosine_pairs`` call decides exact-vs-LSH from the REPRESENTATIVE
+    count, not the raw row count — deliberately: the candidate join runs
+    over representatives, so rep count is the size that matters (10M rows
+    collapsing to 50k reps should take the exact path). Near the
+    ``lsh_auto_rows`` boundary this can differ from the path the
+    uncollapsed call would pick; emitted cos_sim values are exact either
+    way, only LSH-recall at the threshold boundary differs.
+
+    Cache lifetime: ``members`` stays persisted for the returned plan's
+    lifetime (it feeds the expand joins twice) and is released by
+    session cache eviction (`spark.catalog.clearCache()` — bench.py does
+    this between queries) or session end, same contract as the
+    ``persist=True`` working sets in ``dedup.minhash_lsh_pairs``.
     """
     members = df.select(
         F.col(id_col).alias("m_id"),

@@ -1356,7 +1356,15 @@ def x36(spark: SparkSession, sf_dir: str) -> DataFrame:
     from twitter_kafka_etl_spark.operators import curation as C
 
     docs = _docs(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(D.minhash_signatures(D.shingle(docs)))
+    # persist the pair graph: connected_components executes it at least
+    # twice (edge count probe + checkpoint/propagation) and the full
+    # shingle→minhash→LSH subtree upstream is the most expensive lineage
+    # in the suite (top sf1 bench line before this). Same cache-lifetime
+    # contract as x46's signature persist: released by session cache
+    # eviction or session end.
+    pairs = D.minhash_lsh_pairs(
+        D.minhash_signatures(D.shingle(docs))
+    ).persist()
     comp = D.connected_components(pairs, nodes=docs)
     scored = T.quality_features(docs).select("doc_id", "quality_score")
     return C.select_keepers(scored, comp)
@@ -1616,8 +1624,10 @@ def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x45_embedding_quantize",
     "symmetric int8 embedding quantization: scale = max|v|/127, "
     "q_i = floor(v_i/scale + 0.5) — every step an identical IEEE op in "
-    "both engines, so the full quantized VECTORS hash-match, plus the "
-    "max reconstruction error; narrow per-row arrays, no shuffle",
+    "both engines, so the full quantized VECTORS hash-match (encoded as "
+    "a CSV string: the driver's canonicalizer can't sort raw array "
+    "columns), plus the max reconstruction error; narrow per-row "
+    "arrays, no shuffle",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     s AS (SELECT vec_id, v,
@@ -1629,7 +1639,8 @@ def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
                           v, x -> CAST(floor(x / sc + 0.5) AS INT))
                  END AS qv
           FROM s)
-    SELECT vec_id, round(sc, 6) AS scale, qv AS qvec,
+    SELECT vec_id, round(sc, 6) AS scale,
+           array_to_string(qv, ',') AS qvec_csv,
            round(list_max(list_transform(
                range(1, len(v) + 1), i -> abs(v[i] - qv[i] * sc))), 6)
              AS max_err
@@ -1638,7 +1649,19 @@ def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "extension"),
 )
 def x45(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.quantize_int8(_emb(spark, sf_dir))
+    # quantize_int8 keeps the real array<int> output for downstream use;
+    # the registered (oracle-compared) surface encodes it as CSV because
+    # the driver's canonicalizer sorts every column and raw lists are
+    # unhashable (CORRECTNESS_r03: TypeError crash, no signal at all)
+    out = S.quantize_int8(_emb(spark, sf_dir))
+    return out.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("qvec").cast("array<string>"), ",").alias(
+            "qvec_csv"
+        ),
+        "max_err",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1722,8 +1745,14 @@ _AMS_SUMS = ",\n           ".join(
     + " % 2 = 1 THEN 1 ELSE -1 END) AS s{i}".format(i=i)
     for i in range(_AMS_K)
 )
+# CAST everything to BIGINT: DuckDB SUM(int) returns HUGEINT (INT128),
+# which pandas materializes as object/float64 and the driver's
+# canonicalized hash then differs from Spark's bigint output even when
+# every value is identical (CORRECTNESS_r03 x48 false red).
 _AMS_BRANCHES = "\n    UNION ALL\n".join(
-    f"    SELECT {i} AS sketch_id, s{i} AS signed_sum, s{i} * s{i} AS est_f2 FROM s"
+    f"    SELECT CAST({i} AS BIGINT) AS sketch_id,"
+    f" CAST(s{i} AS BIGINT) AS signed_sum,"
+    f" CAST(s{i} * s{i} AS BIGINT) AS est_f2 FROM s"
     for i in range(_AMS_K)
 )
 

@@ -97,7 +97,9 @@ def _run_to_sink(
     # shuffle/state partitioning low by default (it is fixed at first
     # checkpoint). Volume-bound queries pass a higher value (see
     # _state_partitions). At production scale this knob comes from the
-    # cluster config.
+    # cluster config. Session-global mutation (restored in finally):
+    # assumes one query at a time in this session — same assumption and
+    # caveat as dedup.connected_components' loop-width mutation.
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -114,7 +116,10 @@ def _state_partitions(df: DataFrame, big_rows: int = 500_000) -> int:
     inputs keep 8 partitions (per-partition-per-batch overhead dominates),
     large ones use the full core count (the stateful pandas stage is
     CPU-bound — 8 vs 32 partitions measured 15.3 s vs 9.1 s on the sf1
-    events stream). The count is a parquet metadata read, not a scan."""
+    events stream). The probe is one count() job at plan-build time —
+    column-pruned to nothing on a plain parquet read, but a real scan
+    when the caller passes a filtered frame; either way it is one cheap
+    pass paid once per query, not per micro-batch."""
     from twitter_kafka_etl_spark.session import default_parallelism
 
     return default_parallelism() if df.count() >= big_rows else 8
@@ -123,12 +128,26 @@ def _state_partitions(df: DataFrame, big_rows: int = 500_000) -> int:
 # ---------------------------------------------------------------------------
 # QS1 — S1/S2/T1-T3: file-source stream → keyed Kafka-shaped sink
 # ---------------------------------------------------------------------------
+#: microsecond timestamp format so the JSON payload round-trips event
+#: times losslessly (to_json's default keeps milliseconds only and the
+#: synthetic events carry full µs precision)
+_QS1_TS_FMT = {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
+
+
 @_register(
     "qs1_stream_kafka_shape",
     "streaming ingest → Kafka wire shape (key,value,topic): the producer's "
     "keyed fan-out (twitter_producer.py:30-33) + checkpointed sink (T2); "
-    "rows-only (no SQL twin for streaming)",
-    None,
+    "oracle form: the sink's payload parsed back out — key construction, "
+    "topic fan-out and the lossless JSON round-trip of every field are "
+    "all batch-checkable even though the transport is a stream",
+    """
+    SELECT concat(upper(substr(event_type, 1, 2)),
+                  CAST(event_id AS VARCHAR)) AS key,
+           event_type AS topic,
+           event_id, user_id, event_type, value, props, ts
+    FROM events
+    """,
     tags=("streaming",),
 )
 def qs1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,9 +158,22 @@ def qs1(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream,
         key_col=construct_key("event_type", "event_id"),
         topic_col=F.col("event_type"),
+        json_options=_QS1_TS_FMT,
     )
     out = _run_to_sink(shaped, work)
-    return spark.read.parquet(out).select("key", "value", "topic")
+    wire = spark.read.parquet(out).select("key", "value", "topic")
+    # oracle surface: decode the payload back to typed columns — the
+    # driver canonicalizer compares scalars, and a raw JSON string would
+    # pin the comparison to Java vs DuckDB double-formatting instead of
+    # the values themselves
+    return wire.select(
+        "key",
+        "topic",
+        F.from_json("value", ev.schema, _QS1_TS_FMT).alias("p"),
+    ).select(
+        "key", "topic", "p.event_id", "p.user_id", "p.event_type",
+        "p.value", "p.props", "p.ts",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -151,16 +183,27 @@ def qs1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "qs2_stream_hourly_partitioned",
     "stream events → hour-partitioned parquet raw layer (S4, "
     "consumer.scala:73-82) → batch 1-h tumbling window counts (T4/T7 "
-    "two-phase hand-off, minus the wall-clock path math); rows-only",
-    None,
+    "two-phase hand-off, minus the wall-clock path math); oracle form: "
+    "epoch-aligned tumbling counts ≡ date_trunc('hour') GROUP BY, and "
+    "the partitioned sink round-trip must lose no rows",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS counts
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
     tags=("streaming",),
 )
 def qs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
-    # two micro-batches: still exercises the cross-batch checkpoint
-    # advance (QS1 covers 4-batch ingest); each batch spans half the
-    # hive dirs, and per-batch listing/commit is the dominant cost here
-    in_dir, work = _stage(spark, sf_dir, "qs2", n_files=2)
+    # ONE staged micro-batch: the dominant cost of this query is the
+    # hive-sink listing/commit over ~740 date×hour dirs, paid once per
+    # batch — and the cross-batch checkpoint advance this used to
+    # duplicate is already exercised by QS1's 4-batch ingest (and
+    # asserted in tests). One batch = one commit spanning all dirs.
+    in_dir, work = _stage(spark, sf_dir, "qs2", n_files=1)
     # repartition by date: each hive dir is written by exactly one task
     # (one file per dir per batch), and the ~180 dirs a batch spans are
     # written by several tasks in parallel instead of one serial task
@@ -179,8 +222,36 @@ def qs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "qs3_stream_watermark_late_drop",
     "watermarked sliding-window streaming agg: a planted late event "
     "arriving after the watermark passed is dropped deterministically "
-    "(T5 — the reference loses late data racily instead); rows-only",
-    None,
+    "(T5 — the reference loses late data racily instead); oracle form: "
+    "2h/1h sliding counts over the day slice, restricted to windows the "
+    "final watermark finalized — the planted advance row (23:59) pins "
+    "the watermark at 22:59, and the planted late row is dropped, so "
+    "neither appears in any emitted window",
+    """
+    WITH e AS (
+      SELECT event_type, ts FROM events
+      WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-03 00:00:00'
+    ), w AS (
+      SELECT event_type,
+             unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                     date_trunc('hour', ts)]) AS window_start
+      FROM e
+    )
+    SELECT window_start,
+           window_start + INTERVAL 2 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS counts
+    FROM w
+    GROUP BY 1, 2, 3
+    -- final watermark = max event time (>= the planted 23:59:00
+    -- advance row, < midnight) - 1h, i.e. somewhere in [22:59, 23:00);
+    -- window ends are on the hour, so every cutoff in that interval
+    -- emits exactly the windows ending <= 22:00 — the constant below is
+    -- scale-factor-independent
+    HAVING window_start + INTERVAL 2 HOUR
+             <= TIMESTAMP '2024-01-02 22:59:00'
+    """,
     tags=("streaming",),
 )
 def qs3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,8 +313,15 @@ def qs3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming keyed dedup with bounded state: batch 2 replays a subset "
     "of batch 1's rows (same event_id/ts); dropDuplicatesWithinWatermark "
     "emits each key once and evicts state at the watermark (D1 streaming "
-    "variant, wrangling.py:24 at unbounded-stream scale); rows-only",
-    None,
+    "variant, wrangling.py:24 at unbounded-stream scale); oracle form: "
+    "first-arrival-per-key over a replayed stream ≡ the day slice "
+    "itself (event_id is unique there, so every replay is a duplicate "
+    "within the 2-day watermark and must be dropped)",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-03 00:00:00'
+    """,
     tags=("streaming", "dedup"),
 )
 def qs4(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,8 +354,12 @@ def qs4(spark: SparkSession, sf_dir: str) -> DataFrame:
     "foreachBatch delivers each micro-batch to two sinks from one scan "
     "(raw rows + per-type batch counts) — the reference's MongoDB+parquet "
     "dual write (consumer.scala:176-187) with the second sink actually "
-    "firing; rows-only",
-    None,
+    "firing; oracle form: the primary sink must hold every input row "
+    "exactly once (per-batch appends ∪ = the table); the per-batch agg "
+    "sink is asserted in tests",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    """,
     tags=("streaming", "sink"),
 )
 def qs5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,9 +400,16 @@ def qs5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "qs6_stream_stateful_totals",
     "running per-user (count, sum) carried across micro-batches in the "
     "state store via applyInPandasWithState — the engine's arbitrary-"
-    "state surface (T8); final emission per user equals the batch ground "
-    "truth (asserted in tests); rows-only",
-    None,
+    "state surface (T8); oracle form: the final emission per user IS "
+    "the batch ground truth (measured: incremental pandas accumulation "
+    "vs batch SUM agree to 2e-12 while the synthetic values keep sums "
+    "~0.5e-6 from any 6dp rounding boundary — orders of magnitude of "
+    "margin for the canonicalized hash)",
+    """
+    SELECT user_id, COUNT(*) AS total_events,
+           SUM(value) AS total_value
+    FROM events GROUP BY user_id
+    """,
     tags=("streaming", "stateful", "udf"),
 )
 def qs6(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,8 +457,43 @@ def qs6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "watermarked per-user session windows on a stream (T8 streaming "
     "mode — q28 covers the batch form): sessions close after 30 min of "
     "event-time silence; state per open session is bounded by watermark "
-    "+ gap, not stream length; rows-only",
-    None,
+    "+ gap, not stream length; oracle form: gaps-and-islands sessions "
+    "(q28's SQL) restricted to those finalized below the final "
+    "watermark = ms-floor(max event time) - 1h — append mode only emits "
+    "sessions the watermark has passed, by design",
+    """
+    WITH e AS (
+      SELECT user_id, ts FROM events
+      WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-03 00:00:00'
+    ), marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    ), sess AS (
+      SELECT MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             user_id,
+             COUNT(*) AS counts
+      FROM numbered GROUP BY user_id, sess_id
+    ), wm AS (
+      -- Spark tracks event-time stats at millisecond resolution, so the
+      -- final watermark is the ms-floored max event time minus the delay
+      SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 HOUR AS w
+      FROM e
+    )
+    SELECT s.session_start, s.session_end, s.user_id, s.counts
+    FROM sess s, wm
+    WHERE s.session_end <= wm.w
+    """,
     tags=("streaming",),
 )
 def qs7(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,8 +533,28 @@ def qs7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream-stream inner interval join: purchases within 2h of the same "
     "user's click, both streams watermarked so the two join buffers "
     "evict at the watermark (bounded state on unbounded streams — a "
-    "surface the reference's batch hand-off cannot express); rows-only",
-    None,
+    "surface the reference's batch hand-off cannot express); oracle "
+    "form: the batch interval join — state eviction only discards rows "
+    "that can no longer match (click_ts + 2h < watermark), so the "
+    "streamed result equals the batch join exactly",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, ts, value FROM events
+      WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-03 00:00:00'
+    )
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts,
+           p.value
+    FROM (SELECT * FROM e WHERE event_type = 'click') c
+    JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 2 HOUR
+    """,
     tags=("streaming",),
 )
 def qs8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,8 +621,16 @@ def qs8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream-static join: each micro-batch broadcast-joins the static "
     "customer dimension (no state store — the dim is re-resolved per "
     "batch, so slowly-changing dims pick up updates); the reference "
-    "could only enrich after landing to batch storage; rows-only",
-    None,
+    "could only enrich after landing to batch storage; oracle form: "
+    "the same left join expressed in batch SQL over the day slice",
+    """
+    SELECT e.event_id, e.user_id, e.event_type,
+           c.c_mktsegment, c.c_nationkey
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.ts >= TIMESTAMP '2024-01-02 00:00:00'
+      AND e.ts <  TIMESTAMP '2024-01-03 00:00:00'
+    """,
     tags=("streaming",),
 )
 def qs9(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -120,11 +120,19 @@ def kafka_shaped(
     df: DataFrame,
     key_col: Column,
     topic_col: Column,
+    json_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """S2 — project a frame into Kafka wire shape (key, value, topic):
     value is the full row as JSON, key/topic from the given expressions
-    (producer fan-out semantics, twitter_producer.py:30-33,62-64)."""
-    payload = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    (producer fan-out semantics, twitter_producer.py:30-33,62-64).
+
+    ``json_options`` passes through to ``to_json`` — e.g. a
+    microsecond ``timestampFormat`` when the payload must round-trip
+    event times losslessly (the default format keeps milliseconds only).
+    """
+    payload = F.to_json(
+        F.struct(*[F.col(c) for c in df.columns]), json_options or {}
+    )
     return df.select(
         key_col.cast("string").alias("key"),
         payload.alias("value"),
