@@ -39,13 +39,19 @@ def _rank(name: str) -> int:
     Round 1 verified q01-q37 + x01-x13; round 2 verified q01-q22 +
     x14-x35 + qs1-6; round 3 verified x36-x48 + qs1-9 + x01-x13 +
     q23-q37 (x45/x48 red, repaired this round). Round 4 fronts: the
-    two repaired queries, the qs set (several now carry brand-new
-    batch-readback oracles), then the blocks last verified in r2 —
+    two repaired queries and the two brand-new ones (x49/x50), the qs
+    set (all nine now carry batch-readback oracles), then the blocks
+    last verified in r2 —
     x14-x35 (one green round) before q01-q22 (two green rounds).
     Every query is still emitted; the tail is the freshly-r3-verified
     block.
     """
-    if name in ("x45_embedding_quantize", "x48_sketch_ams_f2"):
+    if name in (
+        "x45_embedding_quantize",
+        "x48_sketch_ams_f2",
+        "x49_length_buckets",   # new this round — never driver-verified
+        "x50_dataset_mixture",  # new this round — never driver-verified
+    ):
         return 0
     if name.startswith("qs"):
         return 1

@@ -675,3 +675,43 @@ def test_ams_f2_null_keys_use_sentinel(spark):
     got = [r.signed_sum for r in ams_f2_sketch(with_null, "key").collect()]
     want = [r.signed_sum for r in ams_f2_sketch(as_sentinel, "key").collect()]
     assert got == want
+
+
+def test_mixture_sample_validates_rates(spark, sf_dir):
+    import pytest
+
+    from twitter_kafka_etl_spark.io import read_table
+    from twitter_kafka_etl_spark.operators.curation import mixture_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="rate"):
+        mixture_sample(docs, "source", "doc_id", {"src0": 101})
+    with pytest.raises(ValueError, match="default_pct"):
+        mixture_sample(docs, "source", "doc_id", {"src0": 50}, default_pct=-1)
+    # rate 0 drops the source entirely; rate 100 keeps it whole
+    out = mixture_sample(
+        docs, "source", "doc_id", {"src0": 100, "src1": 0}, default_pct=0
+    )
+    got = {r.source for r in out.select("source").distinct().collect()}
+    assert got == {"src0"}
+    n_src0 = docs.filter("source = 'src0'").count()
+    assert out.count() == n_src0
+
+
+def test_length_bucket_truncates_at_context_limit(spark):
+    from pyspark.sql import functions as F
+
+    from twitter_kafka_etl_spark.operators.curation import length_bucket_stats
+
+    df = spark.createDataFrame(
+        [(" ".join(["t"] * n),) for n in (3, 17, 40, 9000)], ["text"]
+    )
+    out = {
+        r.bucket: (r.n_docs, r.total_tokens, r.padding_waste)
+        for r in length_bucket_stats(df, boundaries=(16, 32, 4096)).collect()
+    }
+    # 3 tokens -> bucket 16 (waste 13); 17 -> 32 (15); 40 -> 4096; the
+    # 9000-token doc truncates to 4096 with zero waste
+    assert out[16] == (1, 3, 13)
+    assert out[32] == (1, 17, 15)
+    assert out[4096] == (2, 40 + 4096, 4096 - 40)

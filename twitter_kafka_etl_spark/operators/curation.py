@@ -254,3 +254,96 @@ def balance_strata(
             *df.columns, F.col("sample_rank").cast("bigint").alias("rank")
         )
     )
+
+
+DEFAULT_LENGTH_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def length_bucket(
+    token_count: Column,
+    boundaries: Sequence[int] = DEFAULT_LENGTH_BUCKETS,
+) -> Column:
+    """Smallest configured bucket that holds ``token_count`` tokens;
+    documents longer than the largest bucket truncate into it (the
+    model's context limit). Fixed integer boundaries — no float log2 —
+    so the assignment is bitwise-identical on any engine."""
+    bs = sorted(boundaries)
+    expr = None
+    for b in bs:
+        cond = token_count <= b
+        expr = F.when(cond, b) if expr is None else expr.when(cond, b)
+    return expr.otherwise(bs[-1])
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    boundaries: Sequence[int] = DEFAULT_LENGTH_BUCKETS,
+) -> DataFrame:
+    """Sequence-length bucketing with padding-waste accounting — the
+    batch-shape decision for training/inference: every sequence in a
+    batch pads to its bucket size, so waste = bucket - effective_tokens
+    is compute burned on pad tokens. Output per bucket: doc count,
+    effective token total (post-truncation), padded token total
+    (bucket × docs), waste, and waste fraction.
+
+    All JVM expressions over whitespace tokens (the corpus convention,
+    text.token_stats), one partial-agg shuffle on ≤len(boundaries)
+    keys — scale-free."""
+    bs = sorted(boundaries)
+    n = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    eff = F.least(n, F.lit(bs[-1]).cast("bigint"))
+    b = length_bucket(eff, bs).cast("bigint")
+    per_doc = df.select(b.alias("bucket"), eff.alias("__eff"))
+    return (
+        per_doc.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__eff").alias("total_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "total_tokens",
+            (F.col("bucket") * F.col("n_docs")).alias("padded_tokens"),
+            (F.col("bucket") * F.col("n_docs") - F.col("total_tokens")).alias(
+                "padding_waste"
+            ),
+            F.round(
+                (F.col("bucket") * F.col("n_docs") - F.col("total_tokens"))
+                / (F.col("bucket") * F.col("n_docs")),
+                6,
+            ).alias("waste_frac"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, int],
+    default_pct: int = 100,
+    salt: str = "mixture",
+) -> DataFrame:
+    """Per-source weighted sampling — the dataset-mixture step of a
+    training-mix build (each source kept at its own rate, e.g. web 30%,
+    reference text 100%). Rates are integer percents applied through
+    the same salted-md5 bucket as ``hash_sample``, so the selected set
+    is a pure function of (salt, id): reproducible under retries,
+    re-partitioning, and across engines — and a different salt draws an
+    independent mixture from the same corpus.
+
+    Narrow per-row filter, no shuffle; the per-source rate CASE is a
+    broadcast-free literal expression (mixture configs are small)."""
+    for s, p in weights.items():
+        if not 0 <= p <= 100:
+            raise ValueError(f"rate for {s!r} must be in [0, 100], got {p}")
+    if not 0 <= default_pct <= 100:
+        raise ValueError(f"default_pct must be in [0, 100], got {default_pct}")
+    rate = None
+    for s, p in sorted(weights.items()):
+        cond = F.col(source_col) == s
+        rate = F.when(cond, p) if rate is None else rate.when(cond, p)
+    rate = F.lit(default_pct) if rate is None else rate.otherwise(default_pct)
+    return df.filter(hash_bucket(id_col, salt) < rate)

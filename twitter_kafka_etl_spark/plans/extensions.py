@@ -1776,3 +1776,81 @@ _AMS_BRANCHES = "\n    UNION ALL\n".join(
 def x48(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     return K.ams_f2_sketch(ev, "user_id", k=_AMS_K)
+
+
+# ---------------------------------------------------------------------------
+# x49 — sequence-length bucketing with padding-waste accounting
+# ---------------------------------------------------------------------------
+# boundaries start at 16 so the synthetic corpus (10-99 whitespace
+# tokens) actually spreads across buckets; the tail mirrors real
+# context-window configs
+_LB = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+_LB_CASE = (
+    "CASE "
+    + " ".join(f"WHEN eff <= {b} THEN {b}" for b in _LB)
+    + f" ELSE {_LB[-1]} END"
+)
+
+
+@_register(
+    "x49_length_buckets",
+    "sequence-length bucketing for batch shaping: each document maps to "
+    "the smallest power-of-two bucket holding its whitespace tokens "
+    "(truncating at the 4096 context limit); per-bucket padding-waste "
+    "accounting = the compute burned on pad tokens — fixed integer "
+    "boundaries, one partial-agg shuffle on <=7 keys",
+    f"""
+    WITH d AS (
+      SELECT LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), {_LB[-1]})
+               AS eff
+      FROM documents
+    ), b AS (
+      SELECT CAST({_LB_CASE} AS BIGINT) AS bucket, eff FROM d
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(eff) AS BIGINT) AS total_tokens,
+           CAST(bucket * COUNT(*) AS BIGINT) AS padded_tokens,
+           CAST(bucket * COUNT(*) - SUM(eff) AS BIGINT) AS padding_waste,
+           round((bucket * COUNT(*) - SUM(eff))
+                 / CAST(bucket * COUNT(*) AS DOUBLE), 6) AS waste_frac
+    FROM b GROUP BY bucket
+    """,
+    tags=("curation", "text", "extension"),
+)
+def x49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.length_bucket_stats(_docs(spark, sf_dir), "text", _LB)
+
+
+# ---------------------------------------------------------------------------
+# x50 — per-source weighted mixture sampling (the training-mix step)
+# ---------------------------------------------------------------------------
+#: mixture config: high-value sources kept whole, web-ish sources cut
+_MIX_WEIGHTS = {"src0": 100, "src1": 75, "src2": 50, "src3": 25, "src4": 0}
+_MIX_DEFAULT = 10
+_MIX_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {p}" for s, p in sorted(_MIX_WEIGHTS.items()))
+    + f" ELSE {_MIX_DEFAULT} END"
+)
+
+
+@_register(
+    "x50_dataset_mixture",
+    "per-source weighted mixture sampling: each source kept at its own "
+    "integer rate through the salted-md5 bucket (src0 whole, src4 "
+    "dropped, long tail at 10%) — the dataset-mixture step of a "
+    "training-mix build; pure function of (salt, doc_id), so the drawn "
+    "mixture is reproducible under retries and across engines; narrow "
+    "per-row filter, no shuffle",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_BUCKET_SQL_T.format(salt='mixture', col='doc_id')}
+            < {_MIX_CASE}
+    """,
+    tags=("curation", "extension"),
+)
+def x50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.mixture_sample(
+        _docs(spark, sf_dir), "source", "doc_id", _MIX_WEIGHTS, _MIX_DEFAULT
+    ).select("doc_id", "source")

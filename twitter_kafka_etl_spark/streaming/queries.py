@@ -1,8 +1,13 @@
-"""Streaming query set QS1-QS3 (SURVEY.md §2.12).
+"""Streaming query set QS1-QS9 (SURVEY.md §2.12).
 
-DuckDB has no streaming, so these register as rows-only checks; the
-pytest suite asserts the engine-internal invariants (window contents,
-watermark drops) that the oracle can't.
+DuckDB has no streaming, but every query here ends in a deterministic
+batch readback of its checkpointed sink — so each registers a batch-SQL
+oracle over that FINAL table (watermark semantics, where they shape the
+emitted set, are reproduced in SQL: append mode emits a window only
+once the ms-floored watermark passes its end). The pytest suite
+additionally asserts the engine-internal invariants (cross-batch state
+merging, late-row drops, per-batch sink contents) that a final-table
+hash can't see.
 
 Determinism strategy: inputs are staged as time-ordered files and
 consumed with ``maxFilesPerTrigger=1`` + ``availableNow`` — each file is
