@@ -273,3 +273,28 @@ def test_mongodb_batch_write_plumbs_through_external_writer(spark, sf_dir):
         if "Failed to find data source" in str(e) or "DATA_SOURCE_NOT_FOUND" in str(e):
             pytest.skip("mongo-spark connector jar not available in this sandbox")
         raise
+
+
+def test_kafka_batch_options_bounded_offsets():
+    import pytest
+
+    from twitter_kafka_etl_spark.io import kafka_batch_options
+
+    opts = kafka_batch_options("b:9092", "tweets")
+    assert opts == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "tweets",
+        "startingOffsets": "earliest",
+        "endingOffsets": "latest",
+    }
+    # a batch read from 'latest' is empty by construction: reject early
+    with pytest.raises(ValueError, match="latest"):
+        kafka_batch_options("b:9092", "tweets", starting_offsets="latest")
+    with pytest.raises(ValueError, match="bootstrap"):
+        kafka_batch_options("", "tweets")
+    # explicit per-partition offset maps pass through untouched
+    m = kafka_batch_options(
+        "b:9092", "t", '{"t":{"0":23}}', '{"t":{"0":99}}'
+    )
+    assert m["startingOffsets"] == '{"t":{"0":23}}'
+    assert m["endingOffsets"] == '{"t":{"0":99}}'

@@ -417,6 +417,49 @@ def read_kafka_stream(
     return spark.readStream.format("kafka").options(**opts).load()
 
 
+def kafka_batch_options(
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+    ending_offsets: str = "latest",
+) -> dict[str, str]:
+    """Option set for a BATCH read of a Kafka topic range — backfills
+    and repair jobs over the same topics the S1 stream consumes
+    (spark.read.format('kafka') with bounded offsets). Offsets accept
+    'earliest'/'latest' or a per-partition JSON map; a batch read may
+    not start at 'latest' (it would be empty by construction)."""
+    if not bootstrap_servers:
+        raise ValueError("bootstrap_servers must be non-empty")
+    if not topics:
+        raise ValueError("topics must name at least one topic")
+    if starting_offsets == "latest":
+        raise ValueError(
+            "a batch Kafka read cannot start at 'latest' — it selects an "
+            "empty range; use 'earliest' or an explicit offset map"
+        )
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+        "endingOffsets": ending_offsets,
+    }
+
+
+def read_kafka_batch(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+    ending_offsets: str = "latest",
+) -> DataFrame:
+    """S1 batch form — bounded-offset Kafka read for backfills; same
+    raw wire frame as read_kafka_stream."""
+    opts = kafka_batch_options(
+        bootstrap_servers, topics, starting_offsets, ending_offsets
+    )
+    return spark.read.format("kafka").options(**opts).load()
+
+
 def kafka_sink_options(
     bootstrap_servers: str,
     checkpoint: str,

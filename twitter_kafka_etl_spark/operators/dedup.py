@@ -538,10 +538,20 @@ COLLAPSE_DUP_FACTOR = 1.05
 
 def _auto_collapse(df: DataFrame, key: Column) -> bool:
     """Decide the collapse-exact rewrite from the corpus itself: one
-    partial-agg count/countDistinct probe (cheap next to the pair join
-    at any scale — it's a map-side agg over one column)."""
+    single-pass count + HLL distinct probe. approx_count_distinct
+    instead of exact countDistinct on purpose — the exact form shuffles
+    every distinct key between its two aggregate stages, which made the
+    probe cost as much as the pair join it was sizing (x07 measured:
+    0.76 s probe vs 0.78 s for the entire exact-blocked plan at sf0.1);
+    the HLL form folds to O(registers) state map-side (measured 0.29 s
+    at rsd=0.03; tighter rsd flips HLL++ into its slower high-precision
+    mode and loses the win). The decision is a performance heuristic
+    over a semantics-preserving rewrite — output is identical whichever
+    path is picked — so the estimate error can never change a result,
+    only (rarely, near the 5% duplication threshold) the plan."""
     row = df.agg(
-        F.count(F.lit(1)).alias("n"), F.countDistinct(key).alias("nd")
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(key, rsd=0.03).alias("nd"),
     ).first()
     return bool(row and row["nd"] and row["n"] >= COLLAPSE_DUP_FACTOR * row["nd"])
 
