@@ -90,15 +90,12 @@ def test_qs4_dedup_within_watermark(spark, sf_dir):
 def test_qs5_multi_sink_consistency(spark, sf_dir):
     """Both sinks receive every micro-batch: raw row count equals the
     input, and the per-batch agg sink's counts sum to the same total."""
-    import os
-    import tempfile
+    from twitter_kafka_etl_spark.streaming.queries import qs5
 
     out = REGISTRY["qs5_stream_multi_sink"].build(spark, sf_dir)
     n_in = read_table(spark, sf_dir, "events").count()
     assert out.count() == n_in
-    agg = spark.read.parquet(
-        os.path.join(tempfile.gettempdir(), "tkes_stream_qs5", "agg")
-    )
+    agg = spark.read.parquet(qs5.last_agg_dir)
     assert agg.agg(F.sum("counts")).first()[0] == n_in
     assert agg.select("batch_id").distinct().count() > 1  # true multi-batch
 
