@@ -82,13 +82,24 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("eval sample per lang:")
     eval_sample.groupBy("lang").count().orderBy("lang").show()
 
-    # 5 — pack the training split into 512-token sequences per source
+    # 5 — mix the sources at configured rates (the training-mix recipe),
+    #     then pack into 512-token sequences per source
     train = assigned.filter(F.col("split") == "train").withColumn(
         "tok", F.size(F.split("text", " ")).cast("bigint")
     )
-    packed = C.pack_sequences(train, "tok", 512, ["source"], ["doc_id"])
+    mixed = C.mixture_sample(
+        train, "source", "doc_id", {"src0": 100, "src1": 50}, default_pct=25
+    )
+    print(f"mixture pass: {train.count()} -> {mixed.count()} docs")
+    packed = C.pack_sequences(mixed, "tok", 512, ["source"], ["doc_id"])
     n_seqs = packed.select("source", "seq_id").distinct().count()
     print(f"packed into {n_seqs} training sequences")
+
+    # 5b — batch-shape accounting: how much compute the bucket config
+    #      burns on padding (informs the packing/bucketing tradeoff)
+    C.length_bucket_stats(mixed, "text", (64, 128, 256, 512)).orderBy(
+        "bucket"
+    ).show()
 
     # 6 — what a curator reviews before launching the run
     rollup = (

@@ -72,7 +72,14 @@ def _staged_input(
     root = os.path.join(tempfile.gettempdir(), f"tkes_stream_{tag}_{sf_name}")
     in_dir = os.path.join(root, "input")
     marker = os.path.join(root, ".staged")
-    key = f"{os.path.abspath(sf_dir)}|{version}"
+    # key in the source table's identity (mtime+size): a regenerated
+    # events.parquet invalidates the cache even at the same path
+    try:
+        st = os.stat(os.path.join(sf_dir, "events.parquet"))
+        src_id = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        src_id = "missing"
+    key = f"{os.path.abspath(sf_dir)}|{src_id}|{version}"
     try:
         with open(marker) as fh:
             cached = fh.read() == key
