@@ -677,6 +677,19 @@ def test_ams_f2_null_keys_use_sentinel(spark):
     assert got == want
 
 
+def test_ams_f2_k_bounded_by_digest_nibbles(spark):
+    """k signs come from one md5 digest's 32 hex nibbles: k > 32 must
+    fail fast instead of silently reusing nibbles."""
+    import pytest
+
+    from twitter_kafka_etl_spark.operators.sketches import ams_f2_sketch
+
+    df = spark.createDataFrame([(1, "k")], ["row", "key"])
+    with pytest.raises(ValueError, match="32"):
+        ams_f2_sketch(df, "key", k=33)
+    assert len(ams_f2_sketch(df, "key", k=32).collect()) == 32
+
+
 def test_mixture_sample_validates_rates(spark, sf_dir):
     import pytest
 

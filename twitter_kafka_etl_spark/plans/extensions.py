@@ -1737,12 +1737,13 @@ def x47(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x48 — AMS F2 sketch (self-join-size estimate, one pass, no keyed shuffle)
 # ---------------------------------------------------------------------------
 _AMS_K = 8
+# one digest per row; sign_i = parity of hex nibble i (mirror of
+# sketches.ams_f2_sketch — k per-preimage md5s would cost 8x the hash
+# work for independence the estimator doesn't need)
+_AMS_DIGEST = "md5(COALESCE(CAST(user_id AS VARCHAR), 'NULL'))"
 _AMS_SUMS = ",\n           ".join(
-    "SUM(CASE WHEN "
-    + _HASH_SQL.format(
-        col=f"concat('{i}', '_', COALESCE(CAST(user_id AS VARCHAR), 'NULL'))"
-    )
-    + " % 2 = 1 THEN 1 ELSE -1 END) AS s{i}".format(i=i)
+    f"SUM(CASE WHEN CAST('0x' || substr({_AMS_DIGEST}, {i + 1}, 1) AS BIGINT)"
+    f" % 2 = 1 THEN 1 ELSE -1 END) AS s{i}"
     for i in range(_AMS_K)
 )
 # CAST everything to BIGINT: DuckDB SUM(int) returns HUGEINT (INT128),
