@@ -112,7 +112,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         .orderBy(F.desc("tokens"))
     )
     rollup.show(5)
-    spark.stop()
+    # no spark.stop(): get_spark reuses any active session, so stopping
+    # here would kill a caller's session (e.g. the pytest smoke test);
+    # the interpreter exit handles the standalone-script case
 
 
 if __name__ == "__main__":
