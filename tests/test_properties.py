@@ -528,3 +528,53 @@ def test_connected_components_raises_when_unconverged(spark):
     )
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(chain, max_iter=2)
+
+
+texts = st.lists(
+    st.text(alphabet="ab ", min_size=1, max_size=40).map(
+        lambda s: " ".join(s.split()) or "a"
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(data=texts)
+@settings(**SETTINGS)
+def test_length_buckets_partition_docs_and_bound_waste(spark, data):
+    """Bucketing is a partition of the corpus: doc counts sum to the
+    input; per-bucket 0 <= waste < bucket * n_docs; every effective
+    token is accounted (total_tokens + waste = padded)."""
+    from twitter_kafka_etl_spark.operators.curation import length_bucket_stats
+
+    df = spark.createDataFrame([(t,) for t in data], ["text"])
+    out = length_bucket_stats(df, boundaries=(4, 8, 16)).collect()
+    assert sum(r.n_docs for r in out) == len(data)
+    for r in out:
+        assert 0 <= r.padding_waste < r.bucket * r.n_docs or (
+            r.padding_waste == 0
+        )
+        assert r.total_tokens + r.padding_waste == r.padded_tokens
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+                 max_size=30, unique=True),
+    rate=st.integers(min_value=0, max_value=100),
+)
+@settings(**SETTINGS)
+def test_mixture_sample_deterministic_and_monotone(spark, ids, rate):
+    """Selection is a pure function of (salt, id) — same subset on
+    re-run — and monotone in the rate: raising any source's rate only
+    ADDS documents (the property that makes mixture ablations nested)."""
+    from twitter_kafka_etl_spark.operators.curation import mixture_sample
+
+    df = spark.createDataFrame([(i, "s") for i in ids], ["doc_id", "source"])
+    take = lambda p: {
+        r.doc_id
+        for r in mixture_sample(df, "source", "doc_id", {"s": p}).collect()
+    }
+    got = take(rate)
+    assert got == take(rate)  # deterministic under re-run
+    if rate < 100:
+        assert got <= take(min(100, rate + 10))  # monotone nesting
