@@ -51,6 +51,7 @@ def _rank(name: str) -> int:
         "x48_sketch_ams_f2",
         "x49_length_buckets",   # new this round — never driver-verified
         "x50_dataset_mixture",  # new this round — never driver-verified
+        "x51_snapshot_diff",    # new this round — never driver-verified
     ):
         return 0
     if name.startswith("qs"):

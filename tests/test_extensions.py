@@ -728,3 +728,16 @@ def test_length_bucket_truncates_at_context_limit(spark):
     assert out[16] == (1, 3, 13)
     assert out[32] == (1, 17, 15)
     assert out[4096] == (2, 40 + 4096, 4096 - 40)
+
+
+def test_snapshot_diff_statuses(spark):
+    from twitter_kafka_etl_spark.operators.curation import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B!"), (4, "d")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

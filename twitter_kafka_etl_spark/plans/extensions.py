@@ -1855,3 +1855,49 @@ def x50(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.mixture_sample(
         _docs(spark, sf_dir), "source", "doc_id", _MIX_WEIGHTS, _MIX_DEFAULT
     ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# x51 — corpus snapshot diff (the recrawl-delta primitive)
+# ---------------------------------------------------------------------------
+@_register(
+    "x51_snapshot_diff",
+    "corpus snapshot delta: classify every doc across two snapshots as "
+    "added/removed/changed/unchanged by content fingerprint (md5), so a "
+    "refresh reprocesses only the delta — one full-outer equi-join on "
+    "doc_id, fingerprints map-side; the 'new' snapshot is a "
+    "deterministic perturbation of documents (drop %7, edit %5, add "
+    "%11 under shifted ids) so the expected statuses are known",
+    """
+    WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents),
+    new AS (
+      SELECT doc_id,
+             md5(text || CASE WHEN doc_id % 5 = 0 THEN ' delta'
+                              ELSE '' END) AS fp
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, md5(text)
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.fp = n.fp THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    """,
+    tags=("curation", "dedup", "extension"),
+)
+def x51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    changed = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" delta"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    new_snapshot = changed.unionByName(added)
+    return C.snapshot_diff(docs, new_snapshot).select("doc_id", "status")
