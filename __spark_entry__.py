@@ -52,6 +52,7 @@ def _rank(name: str) -> int:
         "x49_length_buckets",   # new this round — never driver-verified
         "x50_dataset_mixture",  # new this round — never driver-verified
         "x51_snapshot_diff",    # new this round — never driver-verified
+        "x52_heavy_hitters",    # new this round — never driver-verified
     ):
         return 0
     if name.startswith("qs"):

@@ -741,3 +741,21 @@ def test_snapshot_diff_statuses(spark):
     )
     got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_heavy_hitters_exact_and_prunes(spark):
+    """Result must equal the naive groupBy+filter exactly (count-min has
+    no false negatives; false positives die in the exact pass), and the
+    candidate set must actually prune on a skewed input."""
+    from twitter_kafka_etl_spark.operators.sketches import heavy_hitters
+
+    rows = [("hot",)] * 50 + [("warm",)] * 10 + [
+        (f"cold{i}",) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["k"])
+    got = {(r.k, r.counts) for r in heavy_hitters(df, "k", 10).collect()}
+    want = {
+        (r.k, r["count"])
+        for r in df.groupBy("k").count().filter("count >= 10").collect()
+    }
+    assert got == want == {("hot", 50), ("warm", 10)}

@@ -298,3 +298,46 @@ def test_kafka_batch_options_bounded_offsets():
     )
     assert m["startingOffsets"] == '{"t":{"0":23}}'
     assert m["endingOffsets"] == '{"t":{"0":99}}'
+
+
+def test_rewrite_zordered_clusters_in_both_dims(spark, sf_dir, tmp_path):
+    """Z-order clustering: per-file bounding boxes in the 2-D key space
+    must be small in BOTH dimensions (a single-column sort only tightens
+    one), so conjunctive filters skip files on every clustered column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from twitter_kafka_etl_spark.layout import rewrite_zordered
+
+    ev = read_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    ev.repartition(8).write.parquet(src)
+    out = str(tmp_path / "zorder")
+    rewrite_zordered(spark, src, out, ["user_id", "value"], n_files=8)
+
+    g = {
+        "u": (
+            ev.agg(F.min("user_id"), F.max("user_id")).first()
+        ),
+        "v": (ev.agg(F.min("value"), F.max("value")).first()),
+    }
+    u_span = g["u"][1] - g["u"][0] or 1
+    v_span = g["v"][1] - g["v"][0] or 1
+    areas = []
+    n_rows = 0
+    for f in glob.glob(f"{out}/*.parquet"):
+        t = pq.read_table(f, columns=["user_id", "value"])
+        u = t.column("user_id").to_pylist()
+        v = t.column("value").to_pylist()
+        n_rows += len(u)
+        if u:
+            areas.append(
+                ((max(u) - min(u)) / u_span) * ((max(v) - min(v)) / v_span)
+            )
+    assert n_rows == ev.count()
+    assert len(areas) > 2
+    # each file covers the full [0,1]^2 box under a random layout (area
+    # ~1.0) and a full-height stripe under a 1-D sort; the z-curve must
+    # do strictly better than stripes on average
+    assert sum(areas) / len(areas) < 0.6, areas

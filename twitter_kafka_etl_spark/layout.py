@@ -22,6 +22,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _estimate_size_mb(df: DataFrame) -> float:
@@ -66,6 +67,83 @@ def rewrite_sorted(
     (
         df.repartitionByRange(n_files, *sort_cols)
         .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    return n_files
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16
+) -> tuple[DataFrame, str]:
+    """Attach a Z-order (Morton) key over ``cols``: each column is
+    min/max-scaled to a ``bits``-wide integer and the bit planes are
+    interleaved, so points close in EVERY dimension are close on the
+    1-D key. The min/max pass is one partial aggregate broadcast back
+    as a 1-row frame (no driver collect); the interleave is a static
+    chain of shift/and/or expressions — whole-stage codegen, no Python.
+
+    Returns (df + ``__z`` column, "__z"). NULLs scale to 0 (they
+    cluster together at the low end, which is what file skipping
+    wants).
+    """
+    if not 1 <= len(cols) * bits <= 63:
+        raise ValueError("len(cols) * bits must fit a signed 64-bit key")
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols],
+    )
+    scaled = df.join(F.broadcast(stats))
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("bigint")
+    for ci, c in enumerate(cols):
+        rng = F.col(f"__mx_{c}") - F.col(f"__mn_{c}")
+        q = F.when(
+            rng > 0,
+            F.least(
+                F.lit(top).cast("bigint"),
+                F.floor(
+                    (F.col(c).cast("double") - F.col(f"__mn_{c}"))
+                    / rng
+                    * (1 << bits)
+                ).cast("bigint"),
+            ),
+        ).otherwise(F.lit(0).cast("bigint"))
+        q = F.coalesce(q, F.lit(0).cast("bigint"))
+        for b in range(bits):
+            bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.shiftleft(bit.cast("bigint"), b * len(cols) + ci)
+            )
+    out = scaled.withColumn("__z", z).drop(
+        *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols]
+    )
+    return out, "__z"
+
+
+def rewrite_zordered(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    cols: list[str],
+    target_file_mb: int = 128,
+    n_files: int | None = None,
+    bits: int = 16,
+) -> int:
+    """Cluster the table on a Z-order curve over ``cols`` — the
+    multi-dimensional sibling of ``rewrite_sorted``: a single-column
+    sort gives tight file/row-group stats on ONE column only, while the
+    Morton interleave keeps per-file min/max boxes small in EVERY
+    ``cols`` dimension, so conjunctive filters (user AND time, id AND
+    score) skip files on all of them. Same shuffle shape as the sorted
+    rewrite: one range exchange on the key, sort within files."""
+    df = spark.read.parquet(path)
+    n_files = n_files or max(1, math.ceil(_estimate_size_mb(df) / target_file_mb))
+    keyed, zcol = zorder_key(df, cols, bits)
+    (
+        keyed.repartitionByRange(n_files, F.col(zcol))
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
         .write.mode("overwrite")
         .parquet(out_path)
     )

@@ -340,3 +340,45 @@ def ams_f2_sketch(df: DataFrame, key_col: str, k: int = 8) -> DataFrame:
         .cast("bigint")
         .alias("est_f2"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    threshold: int,
+    width: int = CM_WIDTH,
+    depth: int = CM_DEPTH,
+    seed: int = CM_SEED,
+) -> DataFrame:
+    """EXACT heavy hitters (count >= threshold) with sketch-guided
+    pruning — the two-pass pattern that finds hot keys in a 100 TB
+    stream without a full-cardinality groupBy ever materializing:
+
+    1. count-min over the column (O(width × depth) state, map-side
+       partial agg — no per-key shuffle);
+    2. candidate keys = distinct keys whose SKETCH estimate clears the
+       threshold. Count-min never underestimates, so no true heavy
+       hitter is pruned (no false negatives); collisions only ADD
+       spurious candidates, bounded by the sketch error n/width;
+    3. exact counts for the (small) candidate set only — the groupBy
+       shuffles just the rows that semi-join a broadcast candidate
+       list, and the final filter removes the false positives.
+
+    The result is bitwise EXACT (identical to the naive full groupBy +
+    HAVING), which is what makes the approximate machinery safely
+    substitutable at scale.
+    """
+    sketch = count_min_build(df, col, width, depth, seed)
+    keys = df.select(col).distinct()
+    cands = (
+        count_min_estimate(sketch, keys, col, width, depth, seed)
+        .filter(F.col("est_count") >= threshold)
+        .select(col)
+    )
+    exact = (
+        df.join(F.broadcast(cands), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("counts"))
+        .filter(F.col("counts") >= threshold)
+    )
+    return exact

@@ -1901,3 +1901,29 @@ def x51(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new_snapshot = changed.unionByName(added)
     return C.snapshot_diff(docs, new_snapshot).select("doc_id", "status")
+
+
+# ---------------------------------------------------------------------------
+# x52 — sketch-guided EXACT heavy hitters (two-pass hot-key detection)
+# ---------------------------------------------------------------------------
+_HH_T = 70  # ~mean events/user is ~67 at every sf — selects the hot tail
+
+
+@_register(
+    "x52_heavy_hitters",
+    "exact heavy hitters via count-min pruning: pass 1 builds the O(w*d) "
+    "sketch (no per-key shuffle), candidates = keys whose estimate "
+    "clears the threshold (CM never underestimates -> no false "
+    "negatives), pass 2 exact-counts ONLY the broadcast candidate set "
+    "and filters the collisions — output is bitwise identical to the "
+    "full groupBy + HAVING the oracle runs, which is the point: the "
+    "approximate machinery is safely substitutable at 100 TB",
+    f"""
+    SELECT user_id, COUNT(*) AS counts
+    FROM events GROUP BY user_id HAVING COUNT(*) >= {_HH_T}
+    """,
+    tags=("sketch", "extension"),
+)
+def x52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return K.heavy_hitters(ev, "user_id", _HH_T)
