@@ -53,6 +53,9 @@ def _rank(name: str) -> int:
         "x50_dataset_mixture",  # new this round — never driver-verified
         "x51_snapshot_diff",    # new this round — never driver-verified
         "x52_heavy_hitters",    # new this round — never driver-verified
+        "x53_duplicated_spans",     # new in r4 — never driver-verified
+        "x54_quality_gate",         # new in r4 — never driver-verified
+        "x55_compaction_roundtrip", # new in r4 — never driver-verified
     ):
         return 0
     if name.startswith("qs"):

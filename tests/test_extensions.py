@@ -759,3 +759,86 @@ def test_heavy_hitters_exact_and_prunes(spark):
         for r in df.groupBy("k").count().filter("count >= 10").collect()
     }
     assert got == want == {("hot", 50), ("warm", 10)}
+
+
+def test_duplicated_spans_flags_shared_blocks(spark):
+    """Two docs sharing an exact 16-token block are flagged; a doc with
+    unique blocks is not; short docs emit zeros."""
+    block = " ".join(f"b{i}" for i in range(16))
+    uniq = " ".join(f"u{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, block + " " + uniq),          # 2 blocks, 1 shared
+            (2, block + " tail only"),        # 1 block, shared
+            (3, " ".join(f"z{i}" for i in range(32))),  # 2 unique blocks
+            (4, "too short"),                 # 0 blocks
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_blocks, r.n_dup_blocks, r.dup_frac)
+        for r in T.duplicated_spans(docs).collect()
+    }
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (1, 1, 1.0)
+    assert got[3] == (2, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
+
+
+def test_duplicated_spans_counts_intra_doc_repeats(spark):
+    """The same block occurring twice WITHIN one document is duplicated
+    (span-level dedup targets any repeat, not just cross-doc)."""
+    block = " ".join(f"r{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [(1, block + " " + block)], ["doc_id", "text"]
+    )
+    [r] = T.duplicated_spans(docs).collect()
+    assert (r.n_blocks, r.n_dup_blocks) == (2, 2)
+
+
+def test_quality_gate_flags_and_verdict(spark):
+    from twitter_kafka_etl_spark.operators.curation import quality_gate
+
+    good = " ".join(f"w{i}" for i in range(30))          # clean, 30 distinct
+    short = "a b c"                                       # fails length
+    repetitive = " ".join(["x y"] * 20)                   # dup 2-grams
+    stopry = " ".join(["the"] * 10 + [f"v{i}" for i in range(20)])
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, repetitive), (4, stopry)],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.asDict() for r in quality_gate(docs).collect()}
+    assert got[1]["keep"] == 1
+    assert got[2]["pass_length"] == 0 and got[2]["keep"] == 0
+    assert got[3]["pass_repetition"] == 0 and got[3]["keep"] == 0
+    assert got[4]["pass_stopword"] == 0 and got[4]["keep"] == 0
+    # the verdict is exactly the conjunction of the per-rule flags
+    for r in got.values():
+        flags = [v for k, v in r.items() if k.startswith("pass_")]
+        assert r["keep"] == int(all(flags))
+
+
+def test_compaction_roundtrip_preserves_content(spark, sf_dir, tmp_path):
+    """layout.compact must emit exactly the input rows — checked through
+    the registered x55 surface against a direct aggregate."""
+    from twitter_kafka_etl_spark.plans import REGISTRY
+
+    got = (
+        REGISTRY["x55_compaction_roundtrip"]
+        .build(spark, sf_dir)
+        .orderBy("source")
+        .collect()
+    )
+    raw = read_table(spark, sf_dir, "documents")
+    want = (
+        raw.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source")
+        .collect()
+    )
+    assert [(r.source, r.n_docs, r.total_chars) for r in got] == [
+        (r.source, r.n_docs, r.total_chars) for r in want
+    ]

@@ -387,3 +387,67 @@ def snapshot_diff(
             "fp_new",
         )
     )
+
+
+def quality_gate(
+    docs: DataFrame,
+    min_tokens: int = 24,
+    max_tokens: int = 100_000,
+    min_distinct_ratio: float = 0.35,
+    max_stopword_ratio: float = 0.12,
+    max_dup_frac: float = 0.08,
+    max_top_share: float = 0.10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher/C4-style quality-filter battery: the composed keep/drop
+    verdict a pre-training pipeline applies after scoring — length
+    bounds, distinct-token ratio (repetitive text), stopword-fraction
+    ceiling (boilerplate), duplicate-2-gram fraction and
+    most-repeated-2-gram share (template spam). Emits one 0/1 flag per
+    rule (so drop *reasons* are aggregable — pipelines tune rules from
+    exactly this breakdown) plus the conjunctive ``keep``.
+
+    Every ratio is an exact int/int double computed identically in any
+    engine, so the threshold comparisons are reproducible bit-for-bit —
+    the property that makes a filter config auditable across reruns.
+    Plan: quality_features is narrow per-row; repetition_signals adds
+    its two partial-agg shuffles; the final join is id-equi. Flags are
+    BIGINT 0/1 (not boolean) so downstream rollups sum them directly.
+    """
+    from twitter_kafka_etl_spark.operators.text import (
+        quality_features,
+        repetition_signals,
+    )
+
+    def flag(c: Column) -> Column:
+        return c.cast("bigint")
+
+    q = quality_features(docs).select(
+        id_col, "n_tokens", "distinct_ratio", "stopword_ratio"
+    )
+    r = repetition_signals(docs, n=2).select(id_col, "dup_frac", "top_share")
+    g = q.join(r, id_col)
+    return g.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        flag(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+        ).alias("pass_length"),
+        flag(F.col("distinct_ratio") >= min_distinct_ratio).alias(
+            "pass_distinct"
+        ),
+        flag(F.col("stopword_ratio") <= max_stopword_ratio).alias(
+            "pass_stopword"
+        ),
+        flag(F.col("dup_frac") <= max_dup_frac).alias("pass_repetition"),
+        flag(F.col("top_share") <= max_top_share).alias("pass_top_share"),
+        flag(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+            & (F.col("distinct_ratio") >= min_distinct_ratio)
+            & (F.col("stopword_ratio") <= max_stopword_ratio)
+            & (F.col("dup_frac") <= max_dup_frac)
+            & (F.col("top_share") <= max_top_share)
+        ).alias("keep"),
+    )

@@ -1927,3 +1927,206 @@ _HH_T = 70  # ~mean events/user is ~67 at every sf — selects the hot tail
 def x52(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     return K.heavy_hitters(ev, "user_id", _HH_T)
+
+
+# ---------------------------------------------------------------------------
+# x53 — sub-document duplicated-span analysis (exact substring-block dedup)
+# ---------------------------------------------------------------------------
+_SPAN_W = 16
+
+
+@_register(
+    "x53_duplicated_spans",
+    "sub-document exact-span dedup signal (Lee et al. 2022 at block "
+    "granularity): disjoint 16-token blocks fingerprinted corpus-wide; "
+    "per doc the count/fraction of blocks that occur at >1 (doc, "
+    "position) anywhere — catches repeated boilerplate whole-doc dedup "
+    "misses; one explode at tokens/16 rows, one partial-agg groupBy on "
+    "a 64-bit fp, one equi-join back — no self-join, no quadratic step",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CAST(len(t) // {_SPAN_W} AS INT)),
+               i -> substr(md5(array_to_string(
+                      t[i*{_SPAN_W}+1:i*{_SPAN_W}+{_SPAN_W}], ' ')), 1, 16)))
+               AS fp
+      FROM toks),
+    occ AS (SELECT fp, COUNT(*) AS c FROM b GROUP BY fp),
+    per AS (SELECT doc_id, COUNT(*) AS nb,
+                   SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS ndup
+            FROM b JOIN occ USING (fp) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.nb, 0) AS BIGINT) AS n_blocks,
+           CAST(COALESCE(p.ndup, 0) AS BIGINT) AS n_dup_blocks,
+           round(CASE WHEN p.nb > 0 THEN p.ndup / CAST(p.nb AS DOUBLE)
+                      ELSE 0.0 END, 6) AS dup_frac
+    FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+    """,
+    tags=("dedup", "text", "extension"),
+)
+def x53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.duplicated_spans(_docs(spark, sf_dir), block_tokens=_SPAN_W)
+
+
+# ---------------------------------------------------------------------------
+# x54 — composed quality-filter gate (the Gopher/C4 keep/drop verdict)
+# ---------------------------------------------------------------------------
+_QG = dict(
+    min_tokens=24,
+    max_tokens=100_000,
+    min_distinct_ratio=0.35,
+    max_stopword_ratio=0.12,
+    max_dup_frac=0.08,
+    max_top_share=0.10,
+)
+_QG_CONDS = {
+    "pass_length": f"(n >= {_QG['min_tokens']} AND n <= {_QG['max_tokens']})",
+    "pass_distinct": f"(nd / n >= {_QG['min_distinct_ratio']})",
+    "pass_stopword": f"(sh / n <= {_QG['max_stopword_ratio']})",
+    "pass_repetition": f"(dup_frac <= {_QG['max_dup_frac']})",
+    "pass_top_share": f"(top_share <= {_QG['max_top_share']})",
+}
+_QG_FLAGS = ",\n           ".join(
+    f"CAST({cond} AS BIGINT) AS {name}" for name, cond in _QG_CONDS.items()
+)
+
+
+@_register(
+    "x54_quality_gate",
+    "Gopher/C4-style composed quality gate: length bounds, "
+    "distinct-token ratio, stopword ceiling, duplicate-2-gram fraction "
+    "and top-2-gram share as per-rule 0/1 flags plus the conjunctive "
+    "keep verdict — every ratio an exact int/int double, so the "
+    "threshold decisions reproduce bit-for-bit across engines/reruns",
+    f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+               FROM documents),
+    c AS (SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS nd,
+                 len(list_filter(tk, x -> x = 'a' OR x = 'the')) AS sh
+          FROM t),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i+1])) AS g
+      FROM t
+    ),
+    per AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id, SUM(cnt) AS ng, COUNT(*) AS ndg, MAX(cnt) AS tc
+      FROM per GROUP BY doc_id
+    ),
+    r AS (
+      SELECT c.doc_id, c.n, c.nd, c.sh,
+             round(CASE WHEN s.ng > 0
+                        THEN (s.ng - s.ndg) / CAST(s.ng AS DOUBLE)
+                        ELSE 0.0 END, 6) AS dup_frac,
+             round(CASE WHEN s.ng > 0
+                        THEN s.tc / CAST(s.ng AS DOUBLE)
+                        ELSE 0.0 END, 6) AS top_share
+      FROM c LEFT JOIN sig s ON s.doc_id = c.doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           {_QG_FLAGS},
+           CAST(({" AND ".join(_QG_CONDS.values())}) AS BIGINT) AS keep
+    FROM r
+    """,
+    tags=("curation", "text", "extension"),
+)
+def x54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_kafka_etl_spark.operators import curation as C
+
+    return C.quality_gate(_docs(spark, sf_dir), **_QG)
+
+
+# ---------------------------------------------------------------------------
+# x55 — compaction round-trip (layout maintenance with a content oracle)
+# ---------------------------------------------------------------------------
+#: 60-bit md5-prefix row fingerprint mod a prime: summable without
+#: overflow (sf1 ~6e5 rows × <1e9 ≈ 6e14 « 2^63) and identical in both
+#: engines, so the compacted files must carry EXACTLY the input rows
+_CK_MOD = 1_000_000_007
+_CK_SQL = (
+    f"(CAST('0x' || substr(md5(doc_id || ':' || text), 1, 15) AS BIGINT)"
+    f" % {_CK_MOD})"
+)
+
+
+@_register(
+    "x55_compaction_roundtrip",
+    "small-file compaction as a verified maintenance job: a 64-file "
+    "fragmented copy of documents (the layout a streaming sink "
+    "accumulates) is rewritten to ~4 right-sized files by "
+    "layout.compact, and the per-source row counts, char totals and "
+    "md5 content checksums are computed FROM THE REWRITTEN FILES — the "
+    "oracle computes the same invariants from the raw table, so a "
+    "compaction that drops, duplicates or mangles one row goes red; "
+    "the rewrite itself is one shuffle-free repartition pass",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM({_CK_SQL}) AS BIGINT) AS content_sum
+    FROM documents GROUP BY source
+    """,
+    tags=("layout", "extension"),
+)
+def x55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from twitter_kafka_etl_spark import layout
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"tkes_compact_{sf_name}")
+    frag = os.path.join(root, "fragmented")
+    marker = os.path.join(root, ".staged")
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        key = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        key = "missing"
+    try:
+        with open(marker) as fh:
+            cached = fh.read() == key
+    except OSError:
+        cached = False
+    if not cached:
+        # stage the fragmented input once per source-table identity
+        # (same marker-last contract as streaming._staged_input)
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        read_table(spark, sf_dir, "documents").repartition(64).write.mode(
+            "overwrite"
+        ).parquet(frag)
+        with open(marker, "w") as fh:
+            fh.write(key)
+    out = os.path.join(root, f"compacted_{os.getpid()}")
+    layout.compact(spark, frag, out, n_files=4)
+    comp = spark.read.parquet(out)
+    ck = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("text"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CK_MOD
+    )
+    return comp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(ck).cast("bigint").alias("content_sum"),
+    )
