@@ -56,6 +56,8 @@ def _rank(name: str) -> int:
         "x53_duplicated_spans",     # new in r4 — never driver-verified
         "x54_quality_gate",         # new in r4 — never driver-verified
         "x55_compaction_roundtrip", # new in r4 — never driver-verified
+        "x56_span_removal",         # new in r4 — never driver-verified
+        "x57_bm25_rank",            # new in r4 — never driver-verified
     ):
         return 0
     if name.startswith("qs"):

@@ -842,3 +842,49 @@ def test_compaction_roundtrip_preserves_content(spark, sf_dir, tmp_path):
     assert [(r.source, r.n_docs, r.total_chars) for r in got] == [
         (r.source, r.n_docs, r.total_chars) for r in want
     ]
+
+
+def test_remove_duplicated_spans_first_occurrence_wins(spark):
+    """The block shared by docs 1 and 2 survives only in doc 1 (lowest
+    (doc_id, idx)); doc 2 keeps its tail; unique blocks are untouched."""
+    block = " ".join(f"s{i}" for i in range(16))
+    other = " ".join(f"o{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [(1, block + " " + other), (2, block + " tail bits")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_blocks, r.n_removed, r.cleaned)
+        for r in T.remove_duplicated_spans(docs).collect()
+    }
+    assert got[1] == (2, 0, block + " " + other)
+    assert got[2] == (1, 1, "tail bits")
+
+
+def test_remove_duplicated_spans_idempotent(spark):
+    """Running the rewrite on its own output removes nothing further."""
+    block = " ".join(f"p{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [(1, block + " " + block + " end")], ["doc_id", "text"]
+    )
+    once = T.remove_duplicated_spans(docs).select(
+        "doc_id", F.col("cleaned").alias("text")
+    )
+    [r] = T.remove_duplicated_spans(once).collect()
+    assert r.n_removed == 0
+    assert r.cleaned == block + " end"
+
+
+def test_bm25_prefers_term_dense_short_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),               # dense + short
+            (2, "spark " + " ".join(f"f{i}" for i in range(40))),
+            (3, " ".join(f"g{i}" for i in range(10))),   # no terms
+        ],
+        ["doc_id", "text"],
+    )
+    rows = T.bm25_rank(docs, ["spark", "join"], top_k=3).collect()
+    assert [r.doc_id for r in rows] == [1, 2, 3]
+    assert [r.rank for r in rows] == [1, 2, 3]
+    assert rows[0].bm25 > rows[1].bm25 > rows[2].bm25 == 0.0

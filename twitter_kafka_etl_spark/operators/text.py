@@ -559,3 +559,169 @@ def duplicated_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    block_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The rewrite counterpart of :func:`duplicated_spans`: drop every
+    16-token block whose exact content already occurred earlier in the
+    corpus (first occurrence wins, ordered by (doc_id, position) — a
+    total order, so the rewrite is deterministic and idempotent), then
+    reassemble each document from its kept blocks plus the sub-block
+    tail. This is the span-level dedup PASS — x53 is the audit, this
+    emits the cleaned corpus a training run would actually consume.
+
+    Plan: one explode to (doc, idx, block) rows, one window over the
+    block fingerprint (each fp partition holds only that span's
+    occurrences — tiny), one groupBy(doc) reassembly whose state is
+    bounded by document length. At 100 TB the only wrinkle is carrying
+    the ~100-byte block string through the fp shuffle; carrying
+    (doc_id, idx) only and re-slicing at reassembly halves the shuffle
+    at the cost of a second scan — worth it above ~10 TB, not below.
+    """
+    toked = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__txt"),
+        F.split(F.col(text_col), " ").alias("__t"),
+    )
+    nb = F.floor(F.size("__t") / block_tokens).cast("int")
+    rem = F.array_join(
+        F.slice(
+            F.col("__t"),
+            nb * block_tokens + 1,
+            F.greatest(F.size("__t") - nb * block_tokens, F.lit(0)),
+        ),
+        " ",
+    )
+    base = toked.select(
+        F.col(id_col),
+        nb.alias("__nb"),
+        rem.alias("__rem"),
+        F.when(
+            nb > 0,
+            F.transform(
+                F.sequence(F.lit(0), nb - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("__t"), i * block_tokens + 1, block_tokens),
+                    " ",
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__blocks"),
+    )
+    blocks = base.select(
+        F.col(id_col),
+        F.posexplode("__blocks").alias("idx", "s"),
+    ).withColumn("fp", F.md5(F.col("s")))
+    w = Window.partitionBy("fp").orderBy(F.col(id_col), F.col("idx"))
+    kept = (
+        blocks.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__nkept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("idx"), F.col("s")))
+                    ),
+                    lambda st: st.getField("s"),
+                ),
+                " ",
+            ).alias("__kept"),
+        )
+    )
+    out = base.join(kept, id_col, "left")
+    cleaned = F.trim(
+        F.concat(
+            F.coalesce(F.col("__kept"), F.lit("")),
+            F.lit(" "),
+            F.col("__rem"),
+        )
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("__nb").cast("bigint").alias("n_blocks"),
+        (F.col("__nb") - F.coalesce("__nkept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        cleaned.alias("cleaned"),
+    )
+
+
+def _eq_term(term: str):
+    return lambda x: x == F.lit(term)
+
+
+def bm25_rank(
+    df: DataFrame,
+    terms: list[str],
+    k1: float = 1.25,
+    b: float = 0.75,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 relevance ranking of the corpus against a fixed term set —
+    the retrieval scorer for search/RAG over the document table.
+
+    Engine-reproducibility choices (same policy as x28's rational idf):
+    the idf is the rational (N - df + 0.5)/(df + 0.5) — no ln(), whose
+    last-ulp varies across math libraries — and k1/b default to exact
+    binary fractions (1.25, 0.75), so every float op is bit-identical
+    in any IEEE engine and the ranking is byte-stable across reruns.
+
+    Plan: per-term tf via array filters (narrow per-row, no explode);
+    corpus stats (N, Σdl, per-term df) in ONE partial aggregate
+    broadcast back as a 1-row frame; top-k via orderBy+limit — Spark
+    plans TakeOrderedAndProject (per-partition heaps, no global sort),
+    so the ranking never materializes a full-corpus sort at 100 TB.
+    The per-rank row_number runs on the ≤ top_k survivors only.
+    """
+    toks = F.split(F.col(text_col), " ")
+    dl = F.size(toks)
+    scored_in = df.select(
+        F.col(id_col),
+        dl.alias("__dl"),
+        *[
+            # one-arg lambda built by a factory: a 2-arg lambda with a
+            # default would make F.filter pass the array INDEX as arg 2
+            F.size(F.filter(toks, _eq_term(t))).alias(f"__tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = scored_in.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").alias("__sum_dl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("bigint")).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = scored_in.join(F.broadcast(stats))
+    avgdl = F.col("__sum_dl") / F.col("__n")
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"__tf_{i}")
+        idf = (F.col("__n") - F.col(f"__df_{i}") + F.lit(0.5)) / (
+            F.col(f"__df_{i}") + F.lit(0.5)
+        )
+        score = score + idf * (tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("__dl") / avgdl)
+        )
+    top = (
+        joined.select(F.col(id_col), score.alias("__s"))
+        .orderBy(F.col("__s").desc(), F.col(id_col))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("__s").desc(), F.col(id_col))
+    return top.select(
+        F.col(id_col),
+        F.round("__s", 6).alias("bm25"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )

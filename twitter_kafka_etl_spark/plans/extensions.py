@@ -2130,3 +2130,103 @@ def x55(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.sum(ck).cast("bigint").alias("content_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x56 — span-removal rewrite (the dedup PASS that x53 audits)
+# ---------------------------------------------------------------------------
+@_register(
+    "x56_span_removal",
+    "span-level dedup rewrite: every 16-token block that already "
+    "occurred earlier in the corpus (first occurrence by (doc_id, "
+    "position) wins — a total order, so the rewrite is deterministic "
+    "and idempotent) is dropped and each document reassembled from its "
+    "kept blocks + sub-block tail; emits the cleaned text itself, so "
+    "the oracle verifies the full rewritten corpus byte-for-byte",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    base AS (SELECT doc_id, t, CAST(len(t) // {_SPAN_W} AS INT) AS nb
+             FROM toks),
+    b AS (SELECT doc_id, unnest(range(0, nb)) AS idx, t FROM base),
+    b2 AS (
+      SELECT doc_id, idx,
+             array_to_string(
+               t[idx*{_SPAN_W}+1:idx*{_SPAN_W}+{_SPAN_W}], ' ') AS s
+      FROM b),
+    k AS (
+      SELECT doc_id, idx, s,
+             ROW_NUMBER() OVER (PARTITION BY md5(s)
+                                ORDER BY doc_id, idx) AS rn
+      FROM b2),
+    kept AS (
+      SELECT doc_id, COUNT(*) AS nkept,
+             string_agg(s, ' ' ORDER BY idx) AS kept
+      FROM k WHERE rn = 1 GROUP BY doc_id)
+    SELECT base.doc_id,
+           CAST(nb AS BIGINT) AS n_blocks,
+           CAST(nb - COALESCE(kept.nkept, 0) AS BIGINT) AS n_removed,
+           trim(COALESCE(kept.kept, '') || ' ' ||
+                -- array_to_string([]) is NULL in DuckDB, '' in Spark
+                COALESCE(array_to_string(t[nb*{_SPAN_W}+1:len(t)], ' '), ''))
+             AS cleaned
+    FROM base LEFT JOIN kept ON kept.doc_id = base.doc_id
+    """,
+    tags=("dedup", "text", "extension"),
+)
+def x56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.remove_duplicated_spans(_docs(spark, sf_dir), block_tokens=_SPAN_W)
+
+
+# ---------------------------------------------------------------------------
+# x57 — BM25 relevance ranking (the search/RAG retrieval scorer)
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "join", "stream")
+_BM25_TF = ",\n             ".join(
+    f"len(list_filter(tk, x -> x = '{t}')) AS tf{i}"
+    for i, t in enumerate(_BM25_TERMS)
+)
+_BM25_DF = ",\n             ".join(
+    f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+    for i in range(len(_BM25_TERMS))
+)
+# expression shapes mirror operators.text.bm25_rank exactly (same
+# association order) so every IEEE op is bit-identical; k1=1.25, b=0.75
+# are exact binary fractions (see the operator docstring)
+_BM25_SCORE = "\n             + ".join(
+    f"((n - df{i} + 0.5) / (df{i} + 0.5)) * (tf{i} * 2.25)"
+    f" / (tf{i} + 1.25 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n)))"
+    for i in range(len(_BM25_TERMS))
+)
+
+
+@_register(
+    "x57_bm25_rank",
+    "BM25 top-20 corpus ranking for a fixed query-term set with "
+    "rational idf (no ln() — last-ulp portable) and exact-binary "
+    "k1/b, so the ranking reproduces byte-for-byte across engines; "
+    "per-term tf via narrow array filters (no explode), corpus stats "
+    "in one broadcast 1-row aggregate, top-k as TakeOrdered heaps — "
+    "never a full corpus sort",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+               FROM documents),
+    d AS (SELECT doc_id, len(tk) AS dl,
+             {_BM25_TF}
+          FROM t),
+    s AS (SELECT COUNT(*) AS n, SUM(dl) AS sum_dl,
+             {_BM25_DF}
+          FROM d),
+    sc AS (SELECT doc_id,
+             {_BM25_SCORE}
+               AS score
+           FROM d, s)
+    SELECT doc_id, round(score, 6) AS bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM sc ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "similarity", "extension"),
+)
+def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.bm25_rank(_docs(spark, sf_dir), list(_BM25_TERMS))
