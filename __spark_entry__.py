@@ -58,6 +58,8 @@ def _rank(name: str) -> int:
         "x55_compaction_roundtrip", # new in r4 — never driver-verified
         "x56_span_removal",         # new in r4 — never driver-verified
         "x57_bm25_rank",            # new in r4 — never driver-verified
+        "x58_hll_merge",            # new in r4 — never driver-verified
+        "x59_lsh_eval",             # new in r4 — never driver-verified
     ):
         return 0
     if name.startswith("qs"):

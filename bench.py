@@ -25,6 +25,8 @@ import re
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf hint resolution (see warmup)
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _HERE)
 
@@ -139,9 +141,13 @@ def main() -> None:
         ev.groupBy("event_type").count().write.format("noop").mode(
             "overwrite"
         ).save()
-        import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
+        # NOTE: `pd` must be importable at MODULE level: this module's
+        # `from __future__ import annotations` turns the hints into
+        # strings, and pandas_udf resolves them against module globals —
+        # with a function-local import the warmup died with
+        # UNSUPPORTED_SIGNATURE and was silently skipped (since r3)
         @pandas_udf("long")
         def _warm_udf(s: pd.Series) -> pd.Series:
             return s * 2

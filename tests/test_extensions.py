@@ -888,3 +888,34 @@ def test_bm25_prefers_term_dense_short_docs(spark):
     assert [r.doc_id for r in rows] == [1, 2, 3]
     assert [r.rank for r in rows] == [1, 2, 3]
     assert rows[0].bm25 > rows[1].bm25 > rows[2].bm25 == 0.0
+
+
+def test_hll_merge_equals_single_pass(spark, sf_dir):
+    """Registers merged from disjoint halves must estimate exactly what
+    one pass over the whole table does (cell-wise max is associative)."""
+    from twitter_kafka_etl_spark.operators import sketches as K
+
+    ev = read_table(spark, sf_dir, "events")
+    whole = K.hll_estimate(
+        K.hll_build(ev, "event_type", "user_id"), "event_type"
+    )
+    even = K.hll_build(
+        ev.filter(F.col("event_id") % 2 == 0), "event_type", "user_id"
+    )
+    odd = K.hll_build(
+        ev.filter(F.col("event_id") % 2 == 1), "event_type", "user_id"
+    )
+    merged = K.hll_estimate(K.hll_merge(even, odd, "event_type"), "event_type")
+    a = {r.event_type: r.est_distinct for r in whole.collect()}
+    b = {r.event_type: r.est_distinct for r in merged.collect()}
+    assert a == b
+
+
+def test_lsh_eval_counts_are_consistent(spark, sf_dir):
+    from twitter_kafka_etl_spark.plans import REGISTRY
+
+    [r] = REGISTRY["x59_lsh_eval"].build(spark, sf_dir).collect()
+    assert 0 <= r.n_tp <= min(r.n_true, r.n_pred)
+    assert 0.0 <= r.lsh_precision <= 1.0 and 0.0 <= r.lsh_recall <= 1.0
+    # the synthetic corpus plants near-dups: the evaluation must see them
+    assert r.n_true > 0 and r.n_pred > 0

@@ -2230,3 +2230,145 @@ _BM25_SCORE = "\n             + ".join(
 )
 def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bm25_rank(_docs(spark, sf_dir), list(_BM25_TERMS))
+
+
+# ---------------------------------------------------------------------------
+# x58 — HLL merge proof (the distributed-rollup property, driver-verified)
+# ---------------------------------------------------------------------------
+@_register(
+    "x58_hll_merge",
+    "HLL mergeability as a verified invariant: registers built over two "
+    "DISJOINT halves of events (split on event_id parity) and merged by "
+    "cell-wise max must estimate exactly what one pass over the whole "
+    "table estimates — the property that lets per-partition / per-day "
+    "sketches roll up at 100 TB without rescanning raw data; the oracle "
+    "computes the single-pass estimate, so any merge bug goes red",
+    f"""
+    WITH h AS (
+      SELECT event_type, {_HLL_HASH} AS hv FROM events
+    ),
+    r AS (
+      SELECT event_type, hv % {K.HLL_M} AS bucket,
+             (SELECT {_HLL_RHO} FROM (SELECT hv // {K.HLL_M} AS v)) AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, bucket, MAX(rho) AS rho FROM r GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type,
+             SUM(power(2.0, -rho)) + ({K.HLL_M} - COUNT(*)) AS s,
+             {K.HLL_M} - COUNT(*) AS v
+      FROM regs GROUP BY event_type
+    )
+    SELECT event_type,
+           round(CASE WHEN v > 0
+                       AND {K.HLL_ALPHA} * {K.HLL_M * K.HLL_M} / s
+                           <= {2.5 * K.HLL_M}
+                      THEN {K.HLL_M} * ln({K.HLL_M} / v)
+                      ELSE {K.HLL_ALPHA} * {K.HLL_M * K.HLL_M} / s END, 6)
+             AS est_distinct
+    FROM agg GROUP BY event_type, s, v
+    """,
+    tags=("sketch", "extension"),
+)
+def x58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    even = K.hll_build(ev.filter(F.col("event_id") % 2 == 0), "event_type", "user_id")
+    odd = K.hll_build(ev.filter(F.col("event_id") % 2 == 1), "event_type", "user_id")
+    return K.hll_estimate(K.hll_merge(even, odd, "event_type"), "event_type")
+
+
+# ---------------------------------------------------------------------------
+# x59 — approximate-dedup evaluation (LSH candidates vs exact Jaccard)
+# ---------------------------------------------------------------------------
+@_register(
+    "x59_lsh_eval",
+    "dedup-pipeline evaluation: MinHash-LSH candidate pairs (x03) "
+    "scored against the exact 3-gram Jaccard >= 0.2 truth set (x06) — "
+    "pair counts, true positives, precision and recall in one row; the "
+    "number a pipeline owner tunes bands/rows against before trusting "
+    "approximate dedup at full scale (both sides banded/inverted-index "
+    "joins — the evaluation itself never goes quadratic)",
+    f"""
+    WITH {_SIG_CTE},
+    bands AS (
+    {_BAND_BRANCHES}
+    ),
+    pred AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    shh0 AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sh_h
+      FROM sh
+    ),
+    shh AS (
+      SELECT doc_id, sh_h FROM shh0
+      QUALIFY COUNT(*) OVER (PARTITION BY sh_h) <= {D.JACCARD_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM shh a JOIN shh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.2
+    ),
+    m AS (
+      SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+             (SELECT COUNT(*) FROM pred) AS n_pred,
+             (SELECT COUNT(*) FROM pred p JOIN truth t
+                ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b) AS n_tp
+    )
+    SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_pred AS BIGINT) AS n_pred,
+           CAST(n_tp AS BIGINT) AS n_tp,
+           round(CASE WHEN n_pred > 0
+                      THEN n_tp / CAST(n_pred AS DOUBLE) ELSE 0.0 END, 6)
+             AS lsh_precision,
+           round(CASE WHEN n_true > 0
+                      THEN n_tp / CAST(n_true AS DOUBLE) ELSE 0.0 END, 6)
+             AS lsh_recall
+    FROM m
+    """,
+    tags=("dedup", "extension"),
+)
+def x59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pred = D.minhash_lsh_pairs(
+        D.minhash_signatures(D.shingle(docs))
+    ).select("doc_a", "doc_b")
+    truth = D.ngram_jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    tp = pred.join(truth, ["doc_a", "doc_b"])
+    counts = (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(pred.agg(F.count(F.lit(1)).alias("n_pred")))
+        .crossJoin(tp.agg(F.count(F.lit(1)).alias("n_tp")))
+    )
+    return counts.select(
+        F.col("n_true").cast("bigint").alias("n_true"),
+        F.col("n_pred").cast("bigint").alias("n_pred"),
+        F.col("n_tp").cast("bigint").alias("n_tp"),
+        F.round(
+            F.when(
+                F.col("n_pred") > 0,
+                F.col("n_tp") / F.col("n_pred").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("lsh_precision"),
+        F.round(
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_tp") / F.col("n_true").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("lsh_recall"),
+    )
