@@ -60,6 +60,7 @@ def _rank(name: str) -> int:
         "x57_bm25_rank",            # new in r4 — never driver-verified
         "x58_hll_merge",            # new in r4 — never driver-verified
         "x59_lsh_eval",             # new in r4 — never driver-verified
+        "qs10_stream_upsert",       # new in r4 — never driver-verified
     ):
         return 0
     if name.startswith("qs"):

@@ -713,3 +713,69 @@ def qs9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "event_id", "user_id", "event_type", "c_mktsegment", "c_nationkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# QS10 — CDC-style streaming upsert: foreachBatch MERGE into a snapshot
+# ---------------------------------------------------------------------------
+@_register(
+    "qs10_stream_upsert",
+    "streaming SCD1 upsert: each micro-batch's latest-row-per-user "
+    "MERGEs into a versioned parquet snapshot via foreachBatch + "
+    "relational.merge_upsert (q34's batch MERGE made continuous — the "
+    "serving-table pattern the reference's Mongo sink implies but "
+    "never materializes); batches cover increasing time ranges, so the "
+    "final snapshot is exactly last-write-wins per key; oracle form: "
+    "ROW_NUMBER latest-per-user over the whole table",
+    """
+    SELECT user_id, event_id, event_type, value FROM (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("streaming", "merge"),
+)
+def qs10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from twitter_kafka_etl_spark.operators.relational import merge_upsert
+    from twitter_kafka_etl_spark.streaming.sinks import foreach_batch_fanout
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    in_dir, work = _stage(spark, sf_dir, "qs10")
+    snap_dirs: list[str] = []
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # per-batch latest row per key (deterministic tie-break), then
+        # MERGE into the previous snapshot version; versioned dirs make
+        # the read-modify-write safe (never overwrite a file being read)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if snap_dirs:
+            base = batch_df.sparkSession.read.parquet(snap_dirs[-1])
+            merged = merge_upsert(base, latest, ["user_id"])
+        else:
+            merged = latest
+        out = os.path.join(work, f"snap_v{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        snap_dirs.append(out)
+
+    stream = _read_stream(spark, in_dir, ev)
+    q = foreach_batch_fanout(
+        stream, [upsert], checkpoint=os.path.join(work, "ckpt")
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(snap_dirs[-1])
+        .select("user_id", "event_id", "event_type", "value")
+    )
