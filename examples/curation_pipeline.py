@@ -58,6 +58,34 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     print(f"filter pass: {docs.count()} -> {kept.count()} docs")
 
+    # 2b — rule-gate accounting: the composed Gopher/C4 verdict with
+    #      per-rule drop reasons (what a curator tunes thresholds from)
+    gate = C.quality_gate(docs)
+    gate.agg(
+        F.count(F.lit(1)).alias("docs"),
+        *[
+            F.sum(1 - F.col(c)).alias(f"drop_{c[5:]}")
+            for c in gate.columns
+            if c.startswith("pass_")
+        ],
+        F.sum("keep").alias("kept"),
+    ).show()
+
+    # 2c — sub-document scrub: drop 16-token spans already seen earlier
+    #      in the corpus (boilerplate whole-doc dedup can't catch)
+    scrubbed = T.remove_duplicated_spans(kept)
+    removed = scrubbed.agg(F.sum("n_removed")).first()[0]
+    kept = (
+        kept.drop("text")
+        .join(
+            scrubbed.filter(F.length("cleaned") > 0).select(
+                "doc_id", F.col("cleaned").alias("text")
+            ),
+            "doc_id",
+        )
+    )
+    print(f"span scrub: {removed} duplicated 16-token blocks removed")
+
     # 3 — dedup: exact collapse, then near-dup clusters -> representatives
     keepers = D.exact_duplicates(kept).select(
         F.col("keeper_id").alias("doc_id")

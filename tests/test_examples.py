@@ -22,6 +22,7 @@ def test_curation_pipeline_example(spark, sf_dir, capsys):
     curation_pipeline.main(sf_dir)
     out = capsys.readouterr().out
     assert "filter pass:" in out
+    assert "span scrub:" in out
     assert "dedup pass:" in out
     assert "mixture pass:" in out
     assert "packed into" in out

@@ -88,7 +88,9 @@ def test_q12_whole_stage_codegen(spark, sf_dir):
         "x43_salted_join", "x44_pii_redaction", "x45_embedding_quantize",
         "x46_dedup_jaccard_estimate", "x47_embedding_project",
         "x48_sketch_ams_f2", "x49_length_buckets", "x50_dataset_mixture",
-        "x51_snapshot_diff", "x52_heavy_hitters",
+        "x51_snapshot_diff", "x52_heavy_hitters", "x53_duplicated_spans",
+        "x54_quality_gate", "x55_compaction_roundtrip", "x56_span_removal",
+        "x57_bm25_rank", "x58_hll_merge", "x59_lsh_eval",
     ],
 )
 def test_no_python_udf_in_jvm_paths(spark, sf_dir, name):

@@ -578,3 +578,60 @@ def test_mixture_sample_deterministic_and_monotone(spark, ids, rate):
     assert got == take(rate)  # deterministic under re-run
     if rate < 100:
         assert got <= take(min(100, rate + 10))  # monotone nesting
+
+
+texts = st.lists(
+    st.lists(
+        st.sampled_from(["w%d" % i for i in range(8)]),
+        min_size=1,
+        max_size=40,
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=texts)
+@settings(**SETTINGS)
+def test_duplicated_spans_invariants(spark, docs):
+    """For ANY corpus: 0 <= n_dup_blocks <= n_blocks = floor(tokens/W),
+    and dup_frac is their exact ratio."""
+    from twitter_kafka_etl_spark.operators.text import duplicated_spans
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    out = {r.doc_id: r for r in duplicated_spans(df, block_tokens=4).collect()}
+    for i, t in enumerate(docs):
+        r = out[i]
+        assert r.n_blocks == len(t.split(" ")) // 4
+        assert 0 <= r.n_dup_blocks <= r.n_blocks
+        want = round(r.n_dup_blocks / r.n_blocks, 6) if r.n_blocks else 0.0
+        assert r.dup_frac == want
+
+
+@given(docs=texts)
+@settings(**SETTINGS)
+def test_span_removal_conserves_tokens(spark, docs):
+    """Removal is exact: each doc's cleaned token count equals
+    W * kept_blocks + tail, and a doc never gains tokens. Rerunning the
+    rewrite on its own output removes nothing further (idempotence)."""
+    from twitter_kafka_etl_spark.operators.text import remove_duplicated_spans
+
+    W = 4
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    out = {r.doc_id: r for r in remove_duplicated_spans(df, W).collect()}
+    for i, t in enumerate(docs):
+        r = out[i]
+        n = len(t.split(" "))
+        kept_blocks = r.n_blocks - r.n_removed
+        tail = n - r.n_blocks * W
+        cleaned_n = len(r.cleaned.split(" ")) if r.cleaned else 0
+        assert cleaned_n == kept_blocks * W + tail
+        assert cleaned_n <= n
+    again = remove_duplicated_spans(
+        spark.createDataFrame(
+            [(i, out[i].cleaned) for i in range(len(docs)) if out[i].cleaned],
+            ["doc_id", "text"],
+        ),
+        W,
+    )
+    assert all(r.n_removed == 0 for r in again.collect())
