@@ -61,6 +61,9 @@ def _rank(name: str) -> int:
         "x58_hll_merge",            # new in r4 — never driver-verified
         "x59_lsh_eval",             # new in r4 — never driver-verified
         "qs10_stream_upsert",       # new in r4 — never driver-verified
+        "qs11_stream_trending",     # new in r4 — never driver-verified
+        "x60_nearest_duplicate",    # new in r4 — never driver-verified
+        "x61_hll_accuracy",         # new in r4 — never driver-verified
     ):
         return 0
     if name.startswith("qs"):

@@ -91,6 +91,7 @@ def test_q12_whole_stage_codegen(spark, sf_dir):
         "x51_snapshot_diff", "x52_heavy_hitters", "x53_duplicated_spans",
         "x54_quality_gate", "x55_compaction_roundtrip", "x56_span_removal",
         "x57_bm25_rank", "x58_hll_merge", "x59_lsh_eval",
+        "x60_nearest_duplicate", "x61_hll_accuracy",
     ],
 )
 def test_no_python_udf_in_jvm_paths(spark, sf_dir, name):
@@ -260,3 +261,11 @@ def test_q31_range_join_is_equi_join(spark, sf_dir):
     plan = plan_of(REGISTRY["q31_range_join"].build(spark, sf_dir), "simple")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_x57_bm25_plan_shape(spark, sf_dir):
+    """BM25 must broadcast the 1-row stats frame and take top-k via
+    ordered-limit heaps — never a full-corpus sort or a shuffled join."""
+    plan = plan_of(REGISTRY["x57_bm25_rank"].build(spark, sf_dir))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan

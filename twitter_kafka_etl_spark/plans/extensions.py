@@ -2372,3 +2372,140 @@ def x59(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lsh_recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x60 — nearest duplicate per document (the dedup-review query)
+# ---------------------------------------------------------------------------
+@_register(
+    "x60_nearest_duplicate",
+    "each candidate document's single most-similar neighbor by MinHash "
+    "estimate (ties to the lowest neighbor id): the review surface a "
+    "dedup operator inspects before approving a purge — symmetric "
+    "expansion of the x46 estimate table + one row_number window per "
+    "doc; everything runs off the k-int64 signature table, text is "
+    "never re-read",
+    f"""
+    WITH {_SIG_CTE},
+    bands AS (
+    {_BAND_BRANCHES}
+    ),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT p.doc_a, p.doc_b,
+             round(({_AGREE_SQL}) / {float(D.N_HASHES)}, 6) AS est_jaccard
+      FROM prs p
+      JOIN sigs sa ON p.doc_a = sa.doc_id
+      JOIN sigs sb ON p.doc_b = sb.doc_id
+    ),
+    sym AS (
+      SELECT doc_a AS doc_id, doc_b AS neighbor, est_jaccard FROM est
+      UNION ALL
+      SELECT doc_b AS doc_id, doc_a AS neighbor, est_jaccard FROM est
+    )
+    SELECT doc_id, neighbor, est_jaccard
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY est_jaccard DESC, neighbor)
+                  AS rnk
+      FROM sym
+    ) WHERE rnk = 1
+    """,
+    tags=("dedup", "extension"),
+)
+def x60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sigs = D.minhash_signatures(D.shingle(docs)).persist()
+    est = D.estimate_jaccard(sigs, D.minhash_lsh_pairs(sigs))
+    sym = est.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("neighbor"),
+        "est_jaccard",
+    ).unionByName(
+        est.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("neighbor"),
+            "est_jaccard",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("est_jaccard").desc(), F.col("neighbor")
+    )
+    return (
+        sym.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") == 1)
+        .select("doc_id", "neighbor", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x61 — sketch accuracy audit: HLL estimate vs exact distinct
+# ---------------------------------------------------------------------------
+@_register(
+    "x61_hll_accuracy",
+    "sketch-accuracy audit: the deterministic HLL estimate (x26) joined "
+    "against the exact distinct-user count per event_type with the "
+    "relative error — the operator a pipeline runs on a sample before "
+    "trusting the sketch at full scale (p=6 -> ~13% theoretical RSE; "
+    "the audit shows the actual corpus error); exact side is one "
+    "partial-agg distinct, estimate side never shuffles per key",
+    f"""
+    WITH h AS (
+      SELECT event_type, {_HLL_HASH} AS hv FROM events
+    ),
+    r AS (
+      SELECT event_type, hv % {K.HLL_M} AS bucket,
+             (SELECT {_HLL_RHO} FROM (SELECT hv // {K.HLL_M} AS v)) AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, bucket, MAX(rho) AS rho FROM r GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type,
+             SUM(power(2.0, -rho)) + ({K.HLL_M} - COUNT(*)) AS s,
+             {K.HLL_M} - COUNT(*) AS v
+      FROM regs GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type,
+             round(CASE WHEN v > 0
+                         AND {K.HLL_ALPHA} * {K.HLL_M * K.HLL_M} / s
+                             <= {2.5 * K.HLL_M}
+                        THEN {K.HLL_M} * ln({K.HLL_M} / v)
+                        ELSE {K.HLL_ALPHA} * {K.HLL_M * K.HLL_M} / s END, 6)
+               AS est_distinct
+      FROM agg GROUP BY event_type, s, v
+    ),
+    exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, est_distinct,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           round(abs(est_distinct - exact_distinct)
+                 / CAST(exact_distinct AS DOUBLE), 6) AS rel_error
+    FROM est e JOIN exact x ON e.event_type = x.event_type
+    """,
+    tags=("sketch", "extension"),
+)
+def x61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    est = K.hll_estimate(K.hll_build(ev, "event_type", "user_id"), "event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "est_distinct",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct").cast("double"),
+            6,
+        ).alias("rel_error"),
+    )

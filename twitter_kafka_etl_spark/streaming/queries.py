@@ -779,3 +779,96 @@ def qs10(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(snap_dirs[-1])
         .select("user_id", "event_id", "event_type", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# QS11 — trending top-k: watermarked streaming counts → rank at serve time
+# ---------------------------------------------------------------------------
+@_register(
+    "qs11_stream_trending",
+    "the reference domain's signature query — trending topics: "
+    "watermarked 1-h tumbling counts per event_type stream to the "
+    "serving layer (append mode emits each window once, finalized by "
+    "the watermark; a planted 23:59 advance row pins the final "
+    "watermark at 22:59 so the finalized set is deterministic), then "
+    "the serve-time rank takes the top-3 types per window — the "
+    "standard split: continuous aggregation in the stream, ranking at "
+    "query time; oracle form: date_trunc counts over finalized windows "
+    "+ ROW_NUMBER <= 3",
+    """
+    WITH e AS (
+      SELECT event_type, ts FROM events
+      WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-03 00:00:00'
+    ),
+    c AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             COUNT(*) AS counts
+      FROM e GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT * FROM c
+      -- final watermark = planted 23:59 advance - 1h = 22:59; hourly
+      -- window ends <= that cutoff are exactly the finalized set
+      WHERE window_start + INTERVAL 1 HOUR
+              <= TIMESTAMP '2024-01-02 22:59:00'
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type, counts, CAST(rnk AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                   ORDER BY counts DESC, event_type) AS rnk
+      FROM f
+    ) WHERE rnk <= 3
+    """,
+    tags=("streaming",),
+)
+def qs11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table_time_range(
+        spark, sf_dir, "events", "2024-01-02 00:00:00", "2024-01-03 00:00:00"
+    )
+
+    def write(in_dir: str) -> None:
+        # batch 0 = the day; batch 1 = a head-of-stream advance row so
+        # the final watermark (23:59 - 1h) finalizes windows 00..21
+        # deterministically (same plant as qs3, without the late row)
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ev.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(in_dir, "f00")
+        )
+        t = pa.table({
+            "event_id": pa.array([999_999_999], pa.int64()),
+            "ts": pa.array(
+                [datetime.datetime.fromisoformat("2024-01-02 23:59:00")],
+                pa.timestamp("us", tz="UTC"),
+            ),
+            "user_id": pa.array([0], pa.int64()),
+            "event_type": pa.array(["advance"], pa.string()),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        })
+        os.makedirs(os.path.join(in_dir, "f01"), exist_ok=True)
+        pq.write_table(t, os.path.join(in_dir, "f01", "part-0.parquet"))
+
+    in_dir, root = _staged_input(sf_dir, "qs11", "day+advance2359", write)
+    stream = _read_stream(spark, in_dir, ev)
+    agg = W.tumbling_counts(
+        stream, "ts", "1 hour", keys=("event_type",), watermark="1 hour"
+    )
+    out = _run_to_sink(agg, root)
+    served = spark.read.parquet(out)
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("counts").desc(), F.col("event_type")
+    )
+    return (
+        served.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("window_start", "window_end", "event_type", "counts", "rank")
+    )
