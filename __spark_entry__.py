@@ -64,6 +64,8 @@ def _rank(name: str) -> int:
         "qs11_stream_trending",     # new in r4 — never driver-verified
         "x60_nearest_duplicate",    # new in r4 — never driver-verified
         "x61_hll_accuracy",         # new in r4 — never driver-verified
+        "x62_k_anonymity",          # new in r4 — never driver-verified
+        "qs12_stream_incremental_dedup",  # new in r4 — never verified
     ):
         return 0
     if name.startswith("qs"):

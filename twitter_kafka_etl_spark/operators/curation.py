@@ -451,3 +451,28 @@ def quality_gate(
             & (F.col("top_share") <= max_top_share)
         ).alias("keep"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: every
+    equivalence class (distinct quasi-identifier tuple) with its size
+    and whether it meets the ``k`` threshold — classes below ``k`` are
+    re-identification risks a release pipeline must suppress or
+    generalize before publishing. One partial-agg shuffle on the
+    quasi-identifier tuple; output is bounded by the number of distinct
+    classes, never the corpus.
+    """
+    qc = [F.col(c) for c in quasi_cols]
+    return (
+        df.groupBy(*qc)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .select(
+            *qc,
+            F.col("class_size").cast("bigint").alias("class_size"),
+            (F.col("class_size") >= k).cast("bigint").alias("k_anonymous"),
+        )
+    )

@@ -2509,3 +2509,35 @@ def x61(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x62 — k-anonymity audit (the pre-release privacy gate)
+# ---------------------------------------------------------------------------
+_KA_K = 5
+#: 100-char width bucket over n_chars — the generalization a release
+#: pipeline would apply to a numeric quasi-identifier
+_KA_BUCKET = "CAST(n_chars // 100 AS BIGINT)"
+
+
+@_register(
+    "x62_k_anonymity",
+    "k-anonymity audit over the (lang, source, length-bucket) "
+    "quasi-identifier: every equivalence class with its size and a "
+    "below-k risk flag — the privacy gate a corpus release runs before "
+    "publishing; one partial-agg shuffle, output bounded by distinct "
+    "classes",
+    f"""
+    SELECT lang, source, {_KA_BUCKET} AS len_bucket,
+           COUNT(*) AS class_size,
+           CAST(COUNT(*) >= {_KA_K} AS BIGINT) AS k_anonymous
+    FROM documents
+    GROUP BY lang, source, {_KA_BUCKET}
+    """,
+    tags=("curation", "extension"),
+)
+def x62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 100).cast("bigint")
+    )
+    return C.k_anonymity(docs, ["lang", "source", "len_bucket"], k=_KA_K)

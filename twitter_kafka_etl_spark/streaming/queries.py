@@ -872,3 +872,88 @@ def qs11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("window_start", "window_end", "event_type", "counts", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# QS12 — incremental ingest dedup: each batch anti-joins the fp index
+# ---------------------------------------------------------------------------
+@_register(
+    "qs12_stream_incremental_dedup",
+    "incremental-ingest dedup against HISTORY: every arriving batch of "
+    "documents is first deduped within itself (min doc_id per md5 "
+    "fingerprint), then anti-joined against the accumulated fingerprint "
+    "index before novel rows append to the corpus and their prints to "
+    "the index — the production crawl-ingest pattern (qs4 dedups only "
+    "within the stream's watermark; this dedups against everything "
+    "ever ingested, with state = an 16-byte-per-doc parquet index, not "
+    "a state store); batches arrive in doc_id order, so the kept set "
+    "is exactly first-occurrence-per-fingerprint; oracle form: min "
+    "doc_id per md5(text)",
+    """
+    SELECT doc_id, md5(text) AS fp FROM (
+      SELECT doc_id, text,
+             ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    tags=("streaming", "dedup"),
+)
+def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_kafka_etl_spark.streaming.sinks import foreach_batch_fanout
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def write(in_dir: str) -> None:
+        # 4 equal doc_id ranges = deterministic arrival order (the
+        # oracle's first-occurrence tie-break assumes id order)
+        n = 4
+        mx = docs.agg(F.max("doc_id")).first()[0] or 0
+        width = mx // n + 1
+        bucket = F.floor(F.col("doc_id") / width).cast("int")
+        (
+            docs.withColumn("__f", bucket)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("__f")
+            .parquet(in_dir)
+        )
+
+    in_dir, work = _staged_input(sf_dir, "qs12", "idrange4", write)
+    corpus = os.path.join(work, "corpus")
+    index = os.path.join(work, "index")
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        s = batch_df.sparkSession
+        fp = batch_df.withColumn("fp", F.md5("text"))
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        novel = (
+            fp.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if os.path.exists(index):
+            seen = s.read.parquet(index).select("fp")
+            novel = novel.join(seen, "fp", "left_anti")
+        # localCheckpoint, NOT persist: the novel set feeds two appends,
+        # and the second one's plan would re-list the index parquet —
+        # which the FIRST append just extended with this batch's own
+        # fingerprints. A cache can't pin a file source (the refreshed
+        # listing changes the plan, missing the cache), so the re-run
+        # anti-joins the batch against itself and writes zero rows
+        # (observed: index complete, corpus stuck at batch 0). The
+        # checkpoint cuts lineage, freezing the rows before any write.
+        novel = novel.localCheckpoint(eager=True)
+        novel.select("doc_id", "fp").write.mode("append").parquet(index)
+        novel.select("doc_id", "text", "fp").write.mode("append").parquet(
+            corpus
+        )
+
+    stream = _read_stream(spark, in_dir, docs)
+    q = foreach_batch_fanout(
+        stream, [ingest], checkpoint=os.path.join(work, "ckpt")
+    )
+    q.awaitTermination()
+    return spark.read.parquet(corpus).select("doc_id", "fp")
