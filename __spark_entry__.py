@@ -66,6 +66,8 @@ def _rank(name: str) -> int:
         "x61_hll_accuracy",         # new in r4 — never driver-verified
         "x62_k_anonymity",          # new in r4 — never driver-verified
         "qs12_stream_incremental_dedup",  # new in r4 — never verified
+        "x63_pair_graph_degree",    # new in r4 — never driver-verified
+        "x64_session_sequences",    # new in r4 — never driver-verified
     ):
         return 0
     if name.startswith("qs"):

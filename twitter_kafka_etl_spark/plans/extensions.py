@@ -2541,3 +2541,107 @@ def x62(spark: SparkSession, sf_dir: str) -> DataFrame:
         "len_bucket", F.floor(F.col("n_chars") / 100).cast("bigint")
     )
     return C.k_anonymity(docs, ["lang", "source", "len_bucket"], k=_KA_K)
+
+
+# ---------------------------------------------------------------------------
+# x63 — near-dup pair-graph degree profile (graph health before clustering)
+# ---------------------------------------------------------------------------
+@_register(
+    "x63_pair_graph_degree",
+    "degree distribution of the MinHash-LSH candidate graph: per-degree "
+    "document counts — the health check before connected components "
+    "(a heavy-tailed profile means hot shingles/band collisions and "
+    "predicts component blow-up; informs the df-cap and band/row "
+    "tuning); symmetric expand + two partial-agg shuffles, output "
+    "bounded by the distinct degrees",
+    f"""
+    WITH {_SIG_CTE},
+    bands AS (
+    {_BAND_BRANCHES}
+    ),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    deg AS (
+      SELECT doc_id, COUNT(*) AS degree FROM (
+        SELECT doc_a AS doc_id FROM prs
+        UNION ALL
+        SELECT doc_b AS doc_id FROM prs
+      ) GROUP BY doc_id
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           COUNT(*) AS n_docs
+    FROM deg GROUP BY degree
+    """,
+    tags=("dedup", "extension"),
+)
+def x63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(D.minhash_signatures(D.shingle(docs)))
+    sym = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = sym.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs")).select(
+        F.col("degree").cast("bigint").alias("degree"), "n_docs"
+    )
+
+
+# ---------------------------------------------------------------------------
+# x64 — sessionized event-sequence assembly (behavioral training data)
+# ---------------------------------------------------------------------------
+@_register(
+    "x64_session_sequences",
+    "per-user 30-min-gap sessions assembled into ordered event-type "
+    "sequences — the sequence-construction step for behavior-model "
+    "training data (q28 counts sessions; this EMITS them as training "
+    "rows); order inside a session is (ts, event_id) — total, so the "
+    "assembled string is deterministic; one session_window aggregate, "
+    "state bounded by session length",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+    FROM numbered GROUP BY user_id, sess_id
+    """,
+    tags=("window", "curation", "extension"),
+)
+def x64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("win"), F.col("user_id")
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s.getField("event_type"),
+                ),
+                ",",
+            ).alias("seq"),
+        )
+        .select("user_id", "session_start", "n_events", "seq")
+    )
