@@ -68,6 +68,7 @@ def _rank(name: str) -> int:
         "qs12_stream_incremental_dedup",  # new in r4 — never verified
         "x63_pair_graph_degree",    # new in r4 — never driver-verified
         "x64_session_sequences",    # new in r4 — never driver-verified
+        "x65_split_leakage",        # new in r4 — never driver-verified
     ):
         return 0
     if name.startswith("qs"):

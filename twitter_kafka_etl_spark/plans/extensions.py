@@ -2645,3 +2645,96 @@ def x64(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "n_events", "seq")
     )
+
+
+# ---------------------------------------------------------------------------
+# x65 — split-leakage audit (eval hygiene: does test leak from train?)
+# ---------------------------------------------------------------------------
+@_register(
+    "x65_split_leakage",
+    "eval-hygiene audit of the train/test split: count of test docs "
+    "with an EXACT duplicate in train (md5) and with a NEAR-dup LSH "
+    "candidate in train — the contamination check a pipeline must pass "
+    "before any benchmark number is believed (the hash split x22 is "
+    "leak-proof by id, but duplicated CONTENT still crosses it; this "
+    "measures exactly that); fingerprint semi-join + the banded "
+    "candidate graph, nothing quadratic",
+    f"""
+    WITH {_SIG_CTE},
+    bands AS (
+    {_BAND_BRANCHES}
+    ),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sp AS (
+      SELECT doc_id, md5(text) AS fp,
+             CASE WHEN bk < 90 THEN 'train'
+                  WHEN bk < 95 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id, text,
+                   {_BUCKET_SQL_T.format(salt='split', col='doc_id')} AS bk
+            FROM documents)
+    ),
+    te AS (SELECT doc_id, fp FROM sp WHERE split = 'test'),
+    near AS (
+      SELECT COUNT(DISTINCT td) AS n FROM (
+        SELECT CASE WHEN sa.split = 'test' AND sb.split = 'train'
+                    THEN p.doc_a
+                    WHEN sb.split = 'test' AND sa.split = 'train'
+                    THEN p.doc_b END AS td
+        FROM prs p
+        JOIN sp sa ON sa.doc_id = p.doc_a
+        JOIN sp sb ON sb.doc_id = p.doc_b
+      ) WHERE td IS NOT NULL
+    )
+    SELECT (SELECT COUNT(*) FROM te) AS n_test,
+           (SELECT COUNT(*) FROM te
+            WHERE fp IN (SELECT fp FROM sp WHERE split = 'train'))
+             AS exact_leaked,
+           CAST((SELECT n FROM near) AS BIGINT) AS neardup_leaked
+    """,
+    tags=("curation", "dedup", "extension"),
+)
+def x65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_kafka_etl_spark.operators import curation as C
+
+    docs = _docs(spark, sf_dir)
+    spl = C.split_assign(docs, "doc_id").select(
+        "doc_id", F.md5("text").alias("fp"), "split"
+    ).persist()
+    te = spl.filter(F.col("split") == "test")
+    tr_fp = spl.filter(F.col("split") == "train").select("fp").distinct()
+    pairs = D.minhash_lsh_pairs(D.minhash_signatures(D.shingle(docs)))
+    lab = pairs.join(
+        spl.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sp_a")),
+        "doc_a",
+    ).join(
+        spl.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sp_b")),
+        "doc_b",
+    )
+    td = (
+        lab.select(
+            F.when(
+                (F.col("sp_a") == "test") & (F.col("sp_b") == "train"),
+                F.col("doc_a"),
+            )
+            .when(
+                (F.col("sp_b") == "test") & (F.col("sp_a") == "train"),
+                F.col("doc_b"),
+            )
+            .alias("td")
+        )
+        .filter(F.col("td").isNotNull())
+        .distinct()
+    )
+    return (
+        te.agg(F.count(F.lit(1)).alias("n_test"))
+        .crossJoin(
+            te.join(tr_fp, "fp", "left_semi").agg(
+                F.count(F.lit(1)).alias("exact_leaked")
+            )
+        )
+        .crossJoin(td.agg(F.count(F.lit(1)).alias("neardup_leaked")))
+    )
