@@ -69,6 +69,8 @@ def _rank(name: str) -> int:
         "x63_pair_graph_degree",    # new in r4 — never driver-verified
         "x64_session_sequences",    # new in r4 — never driver-verified
         "x65_split_leakage",        # new in r4 — never driver-verified
+        "x66_semantic_dedup",       # new in r4 — never driver-verified
+        "x67_prototype_prune",      # new in r4 — never driver-verified
     ):
         return 0
     if name.startswith("qs"):

@@ -919,3 +919,53 @@ def test_lsh_eval_counts_are_consistent(spark, sf_dir):
     assert 0.0 <= r.lsh_precision <= 1.0 and 0.0 <= r.lsh_recall <= 1.0
     # the synthetic corpus plants near-dups: the evaluation must see them
     assert r.n_true > 0 and r.n_pred > 0
+
+
+def test_semantic_dedup_drops_planted_near_duplicate(spark):
+    """A vector and its tiny perturbation land in the same coarse cell
+    and clear the cosine bar; the higher id is reported dropped with the
+    lower id as keeper. An orthogonal vector survives."""
+    base = [1.0] + [0.0] * 63
+    near = [1.0, 0.01] + [0.0] * 62
+    orth = [0.0, 0.0, 1.0] + [0.0] * 61
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, orth)],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = S.semantic_dedup(df, threshold=0.9).collect()
+    assert [(r.vec_id, r.dup_of) for r in rows] == [(1, 0)]
+    assert rows[0].cos_sim > 0.99
+
+
+def test_semantic_dedup_never_pairs_across_clusters(spark, sf_dir):
+    """Every reported (dropped, keeper) pair shares the dropped row's
+    cluster — the SemDeDup bound that keeps the search sub-quadratic."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = S.semantic_dedup(emb, threshold=0.3)
+    assigned = S.ivf_assign(emb).select(
+        F.col("vec_id").alias("dup_of"), F.col("cent_id").alias("keeper_cl")
+    )
+    cross = out.join(assigned, "dup_of").filter(
+        F.col("cluster_id") != F.col("keeper_cl")
+    )
+    assert cross.count() == 0
+
+
+def test_prototype_prune_keeps_top_fraction_per_cluster(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = S.prototype_scores(emb, keep_frac=0.8).collect()
+    assert len(out) == emb.count()
+    by_cl = {}
+    for r in out:
+        by_cl.setdefault(r.cluster_id, []).append(r)
+    import math
+
+    for cl, rows in by_cl.items():
+        kept = [r for r in rows if r.keep == 1]
+        assert len(kept) == math.ceil(len(rows) * 0.8)
+        # the kept set is exactly the top of the (proto DESC, id ASC) order
+        rank_key = lambda r: (-r.proto_cos, r.vec_id)  # noqa: E731
+        cut = max(rank_key(r) for r in kept)
+        for r in rows:
+            if r.keep == 0:
+                assert rank_key(r) > cut

@@ -93,7 +93,7 @@ def test_q12_whole_stage_codegen(spark, sf_dir):
         "x57_bm25_rank", "x58_hll_merge", "x59_lsh_eval",
         "x60_nearest_duplicate", "x61_hll_accuracy", "x62_k_anonymity",
         "x63_pair_graph_degree", "x64_session_sequences",
-        "x65_split_leakage",
+        "x65_split_leakage", "x66_semantic_dedup", "x67_prototype_prune",
     ],
 )
 def test_no_python_udf_in_jvm_paths(spark, sf_dir, name):

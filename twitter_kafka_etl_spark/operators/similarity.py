@@ -653,3 +653,138 @@ def project_embeddings(
             for i, p in enumerate(planes)
         ],
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_mod: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embedding space, then prune
+    near-duplicates *within* each cluster — the clustering is what makes
+    semantic dedup tractable at corpus scale, bounding the quadratic
+    pair search to cluster-sized blocks instead of the whole corpus.
+
+    Stage 1 reuses the IVF coarse quantizer (``ivf_assign``): a
+    deterministic ≈√n-cell assignment with driver-bounded broadcast
+    state. At 100 TB the cells come from a real trained k-means; the
+    plumbing — broadcast quantizer, narrow assignment pass, per-cell
+    equi-join — is identical, which is the point of sharing the
+    operator. Stage 2 self-joins each cell on ``cent_id`` (a plain
+    shuffled equi-join — AQE splits skewed cells) and keeps pairs with
+    exact cosine ≥ ``threshold``; a document is dropped when any
+    LOWER-id cell-mate clears the threshold (the greedy keep-lowest
+    rule, deterministic with no iteration).
+
+    Output: one row per DROPPED document — (vec_id, cluster_id,
+    dup_of = its lowest-id qualifying neighbor, cos_sim to that
+    neighbor). Anti-joining this against the corpus is the keep-set.
+
+    Scale: pair generation never leaves a cell (cells are ~n/√n rows);
+    the exchange carries (id, cent_id, vector) once per side; the final
+    per-document reduction is a map-side-combined min/min_by aggregate.
+    Every emitted cosine is the sequential double fold — bitwise equal
+    to the DuckDB oracle's list_dot_product.
+    """
+    assigned = ivf_assign(df, vec_col, id_col, centroid_mod)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "cent_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "cent_id"
+    )
+    pairs = (
+        a.join(b, "cent_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            "cent_id",
+            "id_a",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    return pairs.groupBy("id_b", "cent_id").agg(
+        F.min("id_a").alias("dup_of"),
+        F.min_by("cos", "id_a").alias("cos_sim"),
+    ).select(
+        F.col("id_b").alias(id_col),
+        F.col("cent_id").alias("cluster_id"),
+        "dup_of",
+        "cos_sim",
+    )
+
+
+def prototype_scores(
+    df: DataFrame,
+    keep_frac: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_mod: int | None = None,
+) -> DataFrame:
+    """Prototypicality-based data pruning (Sorscher et al. 2022,
+    "Beyond neural scaling laws"): score every example by cosine to its
+    cluster's mean embedding, then keep the top ``keep_frac`` of each
+    cluster — the self-supervised pruning metric that paper shows can
+    beat random subsampling at scale.
+
+    Cluster assignment reuses the IVF coarse quantizer; the cluster
+    mean is computed in long form (posexplode → one partial-agg shuffle
+    on (cent_id, pos)) with DECIMAL(38,12) sums so the mean is
+    order-independent under partitioning — the same determinism
+    discipline as ``label_centroids``. The k×dim mean table re-assembles
+    driver-free via array_sort(collect_list(struct(pos, m))) per cell
+    (k·dim rows total — broadcast-sized at any corpus scale) and
+    broadcast-joins back for a narrow per-row scoring pass.
+
+    Output: every document with (vec_id, cluster_id, proto_cos,
+    keep ∈ {0,1}). The per-cluster rank is a row_number window on
+    (proto_cos DESC, vec_id) — an n/√n-row sort per cell; at extreme
+    cell sizes the x41-style histogram-walk percentile replaces the
+    sort, same cut semantics.
+    """
+    assigned = ivf_assign(df, vec_col, id_col, centroid_mod)
+    means = (
+        assigned.select("cent_id", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cent_id", "pos")
+        .agg(
+            F.sum(F.col("val").cast("decimal(38,12)")).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .select(
+            "cent_id",
+            "pos",
+            F.round(F.col("s").cast("double") / F.col("c"), 6).alias("m"),
+        )
+        .groupBy("cent_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "cent_id", F.transform("pm", lambda x: x["m"]).alias("cvec")
+        )
+    )
+    scored = assigned.join(F.broadcast(means), "cent_id").select(
+        F.col(id_col),
+        F.col("cent_id").alias("cluster_id"),
+        F.round(cosine(F.col("v"), F.col("cvec")), 6).alias("proto_cos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("proto_cos"), F.col(id_col)
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .select(
+            id_col,
+            "cluster_id",
+            "proto_cos",
+            (F.col("__rn") <= F.ceil(F.col("__n") * F.lit(keep_frac)))
+            .cast("int")
+            .alias("keep"),
+        )
+    )

@@ -2738,3 +2738,98 @@ def x65(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(td.agg(F.count(F.lit(1)).alias("neardup_leaked")))
     )
+
+
+# ---------------------------------------------------------------------------
+# x66/x67 — semantic dedup + prototypicality pruning (cluster-then-score)
+# ---------------------------------------------------------------------------
+#: IVF coarse-assignment CTEs shared by the cluster-then-score family —
+#: the same deterministic quantizer the x16 oracle embeds (stride
+#: max(61, isqrt(n)); nearest centroid by exact cosine, ties to the
+#: lowest cent_id).
+_IVF_ASSIGN_CTE = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e
+              WHERE vec_id % (SELECT GREATEST({{mod}},
+                       CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM e) = 0),
+    assign AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT e.vec_id, e.v, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.cvec) /
+                          (sqrt(list_dot_product(e.v, e.v)) *
+                           sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                   c.cent_id) AS rn
+        FROM e CROSS JOIN cents c)
+      WHERE rn = 1
+    )"""
+
+
+@_register(
+    "x66_semantic_dedup",
+    "SemDeDup (Abbas et al. 2023): coarse-cluster embeddings with the "
+    "IVF quantizer, prune cosine near-duplicates within each cluster — "
+    "the cluster bound is what keeps semantic dedup sub-quadratic at "
+    "corpus scale; emits each dropped doc with its keeper "
+    "(greedy keep-lowest-id, deterministic, no iteration)",
+    f"""
+    WITH {_IVF_ASSIGN_CTE.format(mod=S.CENTROID_MOD)},
+    pairs AS (
+      SELECT b.vec_id AS vid, b.cent_id AS cluster_id, a.vec_id AS id_a,
+             {_COS_SQL.format(v='a.v', q='b.v')} AS cos
+      FROM assign a JOIN assign b
+        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      WHERE {_COS_SQL.format(v='a.v', q='b.v')} >= 0.35
+    )
+    SELECT vid AS vec_id, cluster_id, MIN(id_a) AS dup_of,
+           arg_min(cos, id_a) AS cos_sim
+    FROM pairs GROUP BY vid, cluster_id
+    """,
+    tags=("dedup", "similarity", "extension"),
+)
+def x66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.semantic_dedup(_emb(spark, sf_dir), threshold=0.35)
+
+
+@_register(
+    "x67_prototype_prune",
+    "prototypicality pruning (Sorscher et al. 2022, 'Beyond neural "
+    "scaling laws'): score every embedding by cosine to its cluster's "
+    "decimal-exact mean, keep the top 80% of each cluster — the "
+    "self-supervised data-pruning metric, cluster means broadcast-sized "
+    "at any corpus scale",
+    f"""
+    WITH {_IVF_ASSIGN_CTE.format(mod=S.CENTROID_MOD)},
+    comp AS (
+      SELECT cent_id,
+             unnest(list_transform(range(1, len(v) + 1),
+                    i -> {{'p': i, 'v': v[i]}})) AS s
+      FROM assign
+    ),
+    m AS (
+      SELECT cent_id, s.p - 1 AS pos,
+             round(CAST(SUM(CAST(s.v AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*), 6) AS m
+      FROM comp GROUP BY 1, 2
+    ),
+    cv AS (SELECT cent_id, list(m ORDER BY pos) AS cvec FROM m GROUP BY 1),
+    scored AS (
+      SELECT a.vec_id, a.cent_id AS cluster_id,
+             {_COS_SQL.format(v='a.v', q='cv.cvec')} AS proto_cos
+      FROM assign a JOIN cv ON a.cent_id = cv.cent_id
+    ),
+    ranked AS (
+      SELECT vec_id, cluster_id, proto_cos,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY proto_cos DESC, vec_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n
+      FROM scored
+    )
+    SELECT vec_id, cluster_id, proto_cos,
+           CAST(rn <= CEIL(n * 0.8) AS INT) AS keep
+    FROM ranked
+    """,
+    tags=("curation", "similarity", "extension"),
+)
+def x67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.prototype_scores(_emb(spark, sf_dir), keep_frac=0.8)
