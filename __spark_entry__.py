@@ -71,6 +71,8 @@ def _rank(name: str) -> int:
         "x65_split_leakage",        # new in r4 — never driver-verified
         "x66_semantic_dedup",       # new in r4 — never driver-verified
         "x67_prototype_prune",      # new in r4 — never driver-verified
+        "x68_dsir_selection",       # new in r4 — never driver-verified
+        "x69_langid_eval",          # new in r4 — never driver-verified
     ):
         return 0
     if name.startswith("qs"):

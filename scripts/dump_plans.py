@@ -88,6 +88,16 @@ SHOWCASE = [
      "BM25: per-term tf as narrow array filters, corpus stats broadcast "
      "as a 1-row aggregate, top-k via TakeOrderedAndProject heaps — "
      "never a full-corpus sort."),
+    ("x66_semantic_dedup",
+     "SemDeDup: broadcast coarse quantizer + narrow Arrow assignment, "
+     "then the near-dup pair search as a per-cell shuffled equi-join — "
+     "the cluster bound is the sub-quadratic guarantee; the final "
+     "keep-lowest reduction is a map-side-combined min/min_by."),
+    ("x68_dsir_selection",
+     "DSIR: feature tables collapse to ≤1024 rows (broadcast joins, "
+     "never a corpus-side shuffle beyond the per-doc partial agg); the "
+     "top-k is a TakeOrderedAndProject heap, and the per-doc weight is "
+     "an exact integer sum — order-independent under partitioning."),
 ]
 
 HEADER = """# PLANS — annotated physical plans (generated)

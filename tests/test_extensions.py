@@ -969,3 +969,39 @@ def test_prototype_prune_keeps_top_fraction_per_cluster(spark, sf_dir):
         for r in rows:
             if r.keep == 0:
                 assert rank_key(r) > cut
+
+
+def test_dsir_ranks_target_vocab_docs_first(spark):
+    """Documents written in the target domain's vocabulary must out-rank
+    documents in a disjoint vocabulary, and copies of target docs score
+    positive (their tokens are over-represented in the target)."""
+    from twitter_kafka_etl_spark.operators import curation as C
+
+    target = [(i, "alpha beta gamma delta", "tgt") for i in range(5)]
+    other = [(i + 10, "zu quo xar blep", "web") for i in range(5)]
+    mixed = [(20, "alpha beta zu quo", "web")]
+    df = spark.createDataFrame(
+        target + other + mixed, ["doc_id", "text", "source"]
+    )
+    out = C.dsir_weights(df, target_source="tgt", top_k=11).collect()
+    ranked = [r.doc_id for r in out]
+    # all five target docs rank above all five disjoint-vocab docs,
+    # the half-target doc sits in between
+    assert set(ranked[:5]) == {0, 1, 2, 3, 4}
+    assert ranked[5] == 20
+    assert set(ranked[6:]) == {10, 11, 12, 13, 14}
+    ws = [r.dsir_logweight for r in out]
+    assert ws == sorted(ws, reverse=True)
+    # target-vocab docs are strictly better than disjoint-vocab docs
+    # (absolute sign depends on the smoothing mass at toy scale)
+    assert ws[4] > ws[5] > ws[6]
+
+
+def test_langid_eval_confusion_shares_sum_to_one(spark, sf_dir):
+    out = T.langid_eval(read_table(spark, sf_dir, "documents")).collect()
+    by_true = {}
+    for r in out:
+        by_true.setdefault(r.true_lang, []).append(r)
+    for lang, rows in by_true.items():
+        assert abs(sum(r.recall_share for r in rows) - 1.0) < 1e-4
+        assert all(r.n_docs > 0 for r in rows)

@@ -476,3 +476,98 @@ def k_anonymity(
             (F.col("class_size") >= k).cast("bigint").alias("k_anonymous"),
         )
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_source: str,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    top_k: int = 100,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    weight every document by the log-likelihood ratio of its hashed
+    unigram features under a target domain vs the raw corpus, and keep
+    the ``top_k`` highest-weighted documents — the importance-sampling
+    recipe for steering a web-scale crawl toward a curated target.
+
+    Determinism across engines (the log problem): per-document float
+    sums of log-ratios are order-dependent under partitioning, and
+    Spark's Math.log and the oracle's libm can drift a ulp apart. Both
+    are solved at the FEATURE level — the per-bucket log-ratio is
+    quantized ONCE to a scaled BIGINT (round(ln(p/q)·1e6)), so the
+    per-document reduction is an exact integer sum in any order, and a
+    ulp flip would have to land within 5e-7 of a rounding boundary on
+    one of only ``n_buckets`` values to matter at all.
+
+    Smoothing is add-one over the bucket vocabulary: p_b=(tc_b+1)/(T+B),
+    q_b=(cc_b+1)/(C+B); the ratio is formed as one integer-product
+    division so both engines feed ln() the identical double (products
+    stay exact below 2^53 — at larger corpora, pre-divide the counts).
+
+    Scale: the feature table is one explode + two bounded groupBys
+    (≤ n_buckets rows each — broadcast-sized forever); the per-document
+    pass is a broadcast join + one partial-agg shuffle on the id; the
+    final top-k is a distributed TakeOrdered heap, never a global sort.
+    """
+    from twitter_kafka_etl_spark.operators.dedup import MERSENNE, token_hash
+
+    tb = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    ).select(
+        id_col,
+        source_col,
+        F.pmod(token_hash(F.col("__tok")), F.lit(n_buckets)).alias("b"),
+    )
+    cc = tb.groupBy("b").agg(F.count(F.lit(1)).alias("cc"))
+    tc = (
+        tb.filter(F.col(source_col) == target_source)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    tot = cc.agg(F.sum("cc").alias("ctot")).crossJoin(
+        tc.agg(F.sum("tc").alias("ttot"))
+    )
+    lr = (
+        cc.join(tc, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("tc"), F.lit(0)) + 1)
+                        * (F.col("ctot") + n_buckets)
+                    ).cast("double")
+                    / ((F.col("cc") + 1) * (F.col("ttot") + n_buckets))
+                )
+                * F.lit(1e6),
+                0,
+            )
+            .cast("bigint")
+            .alias("lr"),
+        )
+    )
+    db = tb.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        db.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("lr")).alias("wi"))
+        .select(
+            id_col,
+            F.round(F.col("wi").cast("double") / F.lit(1e6), 6).alias(
+                "dsir_logweight"
+            ),
+        )
+    )
+    return (
+        w.join(df.select(id_col, source_col), id_col)
+        .orderBy(F.desc("dsir_logweight"), id_col)
+        .limit(top_k)
+        .select(id_col, source_col, "dsir_logweight")
+    )

@@ -688,8 +688,13 @@ def semantic_dedup(
     per-document reduction is a map-side-combined min/min_by aggregate.
     Every emitted cosine is the sequential double fold — bitwise equal
     to the DuckDB oracle's list_dot_product.
+
+    The assignment is persisted for the plan's lifetime: both sides of
+    the self-join read it, and Spark would otherwise execute the
+    quantizer+assignment lineage twice (same cache contract as
+    ``_cosine_pairs_collapsed`` — released by session cache eviction).
     """
-    assigned = ivf_assign(df, vec_col, id_col, centroid_mod)
+    assigned = ivf_assign(df, vec_col, id_col, centroid_mod).persist()
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), "cent_id"
     )
@@ -745,8 +750,12 @@ def prototype_scores(
     (proto_cos DESC, vec_id) — an n/√n-row sort per cell; at extreme
     cell sizes the x41-style histogram-walk percentile replaces the
     sort, same cut semantics.
+
+    The assignment is persisted for the plan's lifetime: the mean pass
+    and the scoring pass both read it (same cache contract as
+    ``semantic_dedup``).
     """
-    assigned = ivf_assign(df, vec_col, id_col, centroid_mod)
+    assigned = ivf_assign(df, vec_col, id_col, centroid_mod).persist()
     means = (
         assigned.select("cent_id", F.posexplode("v").alias("pos", "val"))
         .groupBy("cent_id", "pos")

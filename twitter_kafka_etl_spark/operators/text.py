@@ -725,3 +725,33 @@ def bm25_rank(
         F.round("__s", 6).alias("bm25"),
         F.row_number().over(w).cast("bigint").alias("rank"),
     )
+
+
+def langid_eval(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classifier audit for the lang-ID heuristic: confusion matrix of
+    predicted vs recorded language plus per-truth-class recall — the
+    acceptance check a pipeline owner runs before letting a cheap
+    classifier route a 100 TB corpus (mirrors the x59/x61 pattern:
+    every approximate component ships with its accuracy query).
+
+    One narrow lang_id pass + one (truth, pred) groupBy + a share-of-
+    truth-class window over the tiny confusion table — the corpus is
+    touched exactly once. recall_share sums to 1 within each truth row.
+    """
+    pred = lang_id(df, text_col)
+    cm = pred.groupBy(
+        F.col(lang_col).alias("true_lang"), F.col("pred_lang")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("true_lang")
+    return cm.select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias(
+            "recall_share"
+        ),
+    )

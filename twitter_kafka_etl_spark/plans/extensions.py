@@ -2833,3 +2833,84 @@ def x66(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x67(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.prototype_scores(_emb(spark, sf_dir), keep_frac=0.8)
+
+
+# ---------------------------------------------------------------------------
+# x68/x69 — DSIR importance selection + lang-ID classifier audit
+# ---------------------------------------------------------------------------
+@_register(
+    "x68_dsir_selection",
+    "DSIR data selection (Xie et al. 2023): hashed-unigram "
+    "log-likelihood ratio of the src0 target domain vs the raw corpus, "
+    "per-bucket ratios quantized to scaled BIGINT so the per-doc sum "
+    "is exact-integer in any order; top-100 docs by importance weight "
+    "via a distributed TakeOrdered heap",
+    """
+    WITH tb AS (
+      SELECT doc_id, source,
+             ((CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 2147483647)
+              % 1024) AS b
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+    ),
+    cc AS (SELECT b, COUNT(*) AS cc FROM tb GROUP BY b),
+    tc AS (SELECT b, COUNT(*) AS tc FROM tb WHERE source = 'src0' GROUP BY b),
+    tot AS (SELECT (SELECT COUNT(*) FROM tb) AS ctot,
+                   (SELECT COUNT(*) FROM tb WHERE source = 'src0') AS ttot),
+    lr AS (
+      SELECT cc.b,
+             CAST(round(ln(CAST((COALESCE(tc, 0) + 1) * (ctot + 1024)
+                                AS DOUBLE)
+                           / ((cc + 1) * (ttot + 1024))) * 1e6, 0)
+                  AS BIGINT) AS lr
+      FROM cc LEFT JOIN tc ON cc.b = tc.b, tot
+    ),
+    db AS (SELECT doc_id, b, COUNT(*) AS cnt FROM tb GROUP BY 1, 2),
+    w AS (SELECT doc_id, CAST(SUM(cnt * lr) AS BIGINT) AS wi
+          FROM db JOIN lr USING (b) GROUP BY 1)
+    SELECT w.doc_id, d.source,
+           round(CAST(wi AS DOUBLE) / 1e6, 6) AS dsir_logweight
+    FROM w JOIN documents d ON w.doc_id = d.doc_id
+    ORDER BY dsir_logweight DESC, w.doc_id LIMIT 100
+    """,
+    tags=("curation", "extension"),
+)
+def x68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.dsir_weights(_docs(spark, sf_dir), target_source="src0")
+
+
+@_register(
+    "x69_langid_eval",
+    "lang-ID classifier audit: confusion matrix of the marker-word "
+    "heuristic's prediction vs the recorded lang column, with "
+    "per-truth-class recall share — every approximate component ships "
+    "with its accuracy query (the x59/x61 discipline applied to "
+    "classification)",
+    f"""
+    WITH t AS (SELECT doc_id, lang,
+                      list_distinct(string_split(text, ' ')) AS td
+               FROM documents),
+    s AS (SELECT doc_id, lang,
+          len(list_intersect(td, {_MARKER_LIST['de']})) AS s_de,
+          len(list_intersect(td, {_MARKER_LIST['en']})) AS s_en,
+          len(list_intersect(td, {_MARKER_LIST['es']})) AS s_es,
+          len(list_intersect(td, {_MARKER_LIST['fr']})) AS s_fr
+          FROM t),
+    p AS (SELECT lang AS true_lang,
+      CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 2 THEN 'und'
+           WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+           WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+           WHEN s_es >= s_fr THEN 'es'
+           ELSE 'fr' END AS pred_lang
+      FROM s),
+    cm AS (SELECT true_lang, pred_lang, COUNT(*) AS n_docs
+           FROM p GROUP BY 1, 2)
+    SELECT true_lang, pred_lang, n_docs,
+           round(n_docs / CAST(SUM(n_docs) OVER (PARTITION BY true_lang)
+                               AS DOUBLE), 6) AS recall_share
+    FROM cm
+    """,
+    tags=("text", "extension"),
+)
+def x69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.langid_eval(_docs(spark, sf_dir))
