@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from twitter_kafka_etl_spark.io import read_table
 from twitter_kafka_etl_spark.operators import curation as C
 from twitter_kafka_etl_spark.operators import dedup as D
+from twitter_kafka_etl_spark.operators import similarity as S
 from twitter_kafka_etl_spark.operators import text as T
 from twitter_kafka_etl_spark.session import get_spark
 
@@ -101,6 +102,25 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     deduped = uniq.join(keep, "doc_id")
     print(f"dedup pass: {uniq.count()} unique -> {deduped.count()} cluster keepers")
+
+    # 3b — embedding-space curation (the semantic layer textual dedup
+    #      can't see): SemDeDup near-dup pruning inside IVF cells, then
+    #      prototypicality pruning against each cell's mean
+    emb = read_table(spark, sf_dir, "embeddings")
+    sem_drops = S.semantic_dedup(emb, threshold=0.35)
+    proto = S.prototype_scores(emb, keep_frac=0.8)
+    n_emb = emb.count()
+    print(
+        f"semantic pass: {sem_drops.count()} embedding near-dups dropped, "
+        f"{proto.filter(F.col('keep') == 1).count()}/{n_emb} kept as "
+        "prototypical"
+    )
+
+    # 3c — importance selection: steer the mix toward the target domain
+    #      (DSIR log-likelihood ratio of hashed unigrams vs src0)
+    selected = C.dsir_weights(deduped, target_source="src0", top_k=50)
+    print("dsir selection: top sources in the selected set:")
+    selected.groupBy("source").count().orderBy(F.desc("count")).show(5)
 
     # 4 — splits + a balanced eval sample
     assigned = C.split_assign(deduped, "doc_id")
