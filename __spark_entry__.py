@@ -73,6 +73,8 @@ def _rank(name: str) -> int:
         "x67_prototype_prune",      # new in r4 — never driver-verified
         "x68_dsir_selection",       # new in r4 — never driver-verified
         "x69_langid_eval",          # new in r4 — never driver-verified
+        "x70_unigram_nll",          # new in r4 — never driver-verified
+        "x71_bpe_pair_stats",       # new in r4 — never driver-verified
     ):
         return 0
     if name.startswith("qs"):

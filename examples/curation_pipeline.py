@@ -49,13 +49,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         .select("doc_id", "text", "lang", "source", "quality_score")
         .join(T.lang_id(docs).select("doc_id", "pred_lang"), "doc_id")
         .join(T.repetition_signals(docs).select("doc_id", "dup_frac"), "doc_id")
+        .join(T.unigram_nll(docs).select("doc_id", "avg_neg_logp"), "doc_id")
     )
 
-    # 2 — keep: decent quality, known language, not boilerplate
+    # 2 — keep: decent quality, known language, not boilerplate, and
+    #     LM-probable (the CCNet-style perplexity cut)
     kept = signals.filter(
         (F.col("quality_score") >= 0.4)
         & (F.col("pred_lang") != "und")
         & (F.col("dup_frac") <= 0.5)
+        & (F.col("avg_neg_logp") <= 8.0)
     )
     print(f"filter pass: {docs.count()} -> {kept.count()} docs")
 

@@ -1005,3 +1005,28 @@ def test_langid_eval_confusion_shares_sum_to_one(spark, sf_dir):
     for lang, rows in by_true.items():
         assert abs(sum(r.recall_share for r in rows) - 1.0) < 1e-4
         assert all(r.n_docs > 0 for r in rows)
+
+
+def test_unigram_nll_ranks_common_text_as_more_probable(spark):
+    """A document of corpus-frequent tokens must score a lower average
+    negative log-prob than one of hapax tokens; counts are exact."""
+    df = spark.createDataFrame(
+        [(1, "the the the the"), (2, "qzx wvu jkl mno"), (3, "the the qzx the")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in T.unigram_nll(df).collect()}
+    assert all(out[i].n_tokens == 4 for i in (1, 2, 3))
+    assert out[1].avg_neg_logp < out[3].avg_neg_logp < out[2].avg_neg_logp
+    # 'the' appears 7/12 times: -ln(7/12) ≈ 0.538997
+    assert abs(out[1].avg_neg_logp - 0.538997) < 1e-5
+
+
+def test_bpe_pair_stats_counts_adjacent_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "abab cd"), (2, "abc a")], ["doc_id", "text"]
+    )
+    rows = T.bpe_pair_stats(df, top_k=10).collect()
+    got = {r.pair: r.cnt for r in rows}
+    # 'abab' -> ab,ba,ab ; 'cd' -> cd ; 'abc' -> ab,bc ; 'a' -> (skipped)
+    assert got == {"ab": 3, "ba": 1, "cd": 1, "bc": 1}
+    assert [r.pair for r in rows[:1]] == ["ab"]

@@ -95,6 +95,7 @@ def test_q12_whole_stage_codegen(spark, sf_dir):
         "x63_pair_graph_degree", "x64_session_sequences",
         "x65_split_leakage", "x66_semantic_dedup", "x67_prototype_prune",
         "x68_dsir_selection", "x69_langid_eval",
+        "x70_unigram_nll", "x71_bpe_pair_stats",
     ],
 )
 def test_no_python_udf_in_jvm_paths(spark, sf_dir, name):

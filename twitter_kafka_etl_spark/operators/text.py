@@ -755,3 +755,97 @@ def langid_eval(
             "recall_share"
         ),
     )
+
+
+def unigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LM-perplexity quality scoring, CCNet-style (Wenzek et al. 2020,
+    arXiv:1911.00359): score every document by its average negative
+    log-probability under a unigram model of the corpus itself — the
+    filter that ranks fluent prose above boilerplate/gibberish before a
+    pre-training run (CCNet uses a KenLM 5-gram; the unigram variant is
+    the same plumbing with a corpus-derived table instead of a shipped
+    model).
+
+    Determinism: the same quantized-log discipline as ``dsir_weights``
+    — each vocab entry's ln(c/N) is rounded once to a scaled BIGINT, so
+    the per-document reduction is an exact integer sum under any
+    partitioning, and the single ln() per VOCAB entry (not per token
+    instance) is where engines could differ by a ulp, bounded by vocab
+    size.
+
+    Scale: one explode + a vocab groupBy (vocab ≪ corpus), one shuffle
+    join of the token table against the vocab on the token, one
+    partial-agg shuffle on the id. At 100 TB, hash the token to a
+    64-bit key for the join (token_hash60) and broadcast the vocab when
+    it fits. Output: (id, n_tokens, avg_neg_logp); high avg_neg_logp =
+    improbable text = drop candidate.
+    """
+    t = df.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("tok")
+    )
+    c = t.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = c.agg(F.sum("c").alias("n"))
+    lp = c.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(
+            F.log(F.col("c").cast("double") / F.col("n")) * F.lit(1e6), 0
+        )
+        .cast("bigint")
+        .alias("lp"),
+    )
+    d = t.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        d.join(lp, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("lp")).alias("s"),
+        )
+        .select(
+            id_col,
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                -F.col("s").cast("double") / 1e6 / F.col("n_tokens"), 6
+            ).alias("avg_neg_logp"),
+        )
+    )
+
+
+def bpe_pair_stats(
+    df: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """The first step of BPE tokenizer training, distributed: count
+    every adjacent character pair WITHIN words across the corpus and
+    return the ``top_k`` merge candidates — the statistic a
+    Sennrich-style (2016, arXiv:1508.07909) trainer recomputes each
+    merge round, and the part that must scale with the corpus (the
+    merge loop itself runs on this bounded table).
+
+    Narrow per-row array arithmetic (tokenize → per-token 2-char
+    slices) into one partial-agg shuffle on the pair; the result is
+    vocabulary-bounded. Top-k is a TakeOrdered heap with (count DESC,
+    pair ASC) determinism — never a full sort.
+    """
+    toks = df.select(F.explode(tokenize(text_col)).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(top_k)
+    )

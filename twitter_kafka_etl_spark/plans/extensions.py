@@ -2914,3 +2914,61 @@ def x68(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x69(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.langid_eval(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x70/x71 — LM-perplexity quality filter + BPE merge statistics
+# ---------------------------------------------------------------------------
+@_register(
+    "x70_unigram_nll",
+    "CCNet-style LM quality scoring (Wenzek et al. 2020): average "
+    "negative log-probability of each doc under the corpus unigram "
+    "model — vocab log-probs quantized once to scaled BIGINT so the "
+    "per-doc sum is exact-integer in any partition order; high "
+    "avg_neg_logp = improbable text = drop candidate",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+    c AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+    lp AS (SELECT tok,
+                  CAST(round(ln(CAST(c AS DOUBLE) / n) * 1e6, 0) AS BIGINT)
+                    AS lp
+           FROM c, tot),
+    d AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+    w AS (SELECT doc_id,
+                 CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                 CAST(SUM(cnt * lp) AS BIGINT) AS s
+          FROM d JOIN lp USING (tok) GROUP BY 1)
+    SELECT doc_id, n_tokens,
+           round(-CAST(s AS DOUBLE) / 1e6 / n_tokens, 6) AS avg_neg_logp
+    FROM w
+    """,
+    tags=("text", "extension"),
+)
+def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.unigram_nll(_docs(spark, sf_dir))
+
+
+@_register(
+    "x71_bpe_pair_stats",
+    "distributed BPE merge statistics (Sennrich et al. 2016): top-20 "
+    "adjacent character pairs within words across the corpus — the "
+    "per-round statistic of tokenizer training, computed as one "
+    "vocabulary-bounded partial agg + a TakeOrdered heap",
+    """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    p AS (
+      SELECT substr(tok, CAST(i AS INT), 2) AS pair
+      FROM (SELECT tok, unnest(range(1, len(tok))) AS i
+            FROM tok WHERE len(tok) >= 2)
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 20
+    """,
+    tags=("text", "extension"),
+)
+def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.bpe_pair_stats(_docs(spark, sf_dir))
