@@ -635,3 +635,43 @@ def test_span_removal_conserves_tokens(spark, docs):
         W,
     )
     assert all(r.n_removed == 0 for r in again.collect())
+
+
+@given(docs=texts)
+@settings(**SETTINGS)
+def test_unigram_nll_is_nonnegative_and_zero_iff_one_token_corpus(spark, docs):
+    """avg_neg_logp >= 0 always (probabilities <= 1), every doc is
+    scored, token counts reconstruct the input, and a single-token
+    vocabulary scores exactly 0 (p=1 -> ln 1 = 0)."""
+    from twitter_kafka_etl_spark.operators.text import unigram_nll
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    out = {r.doc_id: r for r in unigram_nll(df).collect()}
+    assert set(out) == set(range(len(docs)))
+    vocab = {t for d in docs for t in d.split(" ")}
+    for i, t in enumerate(docs):
+        assert out[i].n_tokens == len(t.split(" "))
+        assert out[i].avg_neg_logp >= 0.0
+        if len(vocab) == 1:
+            assert out[i].avg_neg_logp == 0.0
+
+
+@given(docs=texts)
+@settings(**SETTINGS)
+def test_bpe_pair_counts_match_brute_force(spark, docs):
+    """The distributed pair count equals the per-token brute force:
+    every token of length L >= 2 contributes exactly L-1 pairs."""
+    from collections import Counter
+
+    from twitter_kafka_etl_spark.operators.text import bpe_pair_stats
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {r.pair: r.cnt for r in bpe_pair_stats(df, top_k=10**6).collect()}
+    want = Counter(
+        tok[i : i + 2]
+        for d in docs
+        for tok in d.split(" ")
+        if len(tok) >= 2
+        for i in range(len(tok) - 1)
+    )
+    assert got == dict(want)
