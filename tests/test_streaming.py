@@ -436,3 +436,40 @@ def test_qs9_stream_static_enrich_matches_batch(spark, sf_dir):
         for r in ev.join(dim, "user_id", "left").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_qs12_bloom_crossover_path_matches_plain(spark, sf_dir, monkeypatch):
+    """Past the crossover, the bloom-probed ingest must produce exactly
+    the plain anti-join's kept set, and must actually maintain the
+    bitmap side-file (the one-sided-error contract: misses skip the
+    index, hits are confirmed by the exact anti-join)."""
+    import glob
+    import tempfile
+
+    from twitter_kafka_etl_spark.plans import REGISTRY
+
+    plain = {
+        (r.doc_id, r.fp)
+        for r in REGISTRY["qs12_stream_incremental_dedup"]
+        .build(spark, sf_dir)
+        .collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_QS12_BLOOM_CROSSOVER", "0")
+    bloomed = {
+        (r.doc_id, r.fp)
+        for r in REGISTRY["qs12_stream_incremental_dedup"]
+        .build(spark, sf_dir)
+        .collect()
+    }
+    assert bloomed == plain and len(plain) > 0
+    # the crossover run left a rolled-forward bitmap side-file behind
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    side = glob.glob(
+        os.path.join(
+            tempfile.gettempdir(),
+            f"tkes_stream_qs12_{sf_name}",
+            f"run_{os.getpid()}",
+            "bloom.parquet",
+        )
+    )
+    assert side, "bloom side-file missing — crossover path never engaged"

@@ -125,17 +125,66 @@ def _stage(spark: SparkSession, sf_dir: str, tag: str, n_files: int = 4) -> tupl
     return _staged_input(sf_dir, tag, f"nf{n_files}", write)
 
 
-def _read_stream(spark: SparkSession, in_dir: str, template: DataFrame) -> DataFrame:
+def _pinned_session(spark: SparkSession, shuffle_partitions: int) -> SparkSession:
+    """An ISOLATED session (shared SparkContext/executors, own SQLConf)
+    with the stream's shuffle/state width pinned at creation.
+
+    Stateful streaming queries take their state-store partition count
+    from ``spark.sql.shuffle.partitions`` at first checkpoint — no
+    ``repartition()`` can express it — so the width must come from a
+    session conf. Pinning it on a per-query clone (instead of the old
+    set/restore on the caller's session) means a concurrent query in
+    the caller's session never observes a mutated width; at production
+    scale this knob comes from the cluster/job config.
+
+    ``cloneSession()`` carries over runtime-set confs (session
+    timezone, legacy parquet flags, …); it is ``private[sql]`` in
+    Scala, which is public in bytecode, so py4j can call it. If that
+    ever changes, fall back to ``newSession()`` (inherits builder-time
+    confs only) plus an explicit carry of the semantics-bearing keys.
+    """
+    try:
+        s = SparkSession(spark.sparkContext, spark._jsparkSession.cloneSession())
+    except Exception:
+        s = spark.newSession()
+        for k in (
+            "spark.sql.session.timeZone",
+            "spark.sql.legacy.parquet.nanosAsLong",
+        ):
+            try:
+                s.conf.set(k, spark.conf.get(k))
+            except Exception:
+                pass
+    s.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    s._tkes_pinned = True  # type: ignore[attr-defined]
+    return s
+
+
+def _read_stream(
+    spark: SparkSession,
+    in_dir: str,
+    template: DataFrame,
+    shuffle_partitions: int = 8,
+) -> DataFrame:
+    """File-source stream over the staged input, built on a pinned-width
+    clone session (see _pinned_session). The harness batches are small,
+    so the default width is low (per-state-store-partition-per-batch
+    overhead dominates); volume-bound queries pass ``_state_partitions``.
+    Pass an already-pinned session to share one clone across two streams
+    that later join (qs8 — a stream-stream join must not mix sessions)."""
+    s = (
+        spark
+        if getattr(spark, "_tkes_pinned", False)
+        else _pinned_session(spark, shuffle_partitions)
+    )
     return (
-        spark.readStream.schema(template.schema)
+        s.readStream.schema(template.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(os.path.join(in_dir, "*"))
     )
 
 
-def _run_to_sink(
-    stream_df: DataFrame, work: str, partition_by=None, shuffle_partitions: int = 8
-) -> str:
+def _run_to_sink(stream_df: DataFrame, work: str, partition_by=None) -> str:
     out = os.path.join(work, "out")
     writer = (
         stream_df.writeStream.format("parquet")
@@ -146,22 +195,10 @@ def _run_to_sink(
     )
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    # Stateful micro-batches pay per state-store-partition-per-batch
-    # overhead; the harness batches are small, so pin the stream's
-    # shuffle/state partitioning low by default (it is fixed at first
-    # checkpoint). Volume-bound queries pass a higher value (see
-    # _state_partitions). At production scale this knob comes from the
-    # cluster config. Session-global mutation (restored in finally):
-    # assumes one query at a time in this session — same assumption and
-    # caveat as dedup.connected_components' loop-width mutation.
-    spark = stream_df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
-        q = writer.start()
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # width comes from the stream's own pinned session (_read_stream);
+    # nothing here touches the caller's session conf
+    q = writer.start()
+    q.awaitTermination()
     return out
 
 
@@ -483,10 +520,10 @@ def qs6(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     in_dir, root = _staged_input(sf_dir, "qs6", "half-month-split", write)
-    stream = _read_stream(spark, in_dir, ev)
-    out = _run_to_sink(
-        running_user_totals(stream), root, shuffle_partitions=_state_partitions(ev)
+    stream = _read_stream(
+        spark, in_dir, ev, shuffle_partitions=_state_partitions(ev)
     )
+    out = _run_to_sink(running_user_totals(stream), root)
     # last emission per user = snapshot with max last-seen event time
     # (NOT max(total_value), which would pick a mid-stream peak under
     # negative values, nor max(total_events), which would pick a
@@ -632,9 +669,11 @@ def qs8(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir, root = _staged_input(sf_dir, "qs8", "day-noon-split", write)
     # one staged input read as two independent streams, filtered to the
     # two event classes — exactly how a Kafka deployment would consume
-    # two topics (or one topic twice)
+    # two topics (or one topic twice). ONE pinned clone feeds both
+    # streams: a stream-stream join must not mix sessions.
+    pinned = _pinned_session(spark, 8)
     clicks = (
-        _read_stream(spark, in_dir, ev)
+        _read_stream(pinned, in_dir, ev)
         .filter(F.col("event_type") == "click")
         .select(
             "user_id",
@@ -643,7 +682,7 @@ def qs8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     purchases = (
-        _read_stream(spark, in_dir, ev)
+        _read_stream(pinned, in_dir, ev)
         .filter(F.col("event_type") == "purchase")
         .select(
             "user_id",
@@ -691,20 +730,23 @@ def qs9(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table_time_range(
         spark, sf_dir, "events", "2024-01-02 00:00:00", "2024-01-03 00:00:00"
     ).select("event_id", "user_id", "event_type", "value")
-    dim = (
-        read_table(spark, sf_dir, "customer")
-        .select(
-            F.col("c_custkey").alias("user_id"),
-            "c_mktsegment",
-            "c_nationkey",
-        )
-    )
+
     def write(in_dir: str) -> None:
         half = ev.withColumn("__f", F.pmod("event_id", F.lit(2)).cast("int"))
         half.coalesce(1).write.mode("overwrite").partitionBy("__f").parquet(in_dir)
 
     in_dir, root = _staged_input(sf_dir, "qs9", "parity-split", write)
     stream = _read_stream(spark, in_dir, ev)
+    # the dim is built on the STREAM's pinned session so the
+    # stream-static join never mixes sessions
+    dim = (
+        read_table(stream.sparkSession, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            "c_mktsegment",
+            "c_nationkey",
+        )
+    )
     # broadcast: the dim ships to every task once per batch instead of
     # shuffling the stream — a stream-side shuffle would also force
     # stateful join machinery this query doesn't need
@@ -922,6 +964,55 @@ def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir, work = _staged_input(sf_dir, "qs12", "idrange4", write)
     corpus = os.path.join(work, "corpus")
     index = os.path.join(work, "index")
+    bloom_file = os.path.join(work, "bloom.parquet")
+
+    # Bloom pre-probe (x33's engine-portable sketch) with the crossover
+    # rule IN CODE, not just prose: while the accumulated fingerprint
+    # index is broadcast-sized, each batch's plain anti-join against it
+    # is optimal — the probe's extra exchanges would only add fixed
+    # per-micro-batch cost (measured +3.5 s over 4 harness batches).
+    # Once the index outgrows ``crossover`` rows (default 10M ≈ the
+    # ~160 MB broadcast ceiling at 16 B/print; override via
+    # $SPARK_GRAFT_QS12_BLOOM_CROSSOVER — the test suite forces 0 to
+    # exercise the bloom path end-to-end), the loop switches modes:
+    # the bitmap is bootstrapped ONCE from the index it replaces, then
+    # carried across batches driver-side as a dense word vector
+    # (~16 bits/key, k=4 → ~0.24% FP; ≤ m/32 int64 words = KB-to-MB
+    # driver state forever) with a durable parquet side-file for
+    # restart. Each later batch consults the always-tiny bitmap: bloom
+    # misses are DEFINITE non-members and skip the index entirely;
+    # only hits — true dups + the one-sided false positives — go
+    # through the exact anti-join confirm step, so dedup semantics
+    # stay exact in both modes.
+    import numpy as np
+    import pandas as pd
+
+    from twitter_kafka_etl_spark.operators import sketches as K
+
+    crossover = int(
+        os.environ.get("SPARK_GRAFT_QS12_BLOOM_CROSSOVER", "10000000")
+    )
+
+    def _rows_in(path: str) -> int:
+        """Row count from parquet FOOTERS, driver-side — tracking the
+        index size must not cost a Spark job per micro-batch."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for root_, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root_, f)
+                    ).metadata.num_rows
+        return total
+
+    state = {"words": None, "m": 0}
+    if os.path.exists(bloom_file):  # restart: resume the accumulated bitmap
+        prev = pd.read_parquet(bloom_file)
+        state["m"] = int(prev["m"].iloc[0])
+        state["words"] = np.zeros(state["m"] // K.BLOOM_WORD, dtype=np.int64)
+        state["words"][prev["word"].to_numpy()] = prev["bits"].to_numpy()
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
@@ -934,12 +1025,61 @@ def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        if os.path.exists(index):
+        use_bloom = (
+            os.path.exists(index) and _rows_in(index) > crossover
+        )
+        if use_bloom and state["words"] is None:
+            # crossover bootstrap: size the bitmap to the index it
+            # replaces (~64 bits per current key = headroom for 4x
+            # further growth at <1% FP before a rebuild; in production
+            # m comes from capacity planning), then build it from that
+            # index — one scan, paid once, never again
+            m = max(K.BLOOM_M, 64 * _rows_in(index))
+            state["m"] = m + (-m) % K.BLOOM_WORD
+            state["words"] = np.zeros(
+                state["m"] // K.BLOOM_WORD, dtype=np.int64
+            )
+            boot = K.bloom_build(
+                s.read.parquet(index).select("fp"), "fp", m=state["m"]
+            ).toPandas()
+            state["words"][boot["word"].to_numpy()] |= boot["bits"].to_numpy()
+        if use_bloom:
+            nz = np.flatnonzero(state["words"])
+            sketch = s.createDataFrame(
+                pd.DataFrame(
+                    {"word": nz.astype("int32"), "bits": state["words"][nz]}
+                ),
+                "word int, bits long",
+            )
+            hits = K.bloom_probe(
+                sketch, novel.select("fp"), "fp", m=state["m"]
+            )
+            novel = (
+                novel.join(hits, "fp", "left")
+                .withColumn(
+                    "__candidate", F.coalesce("bloom_hit", F.lit(False))
+                )
+                .drop("bloom_hit")
+            )
+            seen = s.read.parquet(index).select(
+                "fp", F.lit(True).alias("__seen")
+            )
+            # confirm step: only bloom-hit candidates consult the index
+            novel = (
+                novel.join(
+                    seen, (novel["fp"] == seen["fp"]) & novel["__candidate"],
+                    "left",
+                )
+                .filter(F.col("__seen").isNull())
+                .select(novel["doc_id"], novel["text"], novel["fp"])
+            )
+        elif os.path.exists(index):
             seen = s.read.parquet(index).select("fp")
             novel = novel.join(seen, "fp", "left_anti")
-        # localCheckpoint, NOT persist: the novel set feeds two appends,
-        # and the second one's plan would re-list the index parquet —
-        # which the FIRST append just extended with this batch's own
+        # localCheckpoint, NOT persist: the novel set feeds two appends
+        # (plus the bloom roll-forward past the crossover), and the
+        # appends' plans would re-list the index parquet — which the
+        # FIRST append just extended with this batch's own
         # fingerprints. A cache can't pin a file source (the refreshed
         # listing changes the plan, missing the cache), so the re-run
         # anti-joins the batch against itself and writes zero rows
@@ -950,6 +1090,25 @@ def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.select("doc_id", "text", "fp").write.mode("append").parquet(
             corpus
         )
+        if state["words"] is not None:
+            # roll the bitmap forward: OR this batch's novel prints in
+            # (one small job over the pinned novel set), then rewrite
+            # the durable side-file driver-side — no Spark
+            # read-modify-write cycle
+            batch_bits = K.bloom_build(
+                novel.select("fp"), "fp", m=state["m"]
+            ).toPandas()
+            state["words"][batch_bits["word"].to_numpy()] |= batch_bits[
+                "bits"
+            ].to_numpy()
+            nz = np.flatnonzero(state["words"])
+            pd.DataFrame(
+                {
+                    "word": nz.astype("int32"),
+                    "bits": state["words"][nz],
+                    "m": np.full(len(nz), state["m"], dtype=np.int64),
+                }
+            ).to_parquet(bloom_file)
 
     stream = _read_stream(spark, in_dir, docs)
     q = foreach_batch_fanout(
