@@ -80,3 +80,48 @@ def test_make_classifier_with_real_hf_checkpoint(spark, sf_dir):
     rows = docs.select(label(F.col("text")).alias("label")).collect()
     assert len(rows) == 20
     assert set(r.label for r in rows) <= {"positive", "negative"}
+
+
+def test_make_classifier_with_real_weight_artifact(spark, sf_dir, tmp_path):
+    """Weights ACTUALLY flow through the seam in this sandbox: train a
+    hashed-BoW softmax classifier, persist it as an .npz artifact, load
+    it once-per-worker inside the backend closure, and classify the
+    documents table — the full checkpoint lifecycle (train → artifact →
+    executor load → batched inference) with no torch dependency."""
+    from twitter_kafka_etl_spark.operators.model_artifact import (
+        linear_model_backend,
+        save_artifact,
+        train_linear_classifier,
+    )
+
+    # tiny labeled corpus with a real signal (sentiment-ish lexicon)
+    pos = ["great fantastic love it", "wonderful amazing day", "best happy joy"]
+    neg = ["terrible awful hate it", "worst horrible day", "sad bad angry"]
+    texts = pos * 10 + neg * 10
+    labels = ["positive"] * 30 + ["negative"] * 30
+    weights = train_linear_classifier(texts, labels)
+    art = str(tmp_path / "sentiment.npz")
+    save_artifact(weights, art)
+
+    label = make_classifier(linear_model_backend(art))
+    docs = read_table(spark, sf_dir, "documents").limit(100)
+    out = docs.select("doc_id", label(F.col("text")).alias("label"))
+    rows = out.collect()
+    assert len(rows) == 100
+    assert set(r.label for r in rows) <= {"positive", "negative"}
+    # the artifact really learned: executor-side inference over the
+    # training texts reproduces the labels (not chance)
+    train_df = spark.createDataFrame(
+        [(t, l) for t, l in zip(texts, labels)], "text string, want string"
+    )
+    hits = (
+        train_df.select(
+            (label(F.col("text")) == F.col("want")).cast("int").alias("ok")
+        )
+        .agg(F.sum("ok"))
+        .first()[0]
+    )
+    assert hits == len(texts)
+    # plan shape: Arrow-batched, never row-at-a-time
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
