@@ -1030,3 +1030,60 @@ def test_bpe_pair_stats_counts_adjacent_pairs(spark):
     # 'abab' -> ab,ba,ab ; 'cd' -> cd ; 'abc' -> ab,bc ; 'a' -> (skipped)
     assert got == {"ab": 3, "ba": 1, "cd": 1, "bc": 1}
     assert [r.pair for r in rows[:1]] == ["ab"]
+
+
+def test_lsh_sensitivity_curve_shape(spark):
+    rows = sorted(
+        D.lsh_sensitivity_curve(spark).collect(), key=lambda r: r.s
+    )
+    assert len(rows) == 20
+    # monotone non-decreasing, anchored at (1.0 -> 1.0)
+    ps = [r.p_candidate for r in rows]
+    assert all(a <= b for a, b in zip(ps, ps[1:]))
+    assert rows[-1].s == 1.0 and rows[-1].p_candidate == 1.0
+    # at the (1/b)^(1/r) rule-of-thumb threshold (~0.707 for b=r=4) the
+    # curve crosses 1-(1-1/b)^b ≈ 0.684 — check the bracketing points
+    assert ps[13] < 0.684 < ps[14]  # s = 0.70 and 0.75
+
+
+def test_lsh_bucket_histogram_accounts_for_every_banded_row(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = D.corpus_signatures(docs)
+    hist = D.lsh_bucket_histogram(sigs).collect()
+    # every (doc, band) row lands in exactly one bucket
+    total = sum(r.bucket_size * r.n_buckets for r in hist)
+    assert total == docs.count() * D.N_BANDS
+    # pair_candidates matches the c(c-1)/2 identity per size class
+    for r in hist:
+        assert r.pair_candidates == r.n_buckets * r.bucket_size * (r.bucket_size - 1) // 2
+
+
+def test_edit_distance_verify_exact_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, "abxd"), (3, "abcd")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], ["doc_a", "doc_b"]
+    )
+    out = {(r.doc_a, r.doc_b): r for r in D.edit_distance_verify(docs, pairs).collect()}
+    assert out[(1, 2)].edit_distance == 1
+    assert abs(out[(1, 2)].edit_sim - 0.75) < 1e-9
+    assert out[(1, 3)].edit_distance == 0 and out[(1, 3)].edit_sim == 1.0
+
+
+def test_charset_profile_ratios_partition_invariant(spark):
+    rows = [(i, "ab1 x" * 3, "s0") for i in range(40)] + [
+        (100 + i, "zz 99!", "s1") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    a = {r.source: r for r in T.charset_profile(df).collect()}
+    b = {
+        r.source: r
+        for r in T.charset_profile(df.repartition(13, "doc_id")).collect()
+    }
+    for s in ("s0", "s1"):
+        for c in ("avg_letters", "avg_digits", "avg_space", "avg_other"):
+            assert getattr(a[s], c) == getattr(b[s], c)
+    # "zz 99!": 2 letters, 2 digits, 1 space, 1 other of 6 chars
+    assert abs(a["s1"].avg_letters - round(2 / 6, 6)) < 2e-6
+    assert abs(a["s1"].avg_other - round(1 / 6, 6)) < 2e-6

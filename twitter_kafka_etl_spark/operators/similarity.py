@@ -276,7 +276,10 @@ def ivf_assign(
             # stable argsort on -sims: exact numpy ties keep centroid
             # order, which is ascending cent_id — the deterministic rule
             top = _np.argsort(-sims, axis=1, kind="stable")[:, :m]
-            out = pdf.loc[pdf.index.repeat(m), [pdf.columns[0], "v"]]
+            # id selected by NAME (closure-captured id_col): positional
+            # iloc would silently mis-pair if the projection order ever
+            # changed upstream
+            out = pdf.loc[pdf.index.repeat(m), [id_col, "v"]]
             out["cent_id"] = ids_[top].ravel()
             yield out
 
@@ -655,6 +658,29 @@ def project_embeddings(
     )
 
 
+def _assigned_shared(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroid_mod: int | None,
+) -> DataFrame:
+    """Persisted ``ivf_assign`` output + ``__nrm`` (exact JVM norm),
+    memoized per (input plan, params) so sibling operators
+    (``semantic_dedup`` / ``prototype_scores``) share one cached
+    assignment and one quantizer build (ADVICE r4: the x66+x67 pair
+    previously cached the same assignment twice and never released
+    it)."""
+    from twitter_kafka_etl_spark.operators._cache import plan_memo
+
+    return plan_memo(
+        df,
+        ("ivf_assign_nrm", vec_col, id_col, centroid_mod),
+        lambda: ivf_assign(df, vec_col, id_col, centroid_mod).withColumn(
+            "__nrm", norm(F.col("v"))
+        ),
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.6,
@@ -696,17 +722,19 @@ def semantic_dedup(
     from the exact fold — bitwise equal to the DuckDB oracle's
     list_dot_product; numpy only nominates candidates.
 
-    The assignment is persisted for the plan's lifetime: candidate
-    generation and both re-score joins read it, and Spark would
-    otherwise execute the quantizer+assignment lineage three times
-    (same cache contract as ``_cosine_pairs_collapsed`` — released by
-    session cache eviction).
+    The assignment is persisted for the plan's lifetime and SHARED
+    with ``prototype_scores`` via ``_assigned_shared`` (one cached
+    copy for the x66+x67 pair instead of two; released on cache-entry
+    eviction or session cache clear).
+
+    Zero-norm embeddings are excluded up front on BOTH engines (the
+    x66 oracle filters ``list_dot_product(v,v) > 0`` in its pair
+    join): a zero vector has no cosine, and leaving the semantics to
+    NaN comparison rules would make the two engines disagree —
+    DuckDB's NaN sorts greater-than-everything, numpy's propagates.
     """
-    assigned = (
-        ivf_assign(df, vec_col, id_col, centroid_mod)
-        .withColumn("__nrm", norm(F.col("v")))
-        .persist()
-    )
+    assigned = _assigned_shared(df, vec_col, id_col, centroid_mod)
+    nz = assigned.filter(F.col("__nrm") > 0)
 
     import numpy as np
     import pandas as pd
@@ -720,10 +748,11 @@ def semantic_dedup(
                  "id_b": pd.Series(dtype="int64"),
                  "cent_id": pd.Series(dtype="int64")}
             )
-        ids = pdf.iloc[:, 0].to_numpy()
+        # id selected by NAME (closure-captured id_col), not position
+        ids = pdf[id_col].to_numpy()
         mat = np.stack(pdf["v"].to_numpy())
         nrm = np.linalg.norm(mat, axis=1, keepdims=True)
-        nrm[nrm == 0] = 1.0  # zero vectors have no cosine: never pair
+        nrm[nrm == 0] = 1.0  # belt-and-braces: zero rows filtered upstream
         sims = (mat / nrm) @ (mat / nrm).T
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = sims[ia, ib] >= cand_floor
@@ -735,15 +764,15 @@ def semantic_dedup(
             }
         )
 
-    cands = assigned.groupBy("cent_id").applyInPandas(
+    cands = nz.groupBy("cent_id").applyInPandas(
         _cell_pairs, "id_a bigint, id_b bigint, cent_id bigint"
     )
-    va = assigned.select(
+    va = nz.select(
         F.col(id_col).alias("id_a"),
         F.col("v").alias("va"),
         F.col("__nrm").alias("na"),
     )
-    vb = assigned.select(
+    vb = nz.select(
         F.col(id_col).alias("id_b"),
         F.col("v").alias("vb"),
         F.col("__nrm").alias("nb"),
@@ -801,11 +830,12 @@ def prototype_scores(
     cell sizes the x41-style histogram-walk percentile replaces the
     sort, same cut semantics.
 
-    The assignment is persisted for the plan's lifetime: the mean pass
-    and the scoring pass both read it (same cache contract as
-    ``semantic_dedup``).
+    The assignment is persisted for the plan's lifetime and SHARED
+    with ``semantic_dedup`` via ``_assigned_shared``: the mean pass
+    and the scoring pass both read the one cached copy the x66+x67
+    pair builds.
     """
-    assigned = ivf_assign(df, vec_col, id_col, centroid_mod).persist()
+    assigned = _assigned_shared(df, vec_col, id_col, centroid_mod)
     means = (
         assigned.select("cent_id", F.posexplode("v").alias("pos", "val"))
         .groupBy("cent_id", "pos")

@@ -849,3 +849,60 @@ def bpe_pair_stats(
         .orderBy(F.desc("cnt"), "pair")
         .limit(top_k)
     )
+
+
+def charset_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group character-class profile: average letter / digit /
+    whitespace / other ratios — the cheap script-and-noise screen a
+    crawl pipeline runs per source before tokenization (a source whose
+    "text" is 40% digits or control bytes is markup or tables, not
+    prose; CCNet and Gopher both gate on character-class ratios).
+
+    Determinism discipline: each document's ratios are exact IEEE
+    divisions of two ints, quantized ONCE to a scaled BIGINT
+    (round(ratio·1e6)); the per-group aggregate then sums integers —
+    exact in any partitioning/order — and divides at the end. The same
+    program runs in the oracle.
+
+    Scale shape: four regexp_replace lengths per row (codegen'd,
+    shuffle-free scan) + one partial-agg shuffle on the group key."""
+    n = F.length(F.col(text_col))
+
+    def klass_count(pattern: str) -> Column:
+        return n - F.length(F.regexp_replace(F.col(text_col), pattern, ""))
+
+    def q(cls_count: Column) -> Column:
+        ratio = F.when(n > 0, cls_count / n).otherwise(F.lit(0.0))
+        return F.round(ratio * 1e6, 0).cast("bigint")
+
+    letters = klass_count("[A-Za-z]")
+    digits = klass_count("[0-9]")
+    spaces = klass_count("[ ]")
+    other = n - letters - digits - spaces
+    pre = df.select(
+        F.col(group_col),
+        q(letters).alias("__l"),
+        q(digits).alias("__d"),
+        q(spaces).alias("__s"),
+        q(other).alias("__o"),
+    )
+
+    def avg6(col: str) -> Column:
+        return F.round(
+            F.sum(col).cast("double") / (F.count(F.lit(1)) * 1e6), 6
+        )
+
+    return (
+        pre.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            avg6("__l").alias("avg_letters"),
+            avg6("__d").alias("avg_digits"),
+            avg6("__s").alias("avg_space"),
+            avg6("__o").alias("avg_other"),
+        )
+    )
