@@ -32,60 +32,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return topic_aggregates(enriched)
 
 
+# Queries added in round 5 that the driver has never verified — always
+# emitted first so the 50-slot window covers them.
+_NEW_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        "x72_lsh_sensitivity_curve",
+        "x73_edit_distance_verify",
+        "x74_charset_profile",
+        "x75_lsh_bucket_histogram",
+    }
+)
+
+
 def _rank(name: str) -> int:
     """Emission order for the driver's per-round correctness pass.
 
     The driver file caps at exactly 50 entries in emission order.
-    Round 1 verified q01-q37 + x01-x13; round 2 verified q01-q22 +
-    x14-x35 + qs1-6; round 3 verified x36-x48 + qs1-9 + x01-x13 +
-    q23-q37 (x45/x48 red, repaired this round). Round 4 fronts: the
-    two repaired queries and the two brand-new ones (x49/x50), the qs
-    set (all nine now carry batch-readback oracles), then the blocks
-    last verified in r2 —
-    x14-x35 (one green round) before q01-q22 (two green rounds).
-    Every query is still emitted; the tail is the freshly-r3-verified
-    block.
+    Verification history: r1 = q01-q37 + x01-x13; r2 = q01-q22 +
+    x14-x35 + qs1-6; r3 = q23-q37 + x01-x13 + x36-x48 + qs1-9;
+    r4 = qs1-12 + x14-x26 + x45 + x48-x71 (50/50 green).
+
+    Round 5 fronts the stalest blocks — q01-q22 and x27-x35, last
+    driver-verified in r2, two rounds ago — after any brand-new
+    queries, then fills remaining slots from the r3-verified blocks
+    (q23-q37, x01-x13, ...). The freshly-r4-verified set goes last.
     """
-    if name in (
-        "x45_embedding_quantize",
-        "x48_sketch_ams_f2",
-        "x49_length_buckets",   # new this round — never driver-verified
-        "x50_dataset_mixture",  # new this round — never driver-verified
-        "x51_snapshot_diff",    # new this round — never driver-verified
-        "x52_heavy_hitters",    # new this round — never driver-verified
-        "x53_duplicated_spans",     # new in r4 — never driver-verified
-        "x54_quality_gate",         # new in r4 — never driver-verified
-        "x55_compaction_roundtrip", # new in r4 — never driver-verified
-        "x56_span_removal",         # new in r4 — never driver-verified
-        "x57_bm25_rank",            # new in r4 — never driver-verified
-        "x58_hll_merge",            # new in r4 — never driver-verified
-        "x59_lsh_eval",             # new in r4 — never driver-verified
-        "qs10_stream_upsert",       # new in r4 — never driver-verified
-        "qs11_stream_trending",     # new in r4 — never driver-verified
-        "x60_nearest_duplicate",    # new in r4 — never driver-verified
-        "x61_hll_accuracy",         # new in r4 — never driver-verified
-        "x62_k_anonymity",          # new in r4 — never driver-verified
-        "qs12_stream_incremental_dedup",  # new in r4 — never verified
-        "x63_pair_graph_degree",    # new in r4 — never driver-verified
-        "x64_session_sequences",    # new in r4 — never driver-verified
-        "x65_split_leakage",        # new in r4 — never driver-verified
-        "x66_semantic_dedup",       # new in r4 — never driver-verified
-        "x67_prototype_prune",      # new in r4 — never driver-verified
-        "x68_dsir_selection",       # new in r4 — never driver-verified
-        "x69_langid_eval",          # new in r4 — never driver-verified
-        "x70_unigram_nll",          # new in r4 — never driver-verified
-        "x71_bpe_pair_stats",       # new in r4 — never driver-verified
-    ):
+    if name in _NEW_THIS_ROUND:
         return 0
-    if name.startswith("qs"):
-        return 1
-    if name.startswith("x") and name[1:3].isdigit() and 14 <= int(name[1:3]) <= 35:
-        return 2
-    if name.startswith("q") and name[1:3].isdigit() and int(name[1:3]) <= 22:
-        return 3
-    if name.startswith("q"):
-        return 4  # q23-q37 (verified r3)
-    return 5  # x01-x13, x36-x47 (verified r3)
+    if name.startswith("q") and not name.startswith("qs") and int(name[1:3]) <= 22:
+        return 1  # q01-q22 — last green r2
+    if name.startswith("x") and name[1:3].isdigit() and 27 <= int(name[1:3]) <= 35:
+        return 2  # x27-x35 — last green r2
+    if name.startswith("q") and not name.startswith("qs"):
+        return 3  # q23-q37 — last green r3
+    if name.startswith("x") and name[1:3].isdigit() and (
+        int(name[1:3]) <= 13 or 36 <= int(name[1:3]) <= 47
+    ):
+        if name in ("x45_embedding_quantize",):
+            return 5  # re-verified r4
+        return 4  # x01-x13, x36-x44, x46-x47 — last green r3
+    return 5  # qs1-12, x14-x26, x45, x48-x71 — green r4
 
 
 def _ordered() -> list[str]:

@@ -98,6 +98,32 @@ SHOWCASE = [
      "never a corpus-side shuffle beyond the per-doc partial agg); the "
      "top-k is a TakeOrderedAndProject heap, and the per-doc weight is "
      "an exact integer sum — order-independent under partitioning."),
+    ("x59_lsh_eval",
+     "LSH precision/recall audit: BOTH evaluation arms (banded-LSH pred, "
+     "exact-Jaccard truth) read ONE persisted shingle working set "
+     "(InMemoryTableScan below both subtrees) — the r4 double HOF pass "
+     "is gone; each arm stays an inverted-index equi-join."),
+    ("x67_prototype_prune",
+     "Prototypicality pruning: DECIMAL(38,12) cluster means re-assembled "
+     "driver-free (array_sort of collected (pos,m) structs), broadcast "
+     "back for a narrow scoring pass; per-cluster rank is one window."),
+    ("x70_unigram_nll",
+     "Unigram LM scoring: ln() evaluated once per VOCAB entry, "
+     "quantized to scaled BIGINT; the per-doc score is then an exact "
+     "integer sum-join — no per-token float math, no ordering drift."),
+    ("x71_bpe_pair_stats",
+     "BPE pair counting: vocabulary-bounded partial agg (pairs within "
+     "words only) + TakeOrderedAndProject top-k heap — tokenizer "
+     "training statistics with no full sort at any corpus size."),
+    ("x73_edit_distance_verify",
+     "Edit-distance confirm of LSH candidates: Levenshtein over BOUNDED "
+     "200-char prefixes (declared audit semantics — full-doc DP is "
+     "quadratic); |pairs| is LSH-bounded, plan is two equi-joins plus "
+     "a codegen'd levenshtein projection."),
+    ("x75_lsh_bucket_histogram",
+     "LSH skew audit: one explode (b rows/doc), one partial-agg shuffle "
+     "on (band, sig), one tiny agg over the counts — the c(c-1)/2 "
+     "candidate tail is known BEFORE the pair join is ever launched."),
 ]
 
 HEADER = """# PLANS — annotated physical plans (generated)
