@@ -1087,3 +1087,126 @@ def test_charset_profile_ratios_partition_invariant(spark):
     # "zz 99!": 2 letters, 2 digits, 1 space, 1 other of 6 chars
     assert abs(a["s1"].avg_letters - round(2 / 6, 6)) < 2e-6
     assert abs(a["s1"].avg_other - round(1 / 6, 6)) < 2e-6
+
+
+def test_weighted_sample_heaviest_wins_and_partition_invariant(spark):
+    from twitter_kafka_etl_spark.operators import curation as C
+
+    rows = [(i, "g", 1) for i in range(50)] + [(99, "g", 10**9)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {r.doc_id for r in C.weighted_sample(df, "n_chars", k=3).collect()}
+    # ln(u)/w for w=1e9 is within 2.3e-8 of 0; the best unit-weight key
+    # is at most ln(1-2^-32)/1 — the giant weight always ranks first
+    assert 99 in got and len(got) == 3
+    # sample membership is a pure function of (salt, id, w): any
+    # physical partitioning selects the identical set
+    got7 = {
+        r.doc_id
+        for r in C.weighted_sample(df.repartition(7), "n_chars", k=3).collect()
+    }
+    assert got7 == got
+    # zero/negative weights carry no mass and are never selected
+    df0 = df.union(
+        spark.createDataFrame([(500, "g", 0), (501, "g", -5)], df.schema)
+    )
+    got0 = {r.doc_id for r in C.weighted_sample(df0, "n_chars", k=3).collect()}
+    assert 500 not in got0 and 501 not in got0
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    words = [f"w{i}" for i in range(200)]
+    quote = " ".join(words[:12])  # 10 shingles, all inside the big doc
+    big = " ".join(words)  # 198 shingles
+    df = spark.createDataFrame(
+        [(1, quote), (2, big)], "doc_id long, text string"
+    )
+    pairs = D.containment_pairs(df, threshold=0.6).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    # the quote's shingle set is a strict subset: containment exactly 1
+    assert (p.doc_a, p.doc_b) == (1, 2) and p.containment == 1.0
+    assert p.common == 10 and p.jaccard < 0.2
+    # ...and the symmetric-Jaccard screen at its own threshold misses it
+    assert D.ngram_jaccard_pairs(df, threshold=0.2).count() == 0
+
+
+def test_source_overlap_identical_and_disjoint_sources(spark):
+    t1 = "alpha beta gamma delta epsilon zeta"
+    t2 = "one two three four five six seven"
+    rows = [
+        (1, t1, "sA"), (2, t2, "sA"),
+        (3, t1, "sB"), (4, t2, "sB"),   # sB duplicates sA exactly
+        (5, "p q r s t u v w", "sC"),   # sC shares nothing
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r.source_a, r.source_b): r for r in D.source_overlap(df).collect()}
+    assert got[("sA", "sB")].jaccard == 1.0
+    # disjoint shingle sets never materialize a pair row at all
+    assert set(got) == {("sA", "sB")}
+
+
+def test_psi_drift_zero_for_identical_cohorts_full_spine(spark):
+    from twitter_kafka_etl_spark.operators import curation as C
+
+    # both cohorts get the SAME n_chars multiset -> p == q in every
+    # bucket -> every smoothed term is exactly 0.0
+    rows = [(i, c, n) for i, (c, n) in enumerate(
+        [(c, n) for c in ("base", "cand") for n in (10, 300, 300, 5000)]
+    )]
+    df = spark.createDataFrame(rows, "doc_id long, coh string, n_chars long")
+    out = C.psi_drift(df, F.col("coh")).collect()
+    assert len(out) == 16  # full spine, empty buckets included
+    assert all(r.psi_term == 0.0 for r in out)
+    # a shifted cohort produces strictly positive total PSI
+    shifted = spark.createDataFrame(
+        [(i, "base", 10) for i in range(8)]
+        + [(100 + i, "cand", 4000) for i in range(8)],
+        "doc_id long, coh string, n_chars long",
+    )
+    tot = sum(r.psi_term for r in C.psi_drift(shifted, F.col("coh")).collect())
+    assert tot > 0.25
+
+
+def test_profile_table_counts_planted_nulls_and_cardinality(spark):
+    from twitter_kafka_etl_spark.operators.relational import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b"), (4, None)],
+        "k long, v string",
+    )
+    got = {r.column: r for r in profile_table(df).collect()}
+    assert got["k"].n_rows == 5 and got["k"].n_nulls == 0
+    assert got["k"].n_distinct == 4
+    assert got["v"].n_nulls == 2 and got["v"].n_distinct == 2
+    # the profile is ONE job: a single multi-distinct aggregate, no
+    # per-column re-scan
+    plan = profile_table(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
+
+
+def test_shingle_novelty_first_doc_all_novel_copy_none(spark):
+    t = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [(1, t), (2, t), (3, "unrelated fresh words entirely here"), (4, "xy")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in D.shingle_novelty(df).collect()}
+    assert got[1].novelty == 1.0 and got[1].n_sh == 3
+    # doc 2 is a verbatim copy of doc 1: zero novel shingles
+    assert got[2].n_novel == 0 and got[2].novelty == 0.0
+    assert got[3].novelty == 1.0
+    # sub-n-token doc: no shingles, defined as (0, 0, 0.0)
+    assert (got[4].n_sh, got[4].n_novel, got[4].novelty) == (0, 0, 0.0)
+
+
+def test_robust_outliers_resist_giant_doc(spark):
+    from twitter_kafka_etl_spark.operators import curation as C
+
+    # 29 docs near 100 chars + one 1M-char monster: median/MAD ignore
+    # the monster (mean/stddev would let it drag the threshold far
+    # enough to mask real anomalies)
+    rows = [(i, "g", 100 + (i % 3)) for i in range(29)] + [(99, "g", 10**6)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {r.doc_id: r for r in C.robust_outliers(df, group_cols=("source",)).collect()}
+    assert got[99].is_outlier and got[99].med == 101 and got[99].mad == 1
+    assert sum(r.is_outlier for r in got.values()) == 1

@@ -571,3 +571,168 @@ def dsir_weights(
         .limit(top_k)
         .select(id_col, source_col, "dsir_logweight")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str = "n_chars",
+    k: int = 5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, k per group
+    (Efraimidis & Spirakis 2006 A-ES): each row gets key u^(1/w) for a
+    uniform u and weight w, and the k largest keys per group are an
+    exact weighted sample. Ranking by ln(u)/w instead — the strictly
+    monotone log of the key (u∈(0,1] ⇒ ln u ≤ 0) — keeps every
+    intermediate in the well-conditioned range both engines compute
+    identically, instead of u^(1/w) underflowing for large weights.
+
+    u is md5-derived from (salt, id) — the hash-not-rand() contract the
+    rest of the curation family keeps: a retry, a re-partitioning, or
+    another engine selects the SAME sample, which rand()-keyed reservoirs
+    cannot promise. u = (h+1)/2^32 over the first 8 md5 hex chars, so
+    u ∈ (0, 1] and ln(u) is always defined.
+
+    One hash-partition shuffle on ``group_col`` for the rank window. At
+    100 TB with few giant groups, pre-reduce each map partition to its
+    local top-k first (the window only needs candidates that could rank
+    ≤ k globally); the full window form here is the semantics.
+
+    Rows with w ≤ 0 carry no sampling mass and are excluded up front
+    (ln(u)/w would invert the ordering for them, silently making the
+    LIGHTEST rows certain winners).
+    """
+    c = F.col(id_col).cast("string")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c)), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("__aes_key"), F.col(id_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__aes_key", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(group_col, id_col, F.col(weight_col).alias("weight"))
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    cohort: Column,
+    value_col: str = "n_chars",
+    bucket_width: int = 256,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Population Stability Index terms between two cohorts of one
+    corpus — the distribution-drift audit run between crawl snapshots
+    or supplier feeds (row-level ``snapshot_diff`` says WHICH docs
+    changed; PSI says whether the corpus SHAPE moved, which is what
+    decides re-mixing). PSI = Σ (p_i - q_i) ln(p_i / q_i); the usual
+    reading: < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+
+    ``cohort`` must evaluate to 'base' or 'cand' per row. Buckets are
+    fixed-width integer intervals of ``value_col`` (capped into a final
+    overflow bucket) — integer arithmetic, so bucket membership is
+    exact on any engine, unlike quantile-derived edges which would make
+    the audit depend on an estimated split. Counts use +1/2 smoothing
+    over the FULL bucket spine (empty buckets included via a broadcast
+    range join) so ln is always finite and the result is defined even
+    for disjoint supports.
+
+    One partial-agg pass over the corpus → n_buckets rows; every
+    downstream term is arithmetic on exact integer counts. Driver-safe
+    and partition-invariant at any scale.
+    """
+    b = F.least(
+        (F.col(value_col).cast("bigint") / F.lit(bucket_width)).cast("bigint"),
+        F.lit(n_buckets - 1),
+    )
+    counts = (
+        df.withColumn("bucket", b)
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(cohort == "base", 1).otherwise(0)).alias("n_base"),
+            F.sum(F.when(cohort == "cand", 1).otherwise(0)).alias("n_cand"),
+        )
+    )
+    return psi_from_counts(counts, n_buckets)
+
+
+def psi_from_counts(counts: DataFrame, n_buckets: int = 16) -> DataFrame:
+    """PSI terms from pre-aggregated per-bucket counts
+    (bucket, n_base, n_cand) — the merge step a monitor runs after
+    accumulating counts incrementally (e.g. per micro-batch from a
+    stream, or per corpus shard): counts are associative, PSI is not,
+    so accumulate-then-PSI is the only correct decomposition. Missing
+    buckets are restored from the broadcast spine before smoothing.
+    See ``psi_drift`` for the semantics and smoothing contract."""
+    spine = counts.sparkSession.range(n_buckets).select(
+        F.col("id").alias("bucket")
+    )
+    joined = spine.join(counts, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_base", F.lit(0)).cast("bigint").alias("n_base"),
+        F.coalesce("n_cand", F.lit(0)).cast("bigint").alias("n_cand"),
+    )
+    tot = joined.agg(
+        F.sum("n_base").alias("t_base"), F.sum("n_cand").alias("t_cand")
+    )
+    half = F.lit(0.5)
+    denom_b = F.col("t_base") + half * n_buckets
+    denom_c = F.col("t_cand") + half * n_buckets
+    p = (F.col("n_base") + half) / denom_b
+    q = (F.col("n_cand") + half) / denom_c
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_base",
+            "n_cand",
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_cols: tuple[str, ...] = ("source",),
+    k: int = 3,
+) -> DataFrame:
+    """Per-group robust outlier flags by discrete median/MAD — the
+    length-anomaly screen that, unlike mean/stddev z-scores, a handful
+    of giant documents cannot drag (median and MAD have a 50%
+    breakdown point; the mean's is 0).
+
+    Built on ``grouped_percentiles``'s exact discrete median (ceil-rule
+    cumulative walk over the value histogram — never a per-group sort),
+    applied twice: once on the value, once on |value - median|. For
+    integer values every quantity here — deviation, MAD, the k·MAD
+    threshold — stays in integer arithmetic end to end, so the flag is
+    bit-identical on any engine and partitioning. Three partial-agg
+    shuffles + two histogram windows; nothing quadratic, nothing
+    collected.
+    """
+    from twitter_kafka_etl_spark.operators.relational import grouped_percentiles
+
+    g = list(group_cols)
+    med = grouped_percentiles(df, value_col, tuple(group_cols), qs=(50,)).select(
+        *g, F.col("p50").alias("med")
+    )
+    dev = df.join(med, g).withColumn(
+        "__ad", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = grouped_percentiles(dev, "__ad", tuple(group_cols), qs=(50,)).select(
+        *g, F.col("p50").alias("mad")
+    )
+    return (
+        dev.join(mad, g)
+        .withColumn("is_outlier", F.col("__ad") > k * F.col("mad"))
+        .drop("__ad")
+    )

@@ -525,17 +525,18 @@ def simhash_pairs(
 JACCARD_DF_CAP = 10_000
 
 
-def _jaccard_pairs_core(
+def _pair_stats_core(
     df: DataFrame,
     n: int,
-    threshold: float,
     text_col: str,
     id_col: str,
     df_cap: int | None,
     persist: bool = True,
     shingled: DataFrame | None = None,
 ) -> DataFrame:
-    """The inverted-index Jaccard join over the given documents.
+    """Candidate-pair statistics (doc_a, doc_b, common, n_a, n_b) from
+    the inverted-index shingle join — the shared core every set-overlap
+    metric (Jaccard, containment) projects from.
 
     ``shingled``: optional precomputed ``shingle(df)`` long table
     (e.g. the memoized ``corpus_shingles`` working set) — must be the
@@ -602,13 +603,164 @@ def _jaccard_pairs_core(
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return common.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def _jaccard_pairs_core(
+    df: DataFrame,
+    n: int,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    df_cap: int | None,
+    persist: bool = True,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """The inverted-index Jaccard join: ``_pair_stats_core`` with the
+    symmetric-resemblance projection and threshold filter."""
+    stats = _pair_stats_core(
+        df, n, text_col, id_col, df_cap, persist=persist, shingled=shingled
+    )
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
+        stats.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int | None = JACCARD_DF_CAP,
+    collapse_exact: bool | None = None,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle-set CONTAINMENT,
+    max(|A∩B|/|A|, |A∩B|/|B|) — the quote/boilerplate-inclusion screen
+    symmetric Jaccard misses: a 50-shingle doc embedded verbatim in a
+    5000-shingle doc has containment 1.0 but Jaccard ≈ 0.01, so no
+    Jaccard threshold that keeps real pairs ever surfaces it
+    (Broder 1997's two resemblance measures; the same distinction CCNet
+    draws between dup and quote removal).
+
+    Same inverted-index machinery as ``ngram_jaccard_pairs`` — only
+    pairs sharing ≥1 surviving shingle are ever materialized, hot
+    shingles df-capped out of the intersection join only (|A|/|B| stay
+    exact, so reported containment is a lower bound) — and the same
+    8-byte hash join keys, the same auto-probed collapse-exact rewrite
+    on duplicate-heavy corpora (containment is a pure function of
+    (|A∩B|, |A|, |B|), so it expands across identical-text members
+    exactly like Jaccard; within-group pairs score 1.0 with
+    |A∩B| = the group's shingle count). At 100 TB the candidate set IS
+    the Jaccard join's candidate set; only the final projection
+    differs, so scale behavior is identical. Output: (doc_a, doc_b,
+    common, containment, jaccard) — jaccard carried so consumers can
+    see exactly which pairs only containment finds.
+    """
+
+    def core(d: DataFrame, sh: DataFrame | None) -> DataFrame:
+        stats = _pair_stats_core(
+            d, n, text_col, id_col, df_cap, persist=True, shingled=sh
+        )
+        cont = F.greatest(
+            F.col("common") / F.col("n_a"), F.col("common") / F.col("n_b")
+        )
+        jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+        return (
+            stats.withColumn("containment", cont)
+            .filter(F.col("containment") >= threshold)
+            .withColumn("jaccard", jac)
+            .select("doc_a", "doc_b", "common", "containment", "jaccard")
+        )
+
+    if collapse_exact is None:
+        collapse_exact = _auto_collapse(df, F.md5(F.col(text_col)))
+    if not collapse_exact:
+        return core(df, shingled)
+    return _collapse_expand_pairs(
+        df,
+        n,
+        text_col,
+        id_col,
+        True,
+        shingled,
+        rep_pairs_fn=core,
+        value_cols=("common", "containment", "jaccard"),
+        within_values=lambda nsh: [
+            nsh.cast("bigint").alias("common"),
+            F.lit(1.0).alias("containment"),
+            F.lit(1.0).alias("jaccard"),
+        ],
+        include_within=1.0 >= threshold,
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus-level overlap matrix: pairwise Jaccard of the DISTINCT
+    shingle sets of each source — the crawl-snapshot / supplier-feed
+    audit run before mixing corpora (two sources with high overlap are
+    re-crawls of each other; deduplicating within a mixture without
+    knowing this reads as mysterious yield loss).
+
+    One shingle pass → distinct (source, sh_h) → self-join on the
+    60-bit hash. The join fan-out per shingle is bounded by
+    |sources|² regardless of document frequency — a shingle present in
+    every source contributes at most sources·(sources-1)/2 rows — so
+    unlike the document-pair join no df cap is needed; output is
+    |sources|² rows, driver-safe at any corpus size. The group label is
+    recovered by joining the (id → group) projection onto the shingle
+    table; at 100 TB carry ``group_col`` through the shingle build
+    instead (one wide column through one explode) to skip that join.
+    """
+    base = (
+        shingled
+        if shingled is not None
+        else shingle(df, n=n, text_col=text_col, id_col=id_col)
+    )
+    labeled = base.join(df.select(id_col, group_col), id_col)
+    ss = labeled.select(
+        F.col(group_col), token_hash60(F.col("shingle")).alias("sh_h")
+    ).distinct()
+    from pyspark import StorageLevel
+
+    # feeds the size agg + both self-join sides: one materialization
+    ss = ss.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = ss.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = ss.alias("a"), ss.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh_h") == F.col("b.sh_h"))
+            & (F.col(f"a.{group_col}") < F.col(f"b.{group_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{group_col}").alias("source_a"),
+            F.col(f"b.{group_col}").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(
+        F.col(group_col).alias("source_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col(group_col).alias("source_b"), F.col("n_sh").alias("n_b")
+    )
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        common.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select("source_a", "source_b", "common", jac.alias("jaccard"))
     )
 
 
@@ -680,23 +832,66 @@ def ngram_jaccard_pairs(
     overhead (2× at sf0.1).
 
     ``shingled``: optional precomputed/persisted ``shingle(df)`` table
-    (same ``n``/``text_col``/``id_col`` — caller's contract). Forces
-    the direct (non-collapsed) path: the collapse rewrite shingles the
-    *representative* subset, which a full-corpus shingle table cannot
-    feed. Used by callers that already hold the shingle working set
-    (x59's truth arm shares it with the LSH pred arm).
+    (same ``n``/``text_col``/``id_col`` — caller's contract). Used by
+    callers that already hold the shingle working set (x59's truth arm
+    shares it with the LSH pred arm). Composes with the collapse
+    rewrite: the representative subset is carved out of the shared
+    table by one semi-join (a precomputed table must never bypass the
+    collapse — the bypass ran the pair join on the duplicated corpus,
+    d² the work, 9.7 s → 118 s on the 10×-replicated sf1).
     """
-    if shingled is not None:
-        return _jaccard_pairs_core(
-            df, n, threshold, text_col, id_col, df_cap, persist,
-            shingled=shingled,
-        )
     if collapse_exact is None:
         collapse_exact = _auto_collapse(df, F.md5(F.col(text_col)))
     if not collapse_exact:
         return _jaccard_pairs_core(
-            df, n, threshold, text_col, id_col, df_cap, persist
+            df, n, threshold, text_col, id_col, df_cap, persist,
+            shingled=shingled,
         )
+    return _collapse_expand_pairs(
+        df,
+        n,
+        text_col,
+        id_col,
+        persist,
+        shingled,
+        rep_pairs_fn=lambda rep_docs, rep_shingled: _jaccard_pairs_core(
+            rep_docs, n, threshold, text_col, id_col, df_cap, persist,
+            shingled=rep_shingled,
+        ),
+        value_cols=("jaccard",),
+        within_values=lambda nsh: [F.lit(1.0).alias("jaccard")],
+        include_within=1.0 >= threshold,
+    )
+
+
+def _collapse_expand_pairs(
+    df: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    persist: bool,
+    shingled: DataFrame | None,
+    rep_pairs_fn,
+    value_cols: tuple[str, ...],
+    within_values,
+    include_within: bool,
+) -> DataFrame:
+    """Collapse-to-representatives / expand-to-members rewrite shared by
+    the shingle-set pair metrics (Jaccard, containment).
+
+    Byte-identical texts have identical shingle sets, so any pure
+    function of (|A∩B|, |A|, |B|) is constant across member pairs of
+    the same representative pair — the pair join runs on distinct texts
+    only (1/d² the work at duplication factor d) and results expand
+    back via two fp equi-joins. ``rep_pairs_fn(rep_docs, rep_shingled)``
+    computes (doc_a, doc_b, *value_cols) on representatives;
+    ``within_values(nsh_col)`` builds the constant value columns for
+    identical-text pairs (|A∩B| = |A| = |B| = the group's shingle
+    count); ``include_within`` states whether those pairs clear the
+    metric's threshold (identical texts score 1.0 on both metrics, so
+    the caller resolves it against its threshold driver-side).
+    Zero-shingle groups are excluded from within-pairs — the naive join
+    never pairs them either (they share nothing)."""
     members = df.select(
         F.col(id_col).alias("m_id"), F.md5(F.col(text_col)).alias("fp")
     )
@@ -712,9 +907,17 @@ def ngram_jaccard_pairs(
         from pyspark import StorageLevel
 
         rep_docs = rep_docs.persist(StorageLevel.MEMORY_AND_DISK)
-    rep_pairs = _jaccard_pairs_core(
-        rep_docs, n, threshold, text_col, id_col, df_cap, persist
+    # restrict a shared full-corpus shingle table to the reps: one
+    # semi-join against the persisted table beats re-running the
+    # interpreted HOF gram build even over 1/d of the docs
+    rep_shingled = (
+        shingled.join(
+            reps.select(F.col("rep_id").alias(id_col)), id_col, "left_semi"
+        )
+        if shingled is not None
+        else None
     )
+    rep_pairs = rep_pairs_fn(rep_docs, rep_shingled)
     # attach the two groups' fingerprints, then fan out to members
     fp_of = reps.select(F.col("rep_id"), F.col("fp"))
     cross = (
@@ -731,16 +934,18 @@ def ngram_jaccard_pairs(
         .select(
             F.least("id_a", "id_b").alias("doc_a"),
             F.greatest("id_a", "id_b").alias("doc_b"),
-            F.col("jaccard"),
+            *[F.col(c) for c in value_cols],
         )
     )
-    # within-group pairs: identical texts, jaccard exactly 1.0 — but
-    # only for texts that HAVE shingles (the naive join never pairs
-    # zero-shingle docs, sharing nothing)
+    if not include_within:
+        return cross
+    # within-group pairs: identical texts — constant metric values,
+    # group shingle count from the reps (excluding zero-shingle groups)
     toked, grams = _gram_array(rep_docs, n, text_col)
-    with_sh = toked.select(
-        F.col("fp").alias("__wfp"), F.size(F.array_distinct(grams)).alias("__nsh")
-    ).filter(F.col("__nsh") > 0).select("__wfp")
+    gsz = toked.select(
+        F.col("fp").alias("__wfp"),
+        F.size(F.array_distinct(grams)).alias("__nsh"),
+    ).filter(F.col("__nsh") > 0)
     m1, m2 = members.alias("m1"), members.alias("m2")
     within = (
         m1.join(
@@ -748,13 +953,12 @@ def ngram_jaccard_pairs(
             (F.col("m1.fp") == F.col("m2.fp"))
             & (F.col("m1.m_id") < F.col("m2.m_id")),
         )
-        .join(with_sh, F.col("m1.fp") == F.col("__wfp"), "left_semi")
+        .join(gsz, F.col("m1.fp") == F.col("__wfp"))
         .select(
             F.col("m1.m_id").alias("doc_a"),
             F.col("m2.m_id").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
+            *within_values(F.col("__nsh")),
         )
-        .filter(F.lit(1.0) >= threshold)
     )
     return cross.unionByName(within)
 
@@ -1122,4 +1326,61 @@ def edit_distance_verify(
                 6,
             ).alias("edit_sim"),
         )
+    )
+
+
+def shingle_novelty(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document marginal novelty in ``id_col`` order: of a doc's
+    distinct shingles, how many appear in NO earlier document. The
+    diminishing-returns curve of a growing corpus — novelty falling
+    toward zero over an id-ordered (≈ crawl-ordered) corpus means new
+    data is re-crawl, not new content; the aggregate view is the
+    data-acquisition stopping rule.
+
+    Two shuffles, both linear in the shingle table: min(id) per shingle
+    hash (the inverted index's cheapest aggregate — map-side combine
+    collapses duplicates early), then a join back and a per-doc count.
+    No pair join anywhere, so unlike the similarity family there is no
+    quadratic candidate step to cap. Zero-shingle docs are restored
+    with (0, 0, 0.0) via the final left join.
+    """
+    base = (
+        shingled
+        if shingled is not None
+        else shingle(df, n=n, text_col=text_col, id_col=id_col)
+    )
+    sh = base.select(
+        F.col(id_col), token_hash60(F.col("shingle")).alias("sh_h")
+    )
+    from pyspark import StorageLevel
+
+    # feeds the first-occurrence agg AND the join back
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    first = sh.groupBy("sh_h").agg(F.min(id_col).alias("__first"))
+    per = (
+        sh.join(first, "sh_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.when(F.col("__first") == F.col(id_col), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return df.select(id_col).join(per, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_sh", F.lit(0)).cast("bigint").alias("n_sh"),
+        F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        F.when(
+            F.coalesce("n_sh", F.lit(0)) > 0,
+            F.col("n_novel") / F.col("n_sh"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("novelty"),
     )

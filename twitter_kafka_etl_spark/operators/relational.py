@@ -459,3 +459,44 @@ def grouped_percentiles(
     ]
     return joined.groupBy(*group_cols).agg(*aggs)
 
+
+
+def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """Column-level data profile — (column, n_rows, n_nulls, n_distinct)
+    per column — the schema-quality audit run on any newly landed table
+    before it joins a pipeline (null explosions and cardinality
+    collapses are THE two silent upstream breakages).
+
+    All columns profile in ONE job: a single multi-distinct aggregate,
+    which Catalyst plans as an Expand (each input row replicated once
+    per distinct-agg) + two-stage partial agg. Exact by construction —
+    the cross-engine-checkable form. At 100 TB the Expand multiplies
+    scan width by |columns|; when an estimate suffices, swap
+    countDistinct for approx_count_distinct (HLL sketch, no Expand,
+    one pass) — same plan shape as this function, not oracle-exact.
+    The result is |columns| rows built from one collected aggregate
+    row via explode of a literal struct array — no second scan.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+    row = df.agg(*aggs)
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col("__n").cast("bigint").alias("n_rows"),
+                        (F.col("__n") - F.col(f"__nn_{c}"))
+                        .cast("bigint")
+                        .alias("n_nulls"),
+                        F.col(f"__nd_{c}").cast("bigint").alias("n_distinct"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")

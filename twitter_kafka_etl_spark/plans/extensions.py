@@ -3127,3 +3127,277 @@ def x74(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x75(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_bucket_histogram(D.corpus_signatures(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# x76/x77/x78/x79 — weighted sampling, containment dedup, corpus overlap,
+# distribution drift (round-5 additions)
+# ---------------------------------------------------------------------------
+@_register(
+    "x76_weighted_sample",
+    "deterministic weighted sampling without replacement, 5 per source "
+    "(Efraimidis-Spirakis A-ES: top-k by u^(1/w), ranked as ln(u)/w with "
+    "md5-derived u) — a retry, a repartition, or another engine selects "
+    "the SAME sample, which rand()-keyed reservoirs cannot promise",
+    """
+    WITH k AS (
+      SELECT source, doc_id, n_chars,
+             ln((CAST('0x' || substr(md5('wsample' || CAST(doc_id AS VARCHAR)),
+                      1, 8) AS BIGINT) + 1) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE) AS key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight
+    FROM k
+    QUALIFY row_number() OVER (
+      PARTITION BY source ORDER BY key DESC, doc_id) <= 5
+    """,
+    tags=("curation", "extension"),
+)
+def x76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.weighted_sample(_docs(spark, sf_dir), "n_chars", k=5)
+
+
+@_register(
+    "x77_containment_pairs",
+    "asymmetric near-dup pairs by shingle-set containment "
+    "max(|A∩B|/|A|, |A∩B|/|B|) >= 0.6 — the quote/boilerplate-inclusion "
+    "screen symmetric Jaccard misses (a small doc embedded in a big one "
+    "has containment 1.0 but Jaccard ~0); same inverted-index join and "
+    "df cap as x06, different projection",
+    f"""
+    WITH {_SHINGLE_CTE},
+    shh0 AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sh_h
+      FROM sh
+    ),
+    shh AS (
+      SELECT doc_id, sh_h FROM shh0
+      QUALIFY COUNT(*) OVER (PARTITION BY sh_h) <= {D.JACCARD_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM shh a JOIN shh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+           greatest(common / sa.n_sh, common / sb.n_sh) AS containment,
+           common / (sa.n_sh + sb.n_sh - common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE greatest(common / sa.n_sh, common / sb.n_sh) >= 0.6
+    """,
+    tags=("dedup", "extension"),
+)
+def x77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.containment_pairs(_docs(spark, sf_dir), threshold=0.6)
+
+
+@_register(
+    "x78_source_overlap",
+    "corpus-level overlap matrix: pairwise Jaccard of each source's "
+    "DISTINCT shingle set — the crawl-snapshot / supplier-feed audit run "
+    "before mixing corpora; join fan-out per shingle is bounded by "
+    "|sources|^2 so no df cap is needed and output is |sources|^2 rows "
+    "at any corpus size",
+    f"""
+    WITH {_SHINGLE_CTE},
+    ss AS (
+      SELECT DISTINCT d.source,
+             CAST('0x' || substr(md5(sh.shingle), 1, 15) AS BIGINT) AS sh_h
+      FROM sh JOIN documents d USING (doc_id)
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n_sh FROM ss GROUP BY source),
+    common AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS common
+      FROM ss a JOIN ss b ON a.sh_h = b.sh_h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, CAST(common AS BIGINT) AS common,
+           common / (sa.n_sh + sb.n_sh - common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+    tags=("dedup", "extension"),
+)
+def x78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return D.source_overlap(docs, shingled=D.corpus_shingles(docs))
+
+
+#: DuckDB twin of the PSI computation — shared verbatim with the qs13
+#: streaming drift monitor, whose accumulated stream counts must equal
+#: this batch form exactly (stream/batch equivalence)
+PSI_DRIFT_SQL = """
+    WITH c AS (
+      SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10
+                  THEN 'base' ELSE 'cand' END AS coh,
+             LEAST(n_chars // 256, 15) AS b
+      FROM documents
+    ),
+    counts AS (
+      SELECT b,
+             SUM(CASE WHEN coh = 'base' THEN 1 ELSE 0 END) AS n_base,
+             SUM(CASE WHEN coh = 'cand' THEN 1 ELSE 0 END) AS n_cand
+      FROM c GROUP BY b
+    ),
+    spine AS (SELECT i AS bucket FROM range(0, 16) r(i)),
+    j AS (
+      SELECT bucket, COALESCE(n_base, 0) AS n_base,
+             COALESCE(n_cand, 0) AS n_cand
+      FROM spine LEFT JOIN counts ON counts.b = spine.bucket
+    ),
+    tot AS (SELECT SUM(n_base) AS t_base, SUM(n_cand) AS t_cand FROM j)
+    SELECT bucket, CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           round(((n_base + 0.5) / (t_base + 8.0)
+                  - (n_cand + 0.5) / (t_cand + 8.0))
+                 * ln(((n_base + 0.5) / (t_base + 8.0))
+                      / ((n_cand + 0.5) / (t_cand + 8.0))), 6) AS psi_term
+    FROM j CROSS JOIN tot
+    """
+
+
+@_register(
+    "x79_psi_drift",
+    "Population Stability Index terms between the src0-9 and src10-19 "
+    "cohorts over fixed-width n_chars buckets (+1/2 smoothing on the "
+    "full 16-bucket spine) — the distribution-drift audit between crawl "
+    "snapshots: snapshot_diff says WHICH docs changed, PSI says whether "
+    "the corpus SHAPE moved",
+    PSI_DRIFT_SQL,
+    tags=("curation", "extension"),
+)
+def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    cohort = F.when(
+        F.expr("CAST(substring(source, 4) AS INT)") < 10, "base"
+    ).otherwise("cand")
+    return C.psi_drift(docs, cohort)
+
+
+# ---------------------------------------------------------------------------
+# x80/x81 — column-level table profile + marginal shingle novelty
+# (round-5 additions, second batch)
+# ---------------------------------------------------------------------------
+#: lineitem column inventory shared by the x80 Spark call and its
+#: generated oracle — one source of truth for both engines
+_PROFILE_COLS = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+)
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+@_register(
+    "x80_table_profile",
+    "column-level data profile of lineitem — (column, n_rows, n_nulls, "
+    "n_distinct) for every column in ONE multi-distinct aggregate "
+    "(Catalyst Expand + two-stage partial agg; exact, the cross-engine-"
+    "checkable form — approx_count_distinct is the documented one-pass "
+    "alternative at scale): the schema-quality audit run on any newly "
+    "landed table before it joins a pipeline",
+    _PROFILE_SQL,
+    tags=("relational", "extension"),
+)
+def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_kafka_etl_spark.operators.relational import profile_table
+
+    return profile_table(
+        read_table(spark, sf_dir, "lineitem"), columns=_PROFILE_COLS
+    )
+
+
+@_register(
+    "x81_shingle_novelty",
+    "per-document marginal novelty in doc_id (~crawl) order: the share "
+    "of each doc's shingles appearing in NO earlier document — the "
+    "diminishing-returns curve that is the data-acquisition stopping "
+    "rule (novelty -> 0 means new data is re-crawl, not new content); "
+    "min-id per shingle hash + one join back, no pair join anywhere",
+    f"""
+    WITH {_SHINGLE_CTE},
+    shh AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sh_h
+      FROM sh
+    ),
+    first AS (SELECT sh_h, MIN(doc_id) AS first_id FROM shh GROUP BY sh_h),
+    per AS (
+      SELECT s.doc_id, COUNT(*) AS n_sh,
+             SUM(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM shh s JOIN first f USING (sh_h) GROUP BY s.doc_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(n_sh, 0) AS BIGINT) AS n_sh,
+           CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN COALESCE(n_sh, 0) > 0
+                THEN n_novel / n_sh ELSE 0.0 END AS novelty
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    tags=("dedup", "extension"),
+)
+def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return D.shingle_novelty(docs, shingled=D.corpus_shingles(docs))
+
+
+@_register(
+    "x82_robust_outliers",
+    "per-source robust length-outlier flags by discrete median/MAD "
+    "(50% breakdown point — giant docs cannot drag the threshold the "
+    "way they drag mean/stddev z-scores); both quantiles via the exact "
+    "ceil-rule histogram walk, all arithmetic integer end to end",
+    """
+    WITH h AS (
+      SELECT source, n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT source, v,
+             SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum
+      FROM h
+    ),
+    sz AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    med AS (
+      SELECT c1.source,
+             MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN v END) AS med
+      FROM c1 JOIN sz ON sz.source = c1.source GROUP BY c1.source
+    ),
+    dev AS (
+      SELECT d.doc_id, d.source, d.n_chars, m.med,
+             ABS(d.n_chars - m.med) AS ad
+      FROM documents d JOIN med m ON m.source = d.source
+    ),
+    h2 AS (SELECT source, ad AS v, COUNT(*) AS c FROM dev GROUP BY 1, 2),
+    c2 AS (
+      SELECT source, v,
+             SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum
+      FROM h2
+    ),
+    mad AS (
+      SELECT c2.source,
+             MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN v END) AS mad
+      FROM c2 JOIN sz ON sz.source = c2.source GROUP BY c2.source
+    )
+    SELECT dev.doc_id, dev.source, dev.n_chars,
+           CAST(dev.med AS BIGINT) AS med, CAST(ma.mad AS BIGINT) AS mad,
+           dev.ad > 3 * ma.mad AS is_outlier
+    FROM dev JOIN mad ma ON ma.source = dev.source
+    """,
+    tags=("curation", "extension"),
+)
+def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.robust_outliers(_docs(spark, sf_dir)).select(
+        "doc_id", "source", "n_chars", "med", "mad", "is_outlier"
+    )
