@@ -473,3 +473,52 @@ def test_qs12_bloom_crossover_path_matches_plain(spark, sf_dir, monkeypatch):
         )
     )
     assert side, "bloom side-file missing — crossover path never engaged"
+
+
+def test_qs13_stream_psi_equals_batch_psi(spark, sf_dir):
+    """The accumulated micro-batch counts must fold into EXACTLY the
+    batch psi_drift rows — the stream/batch equivalence the monitor's
+    accumulate-then-PSI decomposition claims."""
+    from twitter_kafka_etl_spark.io import read_table
+    from twitter_kafka_etl_spark.operators import curation as C
+    from twitter_kafka_etl_spark.plans import REGISTRY
+
+    streamed = {
+        r.bucket: (r.n_base, r.n_cand, r.psi_term)
+        for r in REGISTRY["qs13_stream_drift_monitor"]
+        .build(spark, sf_dir)
+        .collect()
+    }
+    docs = read_table(spark, sf_dir, "documents")
+    cohort = F.when(
+        F.expr("CAST(substring(source, 4) AS INT)") < 10, "base"
+    ).otherwise("cand")
+    batch = {
+        r.bucket: (r.n_base, r.n_cand, r.psi_term)
+        for r in C.psi_drift(docs, cohort).collect()
+    }
+    assert streamed == batch and len(streamed) == 16
+
+
+def test_qs14_novelty_monotone_and_matches_first_occurrence(spark, sf_dir):
+    from twitter_kafka_etl_spark.io import read_table
+    from twitter_kafka_etl_spark.operators import dedup as D
+    from twitter_kafka_etl_spark.plans import REGISTRY
+
+    rows = sorted(
+        REGISTRY["qs14_stream_novelty"].build(spark, sf_dir).collect(),
+        key=lambda r: r.batch,
+    )
+    assert [r.batch for r in rows] == [0, 1, 2, 3]
+    # batch 0 has no history: everything it carries is novel
+    assert rows[0].n_novel == rows[0].n_sh
+    # the accumulated novel counts must total the corpus's distinct
+    # shingle-hash count (every hash is novel exactly once)
+    docs = read_table(spark, sf_dir, "documents")
+    total = (
+        D.shingle(docs)
+        .select(D.token_hash60(F.col("shingle")).alias("h"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_novel for r in rows) == total

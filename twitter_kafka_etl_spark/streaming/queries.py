@@ -1116,3 +1116,205 @@ def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(corpus).select("doc_id", "fp")
+
+
+# ---------------------------------------------------------------------------
+# QS13 — streaming distribution-drift monitor (PSI vs a static baseline)
+# ---------------------------------------------------------------------------
+def _register_qs13() -> None:
+    from twitter_kafka_etl_spark.plans.extensions import PSI_DRIFT_SQL
+
+    @_register(
+        "qs13_stream_drift_monitor",
+        "streaming drift monitor: the src10-19 cohort arrives in "
+        "micro-batches, each batch folds its fixed-width n_chars bucket "
+        "counts into an accumulated monitor table (counts are "
+        "associative, PSI is not — accumulate-then-PSI is the only "
+        "correct decomposition), and the final PSI terms against the "
+        "static src0-9 baseline equal the batch x79 computation exactly "
+        "(stream/batch equivalence); oracle form: identical to x79",
+        PSI_DRIFT_SQL,
+        tags=("streaming", "curation"),
+    )
+    def qs13(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from twitter_kafka_etl_spark.operators import curation as C
+        from twitter_kafka_etl_spark.streaming.sinks import foreach_batch_fanout
+
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        src_num = F.expr("CAST(substring(source, 4) AS INT)")
+        cand = docs.filter(src_num >= 10)
+
+        def write(in_dir: str) -> None:
+            # 4 equal doc_id ranges — the arrival schedule; bucket-count
+            # sums are order-independent, so determinism needs no more
+            n = 4
+            mx = cand.agg(F.max("doc_id")).first()[0] or 0
+            width = mx // n + 1
+            (
+                cand.withColumn(
+                    "__f", F.floor(F.col("doc_id") / width).cast("int")
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .partitionBy("__f")
+                .parquet(in_dir)
+            )
+
+        in_dir, work = _staged_input(sf_dir, "qs13", "cand-idrange4", write)
+        monitor = os.path.join(work, "monitor")
+        bucket = F.least(
+            (F.col("n_chars").cast("bigint") / F.lit(256)).cast("bigint"),
+            F.lit(15),
+        )
+
+        def fold(batch_df: DataFrame, batch_id: int) -> None:
+            # per-batch partial aggregate -> append; the monitor table
+            # holds one tiny row-group per (batch, bucket) and the final
+            # merge is a 16-group sum. At production scale this append
+            # goes to the metrics store; nothing here grows with corpus
+            # size except by n_buckets x n_batches.
+            (
+                batch_df.withColumn("bucket", bucket)
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .write.mode("append")
+                .parquet(monitor)
+            )
+
+        stream = _read_stream(spark, in_dir, cand)
+        q = foreach_batch_fanout(
+            stream, [fold], checkpoint=os.path.join(work, "ckpt")
+        )
+        q.awaitTermination()
+        n_cand = (
+            spark.read.parquet(monitor)
+            .groupBy("bucket")
+            .agg(F.sum("n").cast("bigint").alias("n_cand"))
+        )
+        n_base = (
+            docs.filter(src_num < 10)
+            .withColumn("bucket", bucket)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_base"))
+        )
+        counts = n_base.join(n_cand, "bucket", "full")
+        return C.psi_from_counts(counts)
+
+
+_register_qs13()
+
+
+# ---------------------------------------------------------------------------
+# QS14 — streaming novelty monitor (shingle-level history, qs12's pattern
+# one granularity deeper)
+# ---------------------------------------------------------------------------
+@_register(
+    "qs14_stream_novelty",
+    "streaming marginal-novelty monitor: each arriving batch's distinct "
+    "shingle hashes are anti-joined against the accumulated shingle "
+    "index (set-membership HISTORY at shingle granularity — qs12 keeps "
+    "doc fingerprints, this keeps content hashes), novel hashes append "
+    "to the index, and the per-batch (n_sh, n_novel) row is the "
+    "diminishing-returns curve a crawl publishes as it runs; batches "
+    "arrive in doc_id order so novelty-by-batch equals the batch "
+    "first-occurrence computation exactly; oracle form: min-batch per "
+    "shingle hash over id-range buckets",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks
+    ),
+    shh AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sh_h
+      FROM sh
+    ),
+    w AS (SELECT MAX(doc_id) // 4 + 1 AS width FROM documents),
+    b AS (
+      SELECT s.sh_h, s.doc_id // w.width AS bk FROM shh s CROSS JOIN w
+    ),
+    dist AS (SELECT bk, COUNT(DISTINCT sh_h) AS n_sh FROM b GROUP BY bk),
+    firstb AS (SELECT sh_h, MIN(bk) AS fb FROM b GROUP BY sh_h),
+    nov AS (SELECT fb AS bk, COUNT(*) AS n_novel FROM firstb GROUP BY fb)
+    SELECT CAST(d.bk AS BIGINT) AS batch, CAST(d.n_sh AS BIGINT) AS n_sh,
+           CAST(COALESCE(nov.n_novel, 0) AS BIGINT) AS n_novel
+    FROM dist d LEFT JOIN nov ON nov.bk = d.bk
+    """,
+    tags=("streaming", "dedup"),
+)
+def qs14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_kafka_etl_spark.operators import dedup as D
+    from twitter_kafka_etl_spark.streaming.sinks import foreach_batch_fanout
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).first()[0] or 0
+    width = mx // 4 + 1
+
+    def write(in_dir: str) -> None:
+        (
+            docs.withColumn(
+                "__f", F.floor(F.col("doc_id") / width).cast("int")
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("__f")
+            .parquet(in_dir)
+        )
+
+    in_dir, work = _staged_input(sf_dir, "qs14", "idrange4", write)
+    index = os.path.join(work, "shindex")
+    stats = os.path.join(work, "stats")
+
+    def monitor(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        # batch label from the DATA (the id-range bucket every row of
+        # this file shares), not the engine's batch counter — restart-
+        # and replay-proof
+        sh = (
+            D.shingle(batch_df)
+            .select(
+                (F.col("doc_id") / width).cast("bigint").alias("bk"),
+                D.token_hash60(F.col("shingle")).alias("sh_h"),
+            )
+            .distinct()
+        )
+        # one tiny batch: the distinct set feeds the count, the
+        # anti-join AND the index append — localCheckpoint for the same
+        # re-list reason as qs12 (the append extends the file source
+        # the plan would re-list)
+        sh = sh.localCheckpoint(eager=True)
+        if os.path.exists(index):
+            novel = sh.join(
+                s.read.parquet(index).select("sh_h"), "sh_h", "left_anti"
+            )
+        else:
+            novel = sh
+        novel = novel.localCheckpoint(eager=True)
+        row = (
+            sh.groupBy("bk")
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+            .join(
+                novel.groupBy("bk").agg(F.count(F.lit(1)).alias("__nv")),
+                "bk",
+                "left",
+            )
+            .select(
+                F.col("bk").alias("batch"),
+                F.col("n_sh").cast("bigint").alias("n_sh"),
+                F.coalesce("__nv", F.lit(0)).cast("bigint").alias("n_novel"),
+            )
+        )
+        row.write.mode("append").parquet(stats)
+        novel.select("sh_h").write.mode("append").parquet(index)
+
+    stream = _read_stream(spark, in_dir, docs)
+    q = foreach_batch_fanout(
+        stream, [monitor], checkpoint=os.path.join(work, "ckpt")
+    )
+    q.awaitTermination()
+    return spark.read.parquet(stats).select("batch", "n_sh", "n_novel")
