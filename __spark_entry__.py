@@ -40,6 +40,15 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "x73_edit_distance_verify",
         "x74_charset_profile",
         "x75_lsh_bucket_histogram",
+        "x76_weighted_sample",
+        "x77_containment_pairs",
+        "x78_source_overlap",
+        "x79_psi_drift",
+        "qs13_stream_drift_monitor",
+        "x80_table_profile",
+        "x81_shingle_novelty",
+        "x82_robust_outliers",
+        "qs14_stream_novelty",
     }
 )
 
