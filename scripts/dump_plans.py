@@ -124,6 +124,28 @@ SHOWCASE = [
      "LSH skew audit: one explode (b rows/doc), one partial-agg shuffle "
      "on (band, sig), one tiny agg over the counts — the c(c-1)/2 "
      "candidate tail is known BEFORE the pair join is ever launched."),
+    ("x76_weighted_sample",
+     "Weighted sampling (A-ES): the ln(u)/w key is a narrow md5-derived "
+     "projection, then ONE hash exchange on the group for the rank "
+     "window — no rand(), no sort of the corpus, top-k per group only."),
+    ("x78_source_overlap",
+     "Corpus overlap matrix: distinct (source, shingle-hash) pairs feed "
+     "a self-equi-join whose fan-out is bounded by |sources|² per hash "
+     "— a corpus-scale audit whose output never outgrows the driver."),
+    ("x80_table_profile",
+     "Column profile: ONE multi-distinct aggregate — Catalyst Expand + "
+     "two-stage partial agg — profiles every column in a single job; "
+     "the per-column rows explode from a literal struct array, not a "
+     "second scan."),
+    ("x81_shingle_novelty",
+     "Marginal novelty: min(id) per shingle hash (map-side combine "
+     "collapses duplicates early) + one join back — linear in the "
+     "shingle table, no pair join, no quadratic candidate step."),
+    ("x82_robust_outliers",
+     "Median/MAD outliers: two exact ceil-rule histogram walks (value, "
+     "then |value − median|) — windows run over per-group VALUE "
+     "histograms, never per-group row sorts; the flag is integer "
+     "arithmetic end to end."),
 ]
 
 HEADER = """# PLANS — annotated physical plans (generated)
