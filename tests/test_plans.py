@@ -96,6 +96,11 @@ def test_q12_whole_stage_codegen(spark, sf_dir):
         "x65_split_leakage", "x66_semantic_dedup", "x67_prototype_prune",
         "x68_dsir_selection", "x69_langid_eval",
         "x70_unigram_nll", "x71_bpe_pair_stats",
+        "x72_lsh_sensitivity_curve", "x73_edit_distance_verify",
+        "x74_charset_profile", "x75_lsh_bucket_histogram",
+        "x76_weighted_sample", "x77_containment_pairs",
+        "x78_source_overlap", "x79_psi_drift", "x80_table_profile",
+        "x81_shingle_novelty", "x82_robust_outliers",
     ],
 )
 def test_no_python_udf_in_jvm_paths(spark, sf_dir, name):
