@@ -68,7 +68,11 @@ def _rank(name: str) -> int:
     """
     if name in _NEW_THIS_ROUND:
         return 0
-    if name.startswith("q") and not name.startswith("qs") and int(name[1:3]) <= 22:
+    if (
+        name.startswith("q")
+        and name[1:3].isdigit()  # guard: a q-name outside the qNN scheme
+        and int(name[1:3]) <= 22  # must fall through, not raise
+    ):
         return 1  # q01-q22 — last green r2
     if name.startswith("x") and name[1:3].isdigit() and 27 <= int(name[1:3]) <= 35:
         return 2  # x27-x35 — last green r2

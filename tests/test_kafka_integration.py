@@ -97,6 +97,7 @@ def test_qs1_plan_against_real_topic_with_offset_resume(spark, sf_dir, tmp_path)
             .selectExpr(
                 "CAST(key AS STRING) AS key",
                 "CAST(value AS STRING) AS value",
+                "partition",
                 "offset",
             )
             .writeStream.format("parquet")
@@ -115,9 +116,15 @@ def test_qs1_plan_against_real_topic_with_offset_resume(spark, sf_dir, tmp_path)
     drain()  # same checkpoint: must resume from committed offsets
     got2 = spark.read.parquet(sink)
     assert got2.count() == first.count() + second.count()
-    # no offset consumed twice: sink offsets are unique per partition
+    # no offset consumed twice — Kafka offsets are unique only within a
+    # partition, so the uniqueness check must key on (partition, offset)
+    # or a multi-partition topic (broker default > 1) fails it spuriously
     assert (
-        got2.groupBy("offset").count().filter(F.col("count") > 1).count() == 0
+        got2.groupBy("partition", "offset")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0
     )
     # payload survives the wire: every produced key is in the sink once
     keys = {r.key for r in got2.select("key").collect()}

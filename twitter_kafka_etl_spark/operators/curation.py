@@ -649,9 +649,19 @@ def psi_drift(
     downstream term is arithmetic on exact integer counts. Driver-safe
     and partition-invariant at any scale.
     """
-    b = F.least(
-        (F.col(value_col).cast("bigint") / F.lit(bucket_width)).cast("bigint"),
-        F.lit(n_buckets - 1),
+    # clamp BOTH ends into the spine: values past the top land in the
+    # overflow bucket, negatives (legal for a generic value_col — a
+    # delta, a score) in bucket 0. Without the bottom clamp they would
+    # bucket outside 0..n_buckets-1 and silently vanish at the spine
+    # join, deflating the cohort totals.
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            (F.col(value_col).cast("bigint") / F.lit(bucket_width)).cast(
+                "bigint"
+            ),
+            F.lit(n_buckets - 1),
+        ),
     )
     counts = (
         df.withColumn("bucket", b)

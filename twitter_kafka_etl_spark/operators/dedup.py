@@ -168,6 +168,23 @@ def corpus_shingles(
     )
 
 
+def corpus_shingles_cached(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame | None:
+    """The memoized shingle working set IF a sibling query already
+    built it, else None — never forces the build. For consumers where
+    a forced full-corpus materialization can cost more than it saves:
+    the collapse-exact pair metrics shingle only the representative
+    subset, so on a duplicate-heavy corpus handing them a full-corpus
+    table they must first build is a net loss (x77 measured 8.1 s
+    forced-shared vs 5.6 s solo at sf1), while reusing one that
+    already exists is pure win (one semi-join vs a rep-subset HOF
+    build)."""
+    from twitter_kafka_etl_spark.operators._cache import peek_memo
+
+    return peek_memo(df, ("shingles", n, text_col, id_col))
+
+
 def corpus_signatures(
     df: DataFrame,
     n: int = 3,
@@ -941,11 +958,23 @@ def _collapse_expand_pairs(
         return cross
     # within-group pairs: identical texts — constant metric values,
     # group shingle count from the reps (excluding zero-shingle groups)
-    toked, grams = _gram_array(rep_docs, n, text_col)
-    gsz = toked.select(
-        F.col("fp").alias("__wfp"),
-        F.size(F.array_distinct(grams)).alias("__nsh"),
-    ).filter(F.col("__nsh") > 0)
+    if rep_shingled is not None:
+        # count the persisted shingle rows (shingle() emits distinct
+        # grams, so count == |set|; zero-shingle reps have no rows —
+        # the >0 exclusion is implicit) instead of re-running the
+        # interpreted HOF gram build over every representative
+        gsz = (
+            rep_shingled.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__nsh"))
+            .join(reps.select(F.col("rep_id").alias(id_col), "fp"), id_col)
+            .select(F.col("fp").alias("__wfp"), "__nsh")
+        )
+    else:
+        toked, grams = _gram_array(rep_docs, n, text_col)
+        gsz = toked.select(
+            F.col("fp").alias("__wfp"),
+            F.size(F.array_distinct(grams)).alias("__nsh"),
+        ).filter(F.col("__nsh") > 0)
     m1, m2 = members.alias("m1"), members.alias("m2")
     within = (
         m1.join(
@@ -1203,8 +1232,10 @@ def lsh_sensitivity_curve(
     over a similarity grid — the planning query every LSH deployment
     runs before picking (b, r), published next to the empirical x59
     precision/recall audit so the configured operating point is
-    inspectable. Includes the rule-of-thumb threshold (1/b)^(1/r) as
-    the grid point closest to the curve's inflection.
+    inspectable. The rule-of-thumb threshold (1/b)^(1/r) is where the
+    curve inflects — read it off the returned grid (for b = r = 4 it
+    sits between the s = 0.70 and 0.75 rows); the output itself is
+    just (s, p_candidate).
 
     Determinism: powers are expanded to explicit multiplication chains
     (s*s*…), never pow() — repeated IEEE multiplications are identical

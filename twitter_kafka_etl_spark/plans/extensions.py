@@ -3193,7 +3193,13 @@ def x76(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "extension"),
 )
 def x77(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.containment_pairs(_docs(spark, sf_dir), threshold=0.6)
+    docs = _docs(spark, sf_dir)
+    # peek, don't build: a sibling's shingle memo is reused (one
+    # semi-join), but forcing the full-corpus materialization would
+    # cost more than the collapse path's rep-subset build saves
+    return D.containment_pairs(
+        docs, threshold=0.6, shingled=D.corpus_shingles_cached(docs)
+    )
 
 
 @_register(

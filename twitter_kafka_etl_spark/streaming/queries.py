@@ -1008,11 +1008,22 @@ def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
         return total
 
     state = {"words": None, "m": 0}
-    if os.path.exists(bloom_file):  # restart: resume the accumulated bitmap
+    # Resume the accumulated bitmap from the durable side-file. In THIS
+    # harness the branch never fires — _staged_input hands every call a
+    # freshly wiped per-PID run dir (availableNow determinism) — it is
+    # the restart hook for the production pattern the query models,
+    # where an ingest job resumes its own long-lived work dir. The
+    # side-file's existence and contents are still exercised per run
+    # (test_qs12_bloom_crossover_path_matches_plain asserts the rolled-
+    # forward bitmap lands on disk).
+    if os.path.exists(bloom_file):
         prev = pd.read_parquet(bloom_file)
-        state["m"] = int(prev["m"].iloc[0])
-        state["words"] = np.zeros(state["m"] // K.BLOOM_WORD, dtype=np.int64)
-        state["words"][prev["word"].to_numpy()] = prev["bits"].to_numpy()
+        if len(prev):  # an all-zero bitmap writes no rows — nothing to resume
+            state["m"] = int(prev["m"].iloc[0])
+            state["words"] = np.zeros(
+                state["m"] // K.BLOOM_WORD, dtype=np.int64
+            )
+            state["words"][prev["word"].to_numpy()] = prev["bits"].to_numpy()
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
@@ -1061,18 +1072,20 @@ def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .drop("bloom_hit")
             )
-            seen = s.read.parquet(index).select(
-                "fp", F.lit(True).alias("__seen")
-            )
-            # confirm step: only bloom-hit candidates consult the index
-            novel = (
-                novel.join(
-                    seen, (novel["fp"] == seen["fp"]) & novel["__candidate"],
-                    "left",
-                )
-                .filter(F.col("__seen").isNull())
-                .select(novel["doc_id"], novel["text"], novel["fp"])
-            )
+            # confirm step: ONLY bloom-hit candidates consult the index.
+            # Split-then-union rather than a conditional left join —
+            # a `(key-match AND left-only-flag)` join condition cannot
+            # prune the index side, so the earlier form scanned AND
+            # shuffled the whole index against every batch row, which
+            # is exactly the cost the probe exists to avoid. With the
+            # split, the anti-join's stream side is the (tiny, FP-rate-
+            # bounded) candidate set: AQE broadcasts it and the index
+            # scan never shuffles; definite non-members bypass the
+            # index read entirely.
+            cand = novel.filter(F.col("__candidate")).drop("__candidate")
+            miss = novel.filter(~F.col("__candidate")).drop("__candidate")
+            seen = s.read.parquet(index).select("fp")
+            novel = miss.unionByName(cand.join(seen, "fp", "left_anti"))
         elif os.path.exists(index):
             seen = s.read.parquet(index).select("fp")
             novel = novel.join(seen, "fp", "left_anti")
