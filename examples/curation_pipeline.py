@@ -4,6 +4,8 @@ The LLM-pipeline counterpart to ``end_to_end.py``: the full document
 curation flow a 100 TB pre-training run needs, built from the engine's
 oracle-gated operators and run as a handful of fused Catalyst plans:
 
+0. pre-flight     — column profile, source-overlap matrix, PSI drift,
+                    robust length outliers: is this corpus fit to curate?
 1. signal pass    — quality score, language ID, repetition signals
                     (one projection chain, no shuffle)
 2. filter pass    — drop low-quality / boilerplate / off-language docs
@@ -42,6 +44,28 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     spark = get_spark("tkes-curation")
     spark.sparkContext.setLogLevel("ERROR")
     docs = read_table(spark, sf_dir, "documents")
+
+    # 0 — pre-flight audits, BEFORE any curation decision:
+    #     null explosions / cardinality collapses per column,
+    from twitter_kafka_etl_spark.operators.relational import profile_table
+
+    profile_table(
+        docs, columns=("doc_id", "text", "lang", "source", "n_chars")
+    ).show()
+    #     re-crawled source pairs (mixing them double-counts content),
+    overlap = D.source_overlap(docs).filter(F.col("jaccard") >= 0.5)
+    print(f"pre-flight: {overlap.count()} source pairs share >=50% shingles")
+    #     corpus-shape drift between the two acquisition cohorts,
+    cohort = F.when(
+        F.expr("CAST(substring(source, 4) AS INT)") < 10, "base"
+    ).otherwise("cand")
+    psi = C.psi_drift(docs, cohort).agg(F.sum("psi_term")).first()[0]
+    print(f"pre-flight: cohort PSI = {psi:.4f} (<0.1 stable, >0.25 shifted)")
+    #     and length anomalies no mean/stddev screen survives
+    n_out = (
+        C.robust_outliers(docs).filter(F.col("is_outlier")).count()
+    )
+    print(f"pre-flight: {n_out} robust length outliers (median/MAD)")
 
     # 1 — doc-level signals (parallel branches, joined on doc_id)
     signals = (
@@ -106,6 +130,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     deduped = uniq.join(keep, "doc_id")
     print(f"dedup pass: {uniq.count()} unique -> {deduped.count()} cluster keepers")
 
+    # 3a — the asymmetric screen Jaccard misses: small docs embedded
+    #      verbatim in big ones (quotes, boilerplate inclusion)
+    quotes = D.containment_pairs(deduped, threshold=0.8).filter(
+        F.col("jaccard") < 0.2
+    )
+    print(f"containment pass: {quotes.count()} quote-inclusion pairs flagged")
+
     # 3b — embedding-space curation (the semantic layer textual dedup
     #      can't see): SemDeDup near-dup pruning inside IVF cells, then
     #      prototypicality pruning against each cell's mean
@@ -125,13 +156,19 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("dsir selection: top sources in the selected set:")
     selected.groupBy("source").count().orderBy(F.desc("count")).show(5)
 
-    # 4 — splits + a balanced eval sample
+    # 4 — splits + a balanced eval sample + a review queue where longer
+    #     docs are proportionally likelier (A-ES weighted sampling —
+    #     deterministic, so the queue survives retries and re-runs)
     assigned = C.split_assign(deduped, "doc_id")
     eval_sample = C.stratified_sample(
         assigned.filter(F.col("split") == "val"), ["lang"], 5, "doc_id"
     )
     print("eval sample per lang:")
     eval_sample.groupBy("lang").count().orderBy("lang").show()
+    review = C.weighted_sample(
+        deduped.withColumn("n_chars", F.length("text")), "n_chars", k=2
+    )
+    print(f"review queue: {review.count()} docs (2 per source, length-weighted)")
 
     # 5 — mix the sources at configured rates (the training-mix recipe),
     #     then pack into 512-token sequences per source
@@ -152,7 +189,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         "bucket"
     ).show()
 
-    # 6 — what a curator reviews before launching the run
+    # 6 — what a curator reviews before launching the run, including
+    #     the acquisition stopping-rule signal: what fraction of the
+    #     corpus's shingles were novel when first crawled
+    nov = D.shingle_novelty(docs).agg(
+        (F.sum("n_novel") / F.sum("n_sh")).alias("novel_frac")
+    ).first()
+    print(f"novelty: {nov.novel_frac:.3f} of shingle mass was first-seen")
     rollup = (
         train.groupBy("source")
         .agg(
