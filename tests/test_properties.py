@@ -675,3 +675,93 @@ def test_bpe_pair_counts_match_brute_force(spark, docs):
         for i in range(len(tok) - 1)
     )
     assert got == dict(want)
+
+
+def test_containment_collapse_exact_is_identity(spark, sf_dir):
+    """The collapse-expand rewrite must be invisible for containment
+    exactly as for Jaccard: on a corpus with 3 byte-identical copies of
+    every text plus zero-shingle rows, collapsed and naive plans return
+    identical (pair, common, containment, jaccard) sets."""
+    from twitter_kafka_etl_spark.io import read_table
+    from twitter_kafka_etl_spark.operators.dedup import containment_pairs
+
+    base = read_table(spark, sf_dir, "documents").limit(60)
+    corpus = (
+        base.select("doc_id", "text")
+        .union(base.selectExpr("doc_id + 100000 AS doc_id", "text"))
+        .union(base.selectExpr("doc_id + 200000 AS doc_id", "text"))
+        .union(
+            spark.createDataFrame(
+                [(900001, "too short"), (900002, "too short")],
+                ["doc_id", "text"],
+            )
+        )
+    )
+    key = lambda r: (r.doc_a, r.doc_b, r.common, r.containment, r.jaccard)
+    naive = {
+        key(r)
+        for r in containment_pairs(corpus, collapse_exact=False).collect()
+    }
+    fast = {
+        key(r)
+        for r in containment_pairs(corpus, collapse_exact=True).collect()
+    }
+    assert fast == naive
+    assert len(fast) >= 3 * 60  # within-group 1.0 pairs present
+
+
+def test_pair_metrics_shared_shingles_compose_with_collapse(spark, sf_dir):
+    """Passing a precomputed shingle table must not change results OR
+    bypass the collapse (the r5 bypass ran the pair join on the
+    duplicated corpus — d^2 the work; results stayed right, the plan
+    went quadratic-in-duplication). Identity is asserted here; the
+    plan-side guarantee is that the collapse branch consumes the shared
+    table via the representative semi-join."""
+    from twitter_kafka_etl_spark.io import read_table
+    from twitter_kafka_etl_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+        shingle,
+    )
+
+    base = read_table(spark, sf_dir, "documents").limit(40)
+    corpus = base.select("doc_id", "text").union(
+        base.selectExpr("doc_id + 100000 AS doc_id", "text")
+    )
+    sh = shingle(corpus).persist()
+    jac_solo = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(corpus, collapse_exact=True).collect()
+    }
+    jac_shared = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            corpus, collapse_exact=True, shingled=sh
+        ).collect()
+    }
+    assert jac_shared == jac_solo
+    con_solo = {
+        (r.doc_a, r.doc_b, r.common, r.containment)
+        for r in containment_pairs(corpus, collapse_exact=True).collect()
+    }
+    con_shared = {
+        (r.doc_a, r.doc_b, r.common, r.containment)
+        for r in containment_pairs(
+            corpus, collapse_exact=True, shingled=sh
+        ).collect()
+    }
+    assert con_shared == con_solo
+    sh.unpersist()
+
+
+def test_containment_bounds_jaccard(spark, sf_dir):
+    """max-containment >= jaccard for EVERY candidate pair (|A∩B|/min
+    dominates |A∩B|/|A∪B|), so a containment threshold can only widen
+    the Jaccard screen, never narrow it."""
+    from twitter_kafka_etl_spark.io import read_table
+    from twitter_kafka_etl_spark.operators.dedup import containment_pairs
+
+    docs = read_table(spark, sf_dir, "documents").limit(150)
+    rows = containment_pairs(docs, threshold=0.0).collect()
+    assert rows, "expected candidate pairs in the corpus"
+    assert all(r.containment >= r.jaccard for r in rows)
