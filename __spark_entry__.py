@@ -49,6 +49,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "x81_shingle_novelty",
         "x82_robust_outliers",
         "qs14_stream_novelty",
+        "x83_bigram_nll",
     }
 )
 

@@ -1210,3 +1210,28 @@ def test_robust_outliers_resist_giant_doc(spark):
     got = {r.doc_id: r for r in C.robust_outliers(df, group_cols=("source",)).collect()}
     assert got[99].is_outlier and got[99].med == 101 and got[99].mad == 1
     assert sum(r.is_outlier for r in got.values()) == 1
+
+
+def test_bigram_nll_zero_for_deterministic_transitions(spark):
+    # "x y x y x y": every transition is certain (P(y|x)=P(x|y)=1),
+    # so conditional bigram NLL is exactly 0 — while the unigram model
+    # scores the same doc ln(2) per token. The separation IS the point:
+    # transition structure, not word frequency.
+    df = spark.createDataFrame(
+        [(1, "x y x y x y")], "doc_id long, text string"
+    )
+    row = T.bigram_nll(df).collect()[0]
+    assert row.n_bigrams == 5 and row.avg_neg_logp == 0.0
+    uni = T.unigram_nll(df).collect()[0]
+    assert uni.avg_neg_logp > 0.6  # ~ln 2
+    # scrambled transitions over the same unigram profile score high
+    df2 = spark.createDataFrame(
+        [(1, "a a b b"), (2, "a b a b")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.avg_neg_logp for r in T.bigram_nll(df2).collect()}
+    # doc1 mixes (a,a)/(a,b)/(b,b); doc2 repeats (a,b)/(b,a): both see
+    # the corpus counts, doc with rarer transitions scores higher
+    assert got[1] > 0.0
+    # sub-2-token docs have no bigrams and are absent
+    df3 = spark.createDataFrame([(9, "solo")], "doc_id long, text string")
+    assert T.bigram_nll(df3).count() == 0

@@ -100,7 +100,7 @@ def test_q12_whole_stage_codegen(spark, sf_dir):
         "x74_charset_profile", "x75_lsh_bucket_histogram",
         "x76_weighted_sample", "x77_containment_pairs",
         "x78_source_overlap", "x79_psi_drift", "x80_table_profile",
-        "x81_shingle_novelty", "x82_robust_outliers",
+        "x81_shingle_novelty", "x82_robust_outliers", "x83_bigram_nll",
     ],
 )
 def test_no_python_udf_in_jvm_paths(spark, sf_dir, name):

@@ -906,3 +906,84 @@ def charset_profile(
             avg6("__o").alias("avg_other"),
         )
     )
+
+
+def bigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Conditional bigram LM scoring: average -ln P(w2|w1) per document
+    with P(w2|w1) = c(w1 w2) / c(w1 ·) over the corpus itself — one
+    order up from ``unigram_nll``, so word-salad that fools a unigram
+    model (right words, impossible transitions) scores high here. The
+    CCNet/KenLM filter family's plumbing (Wenzek et al. 2020) with the
+    model order that still needs no smoothing: self-scoring means every
+    scored bigram exists in the counts, so P > 0 always.
+
+    Determinism: identical discipline to ``unigram_nll`` — ln() once
+    per distinct BIGRAM (both engines see the same rational c2/c1),
+    quantized to scaled BIGINT, per-doc reduction an exact integer sum
+    under any partitioning.
+
+    Scale: one explode at tokens-1 rows/doc, a bigram-vocab groupBy
+    (vocab ≪ corpus), a prefix re-aggregation of the vocab table
+    (vocab-sized, not corpus-sized), one join back, one partial-agg
+    shuffle on the id. Docs with fewer than 2 tokens have no bigrams
+    and are absent from the output — the same contract as the oracle's
+    inner join.
+    """
+    toked = df.withColumn("__toks", tokenize(text_col))
+    idx = F.sequence(F.lit(0), F.size("__toks") - 2)
+    # guard: sequence(0, negative) is DESCENDING (bogus indices) — an
+    # under-2-token doc must yield an empty array, like the oracle's
+    # empty range()
+    grams = F.when(
+        F.size("__toks") >= 2,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("__toks", (i + 1).cast("int")),
+                F.element_at("__toks", (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = toked.select(F.col(id_col), F.explode(grams).alias("bg"))
+    c2 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    # prefix totals by re-aggregating the VOCAB table: c(w1 ·) is the
+    # sum of c2 over the prefix, so no second corpus pass
+    c1 = (
+        c2.withColumn("w1", F.substring_index("bg", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    lp = (
+        c2.withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(c1, "w1")
+        .select(
+            "bg",
+            F.round(
+                F.log(F.col("c2").cast("double") / F.col("c1")) * F.lit(1e6),
+                0,
+            )
+            .cast("bigint")
+            .alias("lp"),
+        )
+    )
+    d = big.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        d.join(lp, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("lp")).alias("s"),
+        )
+        .select(
+            id_col,
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.round(
+                -F.col("s").cast("double") / 1e6 / F.col("n_bigrams"), 6
+            ).alias("avg_neg_logp"),
+        )
+    )

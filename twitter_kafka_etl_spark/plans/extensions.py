@@ -3407,3 +3407,45 @@ def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.robust_outliers(_docs(spark, sf_dir)).select(
         "doc_id", "source", "n_chars", "med", "mad", "is_outlier"
     )
+
+
+@_register(
+    "x83_bigram_nll",
+    "conditional bigram LM scoring: average -ln P(w2|w1) per doc with "
+    "P = c(w1 w2)/c(w1 .) over the corpus — one order above x70, so "
+    "word-salad with impossible transitions scores high even when its "
+    "unigram profile looks fluent; ln() once per distinct bigram, "
+    "quantized to scaled BIGINT for order-free exact per-doc sums",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM toks
+    ),
+    c2 AS (SELECT bg, COUNT(*) AS c2 FROM b GROUP BY bg),
+    c1 AS (
+      SELECT split_part(bg, ' ', 1) AS w1, SUM(c2) AS c1
+      FROM c2 GROUP BY 1
+    ),
+    lp AS (
+      SELECT bg,
+             CAST(round(ln(CAST(c2 AS DOUBLE) / c1) * 1e6, 0) AS BIGINT)
+               AS lp
+      FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1
+    ),
+    d AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+    w AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+             CAST(SUM(cnt * lp) AS BIGINT) AS s
+      FROM d JOIN lp USING (bg) GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams,
+           round(-CAST(s AS DOUBLE) / 1e6 / n_bigrams, 6) AS avg_neg_logp
+    FROM w
+    """,
+    tags=("text", "extension"),
+)
+def x83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.bigram_nll(_docs(spark, sf_dir))
