@@ -92,6 +92,29 @@ def _staged_input(
         _order_files(in_dir)
         with open(marker, "w") as fh:
             fh.write(key)
+    # reap run dirs whose owning process is gone: each run leaves a
+    # sink + checkpoint behind (tens of MB), and a long-lived machine
+    # accumulates them without bound. A dead PID cannot be using its
+    # dir, so this is race-free; live PIDs (concurrent test/bench
+    # processes) are never touched.
+    try:
+        for d in os.listdir(root):
+            if not d.startswith("run_"):
+                continue
+            try:
+                pid = int(d[4:])
+            except ValueError:
+                continue
+            if pid == os.getpid():
+                continue
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            except PermissionError:
+                pass  # live process owned by someone else — leave it
+    except OSError:
+        pass
     run = os.path.join(root, f"run_{os.getpid()}")
     shutil.rmtree(run, ignore_errors=True)
     os.makedirs(run, exist_ok=True)
