@@ -950,17 +950,18 @@ def bigram_nll(
         ),
     ).otherwise(F.array().cast("array<string>"))
     big = toked.select(F.col(id_col), F.explode(grams).alias("bg"))
-    c2 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    # the w1 prefix rule is derived in exactly ONE place per engine
+    # (here, and the oracle's c2 CTE) — it is the join key between the
+    # bigram vocab and its prefix totals, so a divergent copy would
+    # silently mis-pair the two tables
+    c2 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2")).withColumn(
+        "w1", F.substring_index("bg", " ", 1)
+    )
     # prefix totals by re-aggregating the VOCAB table: c(w1 ·) is the
     # sum of c2 over the prefix, so no second corpus pass
-    c1 = (
-        c2.withColumn("w1", F.substring_index("bg", " ", 1))
-        .groupBy("w1")
-        .agg(F.sum("c2").alias("c1"))
-    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     lp = (
-        c2.withColumn("w1", F.substring_index("bg", " ", 1))
-        .join(c1, "w1")
+        c2.join(c1, "w1")
         .select(
             "bg",
             F.round(

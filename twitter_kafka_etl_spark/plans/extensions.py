@@ -3424,16 +3424,16 @@ def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    i -> t[i] || ' ' || t[i+1])) AS bg
       FROM toks
     ),
-    c2 AS (SELECT bg, COUNT(*) AS c2 FROM b GROUP BY bg),
-    c1 AS (
-      SELECT split_part(bg, ' ', 1) AS w1, SUM(c2) AS c1
-      FROM c2 GROUP BY 1
+    c2 AS (
+      SELECT bg, split_part(bg, ' ', 1) AS w1, COUNT(*) AS c2
+      FROM b GROUP BY bg
     ),
+    c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
     lp AS (
       SELECT bg,
              CAST(round(ln(CAST(c2 AS DOUBLE) / c1) * 1e6, 0) AS BIGINT)
                AS lp
-      FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1
+      FROM c2 JOIN c1 USING (w1)
     ),
     d AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
     w AS (

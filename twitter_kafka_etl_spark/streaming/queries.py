@@ -92,33 +92,55 @@ def _staged_input(
         _order_files(in_dir)
         with open(marker, "w") as fh:
             fh.write(key)
-    # reap run dirs whose owning process is gone: each run leaves a
-    # sink + checkpoint behind (tens of MB), and a long-lived machine
-    # accumulates them without bound. A dead PID cannot be using its
-    # dir, so this is race-free; live PIDs (concurrent test/bench
-    # processes) are never touched.
-    try:
-        for d in os.listdir(root):
-            if not d.startswith("run_"):
-                continue
-            try:
-                pid = int(d[4:])
-            except ValueError:
-                continue
-            if pid == os.getpid():
-                continue
-            try:
-                os.kill(pid, 0)
-            except ProcessLookupError:
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-            except PermissionError:
-                pass  # live process owned by someone else — leave it
-    except OSError:
-        pass
+    _reap_stale_runs()
     run = os.path.join(root, f"run_{os.getpid()}")
     shutil.rmtree(run, ignore_errors=True)
     os.makedirs(run, exist_ok=True)
     return in_dir, run
+
+
+#: a harness run (sink + checkpoint) lives minutes; anything this old
+#: is abandoned. Age-based, NOT pid-liveness-based: on a Spark-heavy
+#: box the pid space wraps within minutes (hundreds of JVM threads
+#: share it, and kill(pid, 0) also matches non-leader tids), so a
+#: liveness probe can both delete a live recycled-pid run and skip a
+#: stale dir forever. mtime cannot be recycled.
+_RUN_DIR_TTL_S = 3 * 3600
+
+
+def _reap_stale_runs() -> None:
+    """Remove abandoned ``run_*`` dirs across ALL ``tkes_stream_*``
+    staging roots — each leaves tens of MB of sink + checkpoint behind,
+    and sweeping only the root being staged would let every retired
+    query tag / scale factor accumulate forever. The run dir's mtime is
+    set at creation and by its direct children (sink, checkpoint dirs,
+    all created in the first seconds), so an mtime older than the TTL
+    means the owning run started hours ago — far past any harness
+    run's lifetime. Own-PID dirs are skipped outright."""
+    import time
+
+    now = time.time()
+    tmp = tempfile.gettempdir()
+    own = f"run_{os.getpid()}"
+    try:
+        roots = [d for d in os.listdir(tmp) if d.startswith("tkes_stream_")]
+    except OSError:
+        return
+    for r in roots:
+        rp = os.path.join(tmp, r)
+        try:
+            runs = os.listdir(rp)
+        except OSError:
+            continue
+        for d in runs:
+            if not d.startswith("run_") or d == own:
+                continue
+            p = os.path.join(rp, d)
+            try:
+                if now - os.path.getmtime(p) > _RUN_DIR_TTL_S:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
 
 
 def _stage(spark: SparkSession, sf_dir: str, tag: str, n_files: int = 4) -> tuple[str, str]:
