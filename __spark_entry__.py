@@ -50,6 +50,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "x82_robust_outliers",
         "qs14_stream_novelty",
         "x83_bigram_nll",
+        "x84_dedup_threshold_curve",
     }
 )
 

@@ -1235,3 +1235,22 @@ def test_bigram_nll_zero_for_deterministic_transitions(spark):
     # sub-2-token docs have no bigrams and are absent
     df3 = spark.createDataFrame([(9, "solo")], "doc_id long, text string")
     assert T.bigram_nll(df3).count() == 0
+
+
+def test_dedup_threshold_curve_monotone_and_exact(spark):
+    t1 = " ".join(f"w{i}" for i in range(12))        # 10 shingles
+    t2 = " ".join(f"w{i}" for i in range(12)) + " z" # 11 sh, j=10/11
+    t3 = " ".join(f"u{i}" for i in range(12))        # disjoint
+    df = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t3)], "doc_id long, text string"
+    )
+    rows = {r.threshold: r for r in D.dedup_threshold_curve(df).collect()}
+    assert len(rows) == 9  # full spine, even where nothing fires
+    # one pair (1,2) with j = 10/11 ~ 0.909 -> bucket 9: fires at every t
+    for t in (0.1, 0.5, 0.9):
+        assert rows[t].n_pairs == 1 and rows[t].est_docs_removed == 1
+    # monotone non-increasing in t by construction
+    ts = sorted(rows)
+    assert all(
+        rows[a].n_pairs >= rows[b].n_pairs for a, b in zip(ts, ts[1:])
+    )

@@ -1415,3 +1415,86 @@ def shingle_novelty(
         .otherwise(F.lit(0.0))
         .alias("novelty"),
     )
+
+
+def dedup_threshold_curve(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    base_threshold: float = 0.1,
+    df_cap: int | None = JACCARD_DF_CAP,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """Operating curve for the near-dup threshold decision: for every
+    candidate threshold t in 0.1 … 0.9, how many pairs fire and how
+    many documents the keep-min-id policy would remove — computed from
+    ONE pair materialization at ``base_threshold``, not nine pair
+    joins. This is the audit a curator reads before committing a dedup
+    threshold (the x59 precision/recall eval scores ONE configured
+    point; this shows the whole curve).
+
+    The per-threshold reduction is histogram-cumulative, never a
+    re-scan: each pair lands in bucket floor(10·j); each doc_b keeps
+    its MAX bucket (a doc is removed at t iff some pair ≥ t names it
+    as the greater id — so distinct-doc counts become additive over
+    the max-bucket histogram); the ≤10-row histograms then join a
+    9-row threshold spine on b ≥ t. Everything after the pair join
+    is bounded by 10 rows regardless of corpus size.
+
+    ``est_docs_removed`` is the standard quick estimate (greater id of
+    each firing pair), not the connected-components answer — transitive
+    clusters can keep fewer docs; the estimate is exact when clusters
+    are pairs and an upper bound otherwise... strictly it counts docs
+    that lose at least one pairwise contest, which components-based
+    keeper selection also always removes, so it is a LOWER bound on
+    removal under min-id clustering.
+    """
+    pairs = ngram_jaccard_pairs(
+        df,
+        n=n,
+        threshold=base_threshold,
+        text_col=text_col,
+        id_col=id_col,
+        df_cap=df_cap,
+        shingled=shingled,
+    )
+    from pyspark import StorageLevel
+
+    # feeds the pair histogram AND the per-doc max pass
+    pb = pairs.withColumn(
+        "b", F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("int")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ph = pb.groupBy("b").agg(F.count(F.lit(1)).alias("np"))
+    dh = (
+        pb.groupBy("doc_b")
+        .agg(F.max("b").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    hist = (
+        ph.join(dh, "b", "full")
+        .select(
+            "b",
+            F.coalesce("np", F.lit(0)).alias("np"),
+            F.coalesce("nd", F.lit(0)).alias("nd"),
+        )
+    )
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("t")
+    )
+    return (
+        spine.join(hist, hist.b >= spine.t, "left")
+        .groupBy("t")
+        .agg(
+            F.coalesce(F.sum("np"), F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce(F.sum("nd"), F.lit(0))
+            .cast("bigint")
+            .alias("est_docs_removed"),
+        )
+        .select(
+            F.round(F.col("t").cast("double") / 10, 1).alias("threshold"),
+            "n_pairs",
+            "est_docs_removed",
+        )
+    )

@@ -3449,3 +3449,68 @@ def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x83(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bigram_nll(_docs(spark, sf_dir))
+
+
+@_register(
+    "x84_dedup_threshold_curve",
+    "operating curve for the near-dup threshold decision: pairs fired "
+    "and docs removed (keep-min-id estimate) at every threshold 0.1-0.9 "
+    "from ONE pair materialization — per-pair bucket floor(10j) and "
+    "per-doc max-bucket make the distinct-doc counts additive, so "
+    "everything after the pair join is a <=10-row histogram against a "
+    "9-row spine",
+    f"""
+    WITH {_SHINGLE_CTE},
+    shh0 AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sh_h
+      FROM sh
+    ),
+    shh AS (
+      SELECT doc_id, sh_h FROM shh0
+      QUALIFY COUNT(*) OVER (PARTITION BY sh_h) <= {D.JACCARD_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM shh a JOIN shh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT doc_a, doc_b,
+             common / (sa.n_sh + sb.n_sh - common) AS j
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.1
+    ),
+    pb AS (
+      SELECT doc_a, doc_b,
+             LEAST(CAST(floor(j * 10) AS INT), 9) AS b
+      FROM pr
+    ),
+    ph AS (SELECT b, COUNT(*) AS np FROM pb GROUP BY b),
+    dh AS (
+      SELECT b, COUNT(*) AS nd
+      FROM (SELECT doc_b, MAX(b) AS b FROM pb GROUP BY doc_b)
+      GROUP BY b
+    ),
+    h AS (
+      SELECT COALESCE(ph.b, dh.b) AS b, COALESCE(np, 0) AS np,
+             COALESCE(nd, 0) AS nd
+      FROM ph FULL JOIN dh ON ph.b = dh.b
+    ),
+    spine AS (SELECT CAST(i AS INT) AS t FROM range(1, 10) r(i))
+    SELECT round(CAST(t AS DOUBLE) / 10, 1) AS threshold,
+           CAST(COALESCE(SUM(np), 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(nd), 0) AS BIGINT) AS est_docs_removed
+    FROM spine LEFT JOIN h ON h.b >= spine.t
+    GROUP BY t
+    """,
+    tags=("dedup", "extension"),
+)
+def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return D.dedup_threshold_curve(
+        docs, shingled=D.corpus_shingles_cached(docs)
+    )
