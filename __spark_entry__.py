@@ -51,6 +51,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "qs14_stream_novelty",
         "x83_bigram_nll",
         "x84_dedup_threshold_curve",
+        "qs15_stream_heavy_hitters",
     }
 )
 

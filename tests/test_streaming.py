@@ -522,3 +522,58 @@ def test_qs14_novelty_monotone_and_matches_first_occurrence(spark, sf_dir):
         .count()
     )
     assert sum(r.n_novel for r in rows) == total
+
+
+def test_qs15_merged_sketch_equals_whole_build_and_exact_output(spark, sf_dir):
+    """The accumulated per-batch count-min cells must merge into
+    EXACTLY the whole-corpus sketch (cell-wise additivity is the
+    streaming-state claim), and the confirmed output must equal the
+    plain groupBy+HAVING."""
+    from twitter_kafka_etl_spark.io import read_table
+    from twitter_kafka_etl_spark.operators import sketches as K
+    from twitter_kafka_etl_spark.plans import REGISTRY
+    from twitter_kafka_etl_spark.plans.extensions import _HH_T
+
+    got = {
+        (r.user_id, r.counts)
+        for r in REGISTRY["qs15_stream_heavy_hitters"]
+        .build(spark, sf_dir)
+        .collect()
+    }
+    ev = read_table(spark, sf_dir, "events")
+    want = {
+        (r.user_id, r.counts)
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("counts"))
+        .filter(F.col("counts") >= _HH_T)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # cell-level identity: the monitor's summed cells == one-shot build
+    import glob
+    import tempfile
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    cells_dirs = glob.glob(
+        os.path.join(
+            tempfile.gettempdir(),
+            f"tkes_stream_qs15_{sf_name}",
+            f"run_{os.getpid()}",
+            "cells",
+        )
+    )
+    assert cells_dirs
+    merged = {
+        (r.depth, r.cell, r.counts)
+        for r in spark.read.parquet(cells_dirs[0])
+        .groupBy("depth", "cell")
+        .agg(F.sum("counts").alias("counts"))
+        .collect()
+    }
+    whole = {
+        (r.depth, r.cell, r.counts)
+        for r in K.count_min_build(
+            ev.select("user_id"), "user_id"
+        ).collect()
+    }
+    assert merged == whole

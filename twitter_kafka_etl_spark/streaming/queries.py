@@ -1376,3 +1376,89 @@ def qs14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(stats).select("batch", "n_sh", "n_novel")
+
+
+# ---------------------------------------------------------------------------
+# QS15 — streaming heavy hitters: cross-batch count-min merge + exact confirm
+# ---------------------------------------------------------------------------
+def _register_qs15() -> None:
+    from twitter_kafka_etl_spark.plans.extensions import _HH_T
+
+    @_register(
+        "qs15_stream_heavy_hitters",
+        "streaming heavy hitters via cross-batch sketch state: each "
+        "micro-batch folds its count-min sketch cells into an "
+        "accumulated monitor table (CM is cell-wise additive, so the "
+        "merged sketch IS the whole-corpus build — the approximate twin "
+        "of qs12/qs14's exact index history, at O(width*depth) state "
+        "per batch instead of per-key), and the serve-time pass "
+        "estimates candidates from the merged sketch then exact-counts "
+        "only them against the landed raw layer — CM never "
+        "underestimates, so no true heavy hitter is pruned and the "
+        "output is bitwise the full groupBy+HAVING the oracle runs",
+        f"""
+        SELECT user_id, COUNT(*) AS counts
+        FROM events GROUP BY user_id HAVING COUNT(*) >= {_HH_T}
+        """,
+        tags=("streaming", "sketch"),
+    )
+    def qs15(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from twitter_kafka_etl_spark.operators import sketches as K
+        from twitter_kafka_etl_spark.streaming.sinks import foreach_batch_fanout
+
+        ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+
+        def write(in_dir: str) -> None:
+            n = 4
+            mx = ev.agg(F.max("event_id")).first()[0] or 0
+            width = mx // n + 1
+            (
+                ev.withColumn(
+                    "__f", F.floor(F.col("event_id") / width).cast("int")
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .partitionBy("__f")
+                .parquet(in_dir)
+            )
+
+        in_dir, work = _staged_input(sf_dir, "qs15", "idrange4", write)
+        cells = os.path.join(work, "cells")
+        raw = os.path.join(work, "raw")
+
+        def fold(batch_df: DataFrame, batch_id: int) -> None:
+            # land the raw batch AND its sketch cells; the monitor table
+            # grows by <= width*depth rows per batch, never per key
+            batch_df.write.mode("append").parquet(raw)
+            K.count_min_build(batch_df, "user_id").write.mode(
+                "append"
+            ).parquet(cells)
+
+        stream = _read_stream(spark, in_dir, ev)
+        q = foreach_batch_fanout(
+            stream, [fold], checkpoint=os.path.join(work, "ckpt")
+        )
+        q.awaitTermination()
+        # serve time: merge = cell-wise sum (CM additivity), candidates
+        # from the merged sketch, exact confirm against the landed raw
+        merged = (
+            spark.read.parquet(cells)
+            .groupBy("depth", "cell")
+            .agg(F.sum("counts").alias("counts"))
+        )
+        landed = spark.read.parquet(raw)
+        keys = landed.select("user_id").distinct()
+        cands = (
+            K.count_min_estimate(merged, keys, "user_id")
+            .filter(F.col("est_count") >= _HH_T)
+            .select("user_id")
+        )
+        return (
+            landed.join(F.broadcast(cands), "user_id", "left_semi")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("counts"))
+            .filter(F.col("counts") >= _HH_T)
+        )
+
+
+_register_qs15()
