@@ -765,3 +765,65 @@ def test_containment_bounds_jaccard(spark, sf_dir):
     rows = containment_pairs(docs, threshold=0.0).collect()
     assert rows, "expected candidate pairs in the corpus"
     assert all(r.containment >= r.jaccard for r in rows)
+
+
+def test_collapse_df_cap_uses_full_corpus_df(spark):
+    """Round-5 advice (dedup.py:649): with collapse-exact active, the
+    df_cap hot-shingle exclusion must be computed on FULL-CORPUS
+    document frequency, not representative df. Construct the exact
+    divergence corpus: a shingle whose corpus df (8) exceeds the cap
+    (3) while its representative df (2) does not. The collapsed plan
+    must be bitwise identical to the naive capped join — including
+    within-group pairs, which score the post-cap intersection (1/3
+    here), never a blanket 1.0."""
+    from twitter_kafka_etl_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    t1 = "alpha beta gamma delta"   # shingles: {alpha beta gamma, beta gamma delta}
+    t2 = "alpha beta gamma epsilon"  # shares "alpha beta gamma" with t1
+    rows = [(i, t1) for i in range(1, 6)] + [(i, t2) for i in range(6, 9)]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def run(op, **kw):
+        return sorted(
+            tuple(
+                round(v, 9) if isinstance(v, float) else v for v in r
+            )
+            for r in op(
+                corpus, n=3, threshold=0.2, df_cap=3, **kw
+            ).collect()
+        )
+
+    jac_naive = run(ngram_jaccard_pairs, collapse_exact=False)
+    jac_fast = run(ngram_jaccard_pairs, collapse_exact=True)
+    assert jac_fast == jac_naive
+    # the shared shingle is capped out: no cross-text pair survives,
+    # and within-group pairs score 1/(2*2-1) = 1/3, not 1.0
+    assert jac_naive, "expected within-group pairs"
+    assert all(abs(j - 1 / 3) < 1e-9 for (_, _, j) in jac_naive)
+    assert not any(a <= 5 < b for (a, b, _) in jac_naive)
+
+    con_naive = run(containment_pairs, collapse_exact=False)
+    con_fast = run(containment_pairs, collapse_exact=True)
+    assert con_fast == con_naive
+    # containment within-group = eff/nsh = 1/2 under the cap
+    assert all(c == 1 and abs(cont - 0.5) < 1e-9
+               for (_, _, c, cont, _) in con_naive)
+
+
+def test_collapse_df_cap_all_hot_group_emits_no_pairs(spark):
+    """A duplicate group whose every shingle is df-capped out shares
+    nothing in the capped join — the naive plan materializes no pair
+    for it, so the collapsed plan must not either (eff = 0 exclusion)."""
+    from twitter_kafka_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    t = "one two three four"
+    corpus = spark.createDataFrame(
+        [(i, t) for i in range(1, 10)], ["doc_id", "text"]
+    )
+    kw = dict(n=3, threshold=0.0, df_cap=3)
+    naive = ngram_jaccard_pairs(corpus, collapse_exact=False, **kw).collect()
+    fast = ngram_jaccard_pairs(corpus, collapse_exact=True, **kw).collect()
+    assert naive == [] and fast == []

@@ -550,6 +550,7 @@ def _pair_stats_core(
     df_cap: int | None,
     persist: bool = True,
     shingled: DataFrame | None = None,
+    hot_set: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate-pair statistics (doc_a, doc_b, common, n_a, n_b) from
     the inverted-index shingle join — the shared core every set-overlap
@@ -558,7 +559,14 @@ def _pair_stats_core(
     ``shingled``: optional precomputed ``shingle(df)`` long table
     (e.g. the memoized ``corpus_shingles`` working set) — must be the
     shingles OF ``df`` with the same ``n``/``text_col``/``id_col``;
-    the caller owns that contract."""
+    the caller owns that contract.
+
+    ``hot_set``: optional precomputed single-column (``sh_h``) exclusion
+    set replacing the internal per-``df`` document-frequency cap — the
+    collapse-exact rewrite passes the FULL-CORPUS-weighted hot set here
+    so the cap regime is identical whether or not the corpus was
+    collapsed to representatives first (a cap computed on representative
+    df would keep shingles the uncollapsed join drops)."""
     # join on the 60-bit shingle hash, not the string: 8-byte shuffle
     # keys; both engines hash identically so any collision is shared
     base = (
@@ -578,7 +586,9 @@ def _pair_stats_core(
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sh_uncapped = sh
-    if df_cap is not None:
+    if hot_set is not None:
+        sh = sh.join(hot_set, "sh_h", "left_anti")
+    elif df_cap is not None:
         # the hot set is tiny (few distinct stopword shingles), so the
         # anti-join broadcasts; cost is one partial-agg pass over sh
         hot = (
@@ -632,11 +642,13 @@ def _jaccard_pairs_core(
     df_cap: int | None,
     persist: bool = True,
     shingled: DataFrame | None = None,
+    hot_set: DataFrame | None = None,
 ) -> DataFrame:
     """The inverted-index Jaccard join: ``_pair_stats_core`` with the
     symmetric-resemblance projection and threshold filter."""
     stats = _pair_stats_core(
-        df, n, text_col, id_col, df_cap, persist=persist, shingled=shingled
+        df, n, text_col, id_col, df_cap, persist=persist, shingled=shingled,
+        hot_set=hot_set,
     )
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
     return (
@@ -671,17 +683,22 @@ def containment_pairs(
     8-byte hash join keys, the same auto-probed collapse-exact rewrite
     on duplicate-heavy corpora (containment is a pure function of
     (|A∩B|, |A|, |B|), so it expands across identical-text members
-    exactly like Jaccard; within-group pairs score 1.0 with
-    |A∩B| = the group's shingle count). At 100 TB the candidate set IS
+    exactly like Jaccard; within-group pairs score from the group's
+    post-cap shingle intersection — 1.0 exactly when none of the
+    group's shingles are df-capped out, the naive capped join's answer
+    otherwise, see ``_collapse_expand_pairs``). At 100 TB the candidate set IS
     the Jaccard join's candidate set; only the final projection
     differs, so scale behavior is identical. Output: (doc_a, doc_b,
     common, containment, jaccard) — jaccard carried so consumers can
     see exactly which pairs only containment finds.
     """
 
-    def core(d: DataFrame, sh: DataFrame | None) -> DataFrame:
+    def core(
+        d: DataFrame, sh: DataFrame | None, hot: DataFrame | None = None
+    ) -> DataFrame:
         stats = _pair_stats_core(
-            d, n, text_col, id_col, df_cap, persist=True, shingled=sh
+            d, n, text_col, id_col, df_cap, persist=True, shingled=sh,
+            hot_set=hot,
         )
         cont = F.greatest(
             F.col("common") / F.col("n_a"), F.col("common") / F.col("n_b")
@@ -707,12 +724,13 @@ def containment_pairs(
         shingled,
         rep_pairs_fn=core,
         value_cols=("common", "containment", "jaccard"),
-        within_values=lambda nsh: [
-            nsh.cast("bigint").alias("common"),
-            F.lit(1.0).alias("containment"),
-            F.lit(1.0).alias("jaccard"),
+        within_values=lambda eff, nsh: [
+            eff.alias("common"),
+            (eff / nsh).alias("containment"),
+            (eff / (nsh + nsh - eff)).alias("jaccard"),
         ],
-        include_within=1.0 >= threshold,
+        within_filter=lambda eff, nsh: (eff / nsh) >= F.lit(threshold),
+        df_cap=df_cap,
     )
 
 
@@ -837,8 +855,12 @@ def ngram_jaccard_pairs(
     byte-identical texts are collapsed to one representative before the
     shingle join, and result pairs expand back to all members via two
     equi-joins (identical texts ⇒ identical shingle sets ⇒ identical
-    jaccard; within-group pairs are exactly 1.0, excluded for
-    zero-shingle texts, which the naive join also never pairs). The
+    jaccard; within-group pairs score the naive capped join's value —
+    exactly 1.0 unless a df_cap removes some of the group's shingles —
+    and zero-shingle texts are excluded, which the naive join also
+    never pairs; the df_cap hot set is computed on full-corpus df via
+    group-size weighting so both regimes agree, see
+    ``_collapse_expand_pairs``). The
     shingle self-join then runs on distinct texts only: a corpus with
     duplication factor d does 1/d² of the join work (measured 10× at a
     10-fold-replicated sf1). Output is bitwise identical either way.
@@ -871,13 +893,17 @@ def ngram_jaccard_pairs(
         id_col,
         persist,
         shingled,
-        rep_pairs_fn=lambda rep_docs, rep_shingled: _jaccard_pairs_core(
+        rep_pairs_fn=lambda rep_docs, rep_shingled, hot: _jaccard_pairs_core(
             rep_docs, n, threshold, text_col, id_col, df_cap, persist,
-            shingled=rep_shingled,
+            shingled=rep_shingled, hot_set=hot,
         ),
         value_cols=("jaccard",),
-        within_values=lambda nsh: [F.lit(1.0).alias("jaccard")],
-        include_within=1.0 >= threshold,
+        within_values=lambda eff, nsh: [
+            (eff / (nsh + nsh - eff)).alias("jaccard")
+        ],
+        within_filter=lambda eff, nsh: (eff / (nsh + nsh - eff))
+        >= F.lit(threshold),
+        df_cap=df_cap,
     )
 
 
@@ -891,7 +917,8 @@ def _collapse_expand_pairs(
     rep_pairs_fn,
     value_cols: tuple[str, ...],
     within_values,
-    include_within: bool,
+    within_filter,
+    df_cap: int | None,
 ) -> DataFrame:
     """Collapse-to-representatives / expand-to-members rewrite shared by
     the shingle-set pair metrics (Jaccard, containment).
@@ -900,15 +927,29 @@ def _collapse_expand_pairs(
     function of (|A∩B|, |A|, |B|) is constant across member pairs of
     the same representative pair — the pair join runs on distinct texts
     only (1/d² the work at duplication factor d) and results expand
-    back via two fp equi-joins. ``rep_pairs_fn(rep_docs, rep_shingled)``
-    computes (doc_a, doc_b, *value_cols) on representatives;
-    ``within_values(nsh_col)`` builds the constant value columns for
-    identical-text pairs (|A∩B| = |A| = |B| = the group's shingle
-    count); ``include_within`` states whether those pairs clear the
-    metric's threshold (identical texts score 1.0 on both metrics, so
-    the caller resolves it against its threshold driver-side).
-    Zero-shingle groups are excluded from within-pairs — the naive join
-    never pairs them either (they share nothing)."""
+    back via two fp equi-joins.
+
+    ``df_cap`` regime parity: the hot-shingle exclusion set is computed
+    on FULL-CORPUS document frequency — each representative's shingle
+    occurrences weighted by its group size (identical texts have
+    identical shingle sets, so corpus df of a shingle is exactly the
+    sum of the group sizes that contain it) — never on representative
+    df. A rep-df cap would diverge from the uncollapsed join on any
+    corpus where duplication pushes a shingle's corpus df over the cap
+    while its rep df stays under (round-5 advice, dedup.py:649): the
+    rewrite must stay semantics-preserving in BOTH regimes so engine
+    and oracle agree whichever path ``_auto_collapse`` picks.
+
+    ``rep_pairs_fn(rep_docs, rep_shingled, hot_set)`` computes
+    (doc_a, doc_b, *value_cols) on representatives under that shared
+    exclusion set. ``within_values(eff, nsh)`` builds the value columns
+    for identical-text pairs from the group's shingle count ``nsh`` and
+    its post-cap effective intersection ``eff = nsh - |hot shingles|``
+    (the naive capped join scores identical docs common=eff with exact
+    sizes, NOT 1.0); ``within_filter(eff, nsh)`` is the metric's
+    threshold test over those columns. Groups whose shingles are all
+    hot (eff = 0) are excluded — the naive capped join materializes no
+    pair for them; zero-shingle groups likewise."""
     members = df.select(
         F.col(id_col).alias("m_id"), F.md5(F.col(text_col)).alias("fp")
     )
@@ -926,15 +967,46 @@ def _collapse_expand_pairs(
         rep_docs = rep_docs.persist(StorageLevel.MEMORY_AND_DISK)
     # restrict a shared full-corpus shingle table to the reps: one
     # semi-join against the persisted table beats re-running the
-    # interpreted HOF gram build even over 1/d of the docs
-    rep_shingled = (
-        shingled.join(
+    # interpreted HOF gram build even over 1/d of the docs. With a
+    # df_cap in play the rep shingle table is needed up-front (hot-set
+    # weighting + within-group hot counts), so build it here rather
+    # than inside the pair core.
+    if shingled is not None:
+        rep_shingled = shingled.join(
             reps.select(F.col("rep_id").alias(id_col)), id_col, "left_semi"
         )
-        if shingled is not None
-        else None
-    )
-    rep_pairs = rep_pairs_fn(rep_docs, rep_shingled)
+    elif df_cap is not None:
+        rep_shingled = shingle(rep_docs, n=n, text_col=text_col, id_col=id_col)
+        if persist:
+            from pyspark import StorageLevel
+
+            # feeds the weighted hot-set agg, the within-group counts
+            # AND the pair core — one HOF gram build, three consumers
+            rep_shingled = rep_shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        rep_shingled = None
+    hot = None
+    if df_cap is not None:
+        # full-corpus df = Σ group sizes over groups containing the
+        # shingle (rep shingle sets are distinct per doc). The hot set
+        # is tiny (stopword shingles) and feeds two consumers.
+        gcnt = members.groupBy("fp").agg(F.count(F.lit(1)).alias("__g"))
+        hot = (
+            rep_shingled.select(
+                F.col(id_col), token_hash60(F.col("shingle")).alias("sh_h")
+            )
+            .join(reps.select(F.col("rep_id").alias(id_col), "fp"), id_col)
+            .join(gcnt, "fp")
+            .groupBy("sh_h")
+            .agg(F.sum("__g").alias("__df"))
+            .filter(F.col("__df") > df_cap)
+            .select("sh_h")
+        )
+        if persist:
+            from pyspark import StorageLevel
+
+            hot = hot.persist(StorageLevel.MEMORY_AND_DISK)
+    rep_pairs = rep_pairs_fn(rep_docs, rep_shingled, hot)
     # attach the two groups' fingerprints, then fan out to members
     fp_of = reps.select(F.col("rep_id"), F.col("fp"))
     cross = (
@@ -954,27 +1026,42 @@ def _collapse_expand_pairs(
             *[F.col(c) for c in value_cols],
         )
     )
-    if not include_within:
-        return cross
-    # within-group pairs: identical texts — constant metric values,
-    # group shingle count from the reps (excluding zero-shingle groups)
+    # within-group pairs: identical texts — per-group values from the
+    # group's shingle count and (under a df_cap) its hot-shingle count
     if rep_shingled is not None:
         # count the persisted shingle rows (shingle() emits distinct
         # grams, so count == |set|; zero-shingle reps have no rows —
         # the >0 exclusion is implicit) instead of re-running the
         # interpreted HOF gram build over every representative
+        marked = rep_shingled.select(
+            F.col(id_col), token_hash60(F.col("shingle")).alias("sh_h")
+        )
+        if hot is not None:
+            marked = marked.join(
+                hot.select("sh_h", F.lit(1).alias("__ish")), "sh_h", "left"
+            )
+        else:
+            marked = marked.withColumn("__ish", F.lit(None).cast("int"))
         gsz = (
-            rep_shingled.groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("__nsh"))
+            marked.groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("__nsh"),
+                F.sum(F.coalesce(F.col("__ish"), F.lit(0))).alias("__nhot"),
+            )
             .join(reps.select(F.col("rep_id").alias(id_col), "fp"), id_col)
-            .select(F.col("fp").alias("__wfp"), "__nsh")
+            .select(F.col("fp").alias("__wfp"), "__nsh", "__nhot")
         )
     else:
         toked, grams = _gram_array(rep_docs, n, text_col)
         gsz = toked.select(
             F.col("fp").alias("__wfp"),
-            F.size(F.array_distinct(grams)).alias("__nsh"),
+            F.size(F.array_distinct(grams)).cast("bigint").alias("__nsh"),
+            F.lit(0).cast("bigint").alias("__nhot"),
         ).filter(F.col("__nsh") > 0)
+    # eff = |A∩B| the naive capped join would compute for identical
+    # docs; eff = 0 groups share nothing post-cap → no pair there
+    eff = (F.col("__nsh") - F.col("__nhot")).cast("bigint")
+    nsh = F.col("__nsh").cast("bigint")
     m1, m2 = members.alias("m1"), members.alias("m2")
     within = (
         m1.join(
@@ -983,10 +1070,11 @@ def _collapse_expand_pairs(
             & (F.col("m1.m_id") < F.col("m2.m_id")),
         )
         .join(gsz, F.col("m1.fp") == F.col("__wfp"))
+        .filter((eff > 0) & within_filter(eff, nsh))
         .select(
             F.col("m1.m_id").alias("doc_a"),
             F.col("m2.m_id").alias("doc_b"),
-            *within_values(F.col("__nsh")),
+            *within_values(eff, nsh),
         )
     )
     return cross.unionByName(within)
