@@ -108,15 +108,52 @@ def _staged_input(
 _RUN_DIR_TTL_S = 3 * 3600
 
 
+def _last_activity(path: str, max_stats: int = 512) -> float:
+    """Most recent mtime within the run dir, scanned two levels deep —
+    a LIVE streaming run refreshes these every micro-batch without any
+    explicit heartbeat (new files land in ``ckpt/offsets``/``commits``
+    and the sink's ``_spark_metadata``/partition dirs, bumping their
+    parent dir mtimes), so this measures *idleness* where the top-level
+    mtime alone measured *age*: the run dir itself is touched only at
+    creation, which let the round-5 reaper delete a legitimately
+    long-lived concurrent run (large sf, loaded box, paused debugger)
+    mid-flight. Stat count is capped — abandoned dirs are small, and a
+    live one hits a recent mtime long before the cap."""
+    try:
+        best = os.path.getmtime(path)
+    except OSError:
+        return 0.0
+    stats = 0
+    queue = [(path, 0)]
+    while queue and stats < max_stats:
+        d, depth = queue.pop()
+        try:
+            entries = list(os.scandir(d))
+        except OSError:
+            continue
+        for e in entries:
+            stats += 1
+            if stats > max_stats:
+                break
+            try:
+                best = max(best, e.stat(follow_symlinks=False).st_mtime)
+                if depth < 1 and e.is_dir(follow_symlinks=False):
+                    queue.append((e.path, depth + 1))
+            except OSError:
+                continue
+    return best
+
+
 def _reap_stale_runs() -> None:
     """Remove abandoned ``run_*`` dirs across ALL ``tkes_stream_*``
     staging roots — each leaves tens of MB of sink + checkpoint behind,
     and sweeping only the root being staged would let every retired
-    query tag / scale factor accumulate forever. The run dir's mtime is
-    set at creation and by its direct children (sink, checkpoint dirs,
-    all created in the first seconds), so an mtime older than the TTL
-    means the owning run started hours ago — far past any harness
-    run's lifetime. Own-PID dirs are skipped outright."""
+    query tag / scale factor accumulate forever. Staleness is judged on
+    the dir tree's most recent activity (see ``_last_activity``), not
+    the run dir's creation mtime, so a long-lived concurrent run that
+    is still committing micro-batches is never reaped; a dir whose
+    newest write is hours old is abandoned by any harness's standard.
+    Own-PID dirs are skipped outright."""
     import time
 
     now = time.time()
@@ -137,7 +174,7 @@ def _reap_stale_runs() -> None:
                 continue
             p = os.path.join(rp, d)
             try:
-                if now - os.path.getmtime(p) > _RUN_DIR_TTL_S:
+                if now - _last_activity(p) > _RUN_DIR_TTL_S:
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:
                 continue
@@ -1073,7 +1110,30 @@ def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
+        # Replay safety (round-5 advice, queries.py:1073): the index and
+        # corpus writes land OUTSIDE the streaming checkpoint
+        # transaction, so a crash between the index append and the
+        # checkpoint commit replays this batch against an index that
+        # already holds its own fingerprints — a plain append would then
+        # anti-join everything away and drop the rows from the corpus
+        # forever. Idempotence instead of transactionality: each batch
+        # OVERWRITES its own hive partition (__b=<batch_id>) of both
+        # tables, and the novelty anti-join reads the index EXCLUDING
+        # the own-batch partition (partition-pruned, so the exclusion is
+        # free). A replayed batch recomputes the same novel set from the
+        # same availableNow file slice and rewrites the same two
+        # partitions — exactly-once table contents under at-least-once
+        # batch delivery, the same idempotent-sink contract Structured
+        # Streaming's own file sink implements via its metadata log.
         s = batch_df.sparkSession
+
+        def seen_fps() -> DataFrame:
+            return (
+                s.read.parquet(index)
+                .filter(F.col("__b") != batch_id)
+                .select("fp")
+            )
+
         fp = batch_df.withColumn("fp", F.md5("text"))
         w = Window.partitionBy("fp").orderBy("doc_id")
         novel = (
@@ -1096,7 +1156,7 @@ def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
                 state["m"] // K.BLOOM_WORD, dtype=np.int64
             )
             boot = K.bloom_build(
-                s.read.parquet(index).select("fp"), "fp", m=state["m"]
+                seen_fps(), "fp", m=state["m"]
             ).toPandas()
             state["words"][boot["word"].to_numpy()] |= boot["bits"].to_numpy()
         if use_bloom:
@@ -1129,11 +1189,11 @@ def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
             # index read entirely.
             cand = novel.filter(F.col("__candidate")).drop("__candidate")
             miss = novel.filter(~F.col("__candidate")).drop("__candidate")
-            seen = s.read.parquet(index).select("fp")
-            novel = miss.unionByName(cand.join(seen, "fp", "left_anti"))
+            novel = miss.unionByName(
+                cand.join(seen_fps(), "fp", "left_anti")
+            )
         elif os.path.exists(index):
-            seen = s.read.parquet(index).select("fp")
-            novel = novel.join(seen, "fp", "left_anti")
+            novel = novel.join(seen_fps(), "fp", "left_anti")
         # localCheckpoint, NOT persist: the novel set feeds two appends
         # (plus the bloom roll-forward past the crossover), and the
         # appends' plans would re-list the index parquet — which the
@@ -1144,9 +1204,11 @@ def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (observed: index complete, corpus stuck at batch 0). The
         # checkpoint cuts lineage, freezing the rows before any write.
         novel = novel.localCheckpoint(eager=True)
-        novel.select("doc_id", "fp").write.mode("append").parquet(index)
-        novel.select("doc_id", "text", "fp").write.mode("append").parquet(
-            corpus
+        novel.select("doc_id", "fp").write.mode("overwrite").parquet(
+            os.path.join(index, f"__b={batch_id}")
+        )
+        novel.select("doc_id", "text", "fp").write.mode("overwrite").parquet(
+            os.path.join(corpus, f"__b={batch_id}")
         )
         if state["words"] is not None:
             # roll the bitmap forward: OR this batch's novel prints in
@@ -1346,9 +1408,17 @@ def qs14(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-list reason as qs12 (the append extends the file source
         # the plan would re-list)
         sh = sh.localCheckpoint(eager=True)
+        # own-batch partition excluded from the novelty read + per-batch
+        # overwrite partitions below: idempotent under replay, same
+        # reasoning as qs12's ingest (round-5 advice — the appends land
+        # outside the checkpoint transaction)
         if os.path.exists(index):
             novel = sh.join(
-                s.read.parquet(index).select("sh_h"), "sh_h", "left_anti"
+                s.read.parquet(index)
+                .filter(F.col("__b") != batch_id)
+                .select("sh_h"),
+                "sh_h",
+                "left_anti",
             )
         else:
             novel = sh
@@ -1367,8 +1437,12 @@ def qs14(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("__nv", F.lit(0)).cast("bigint").alias("n_novel"),
             )
         )
-        row.write.mode("append").parquet(stats)
-        novel.select("sh_h").write.mode("append").parquet(index)
+        row.write.mode("overwrite").parquet(
+            os.path.join(stats, f"__b={batch_id}")
+        )
+        novel.select("sh_h").write.mode("overwrite").parquet(
+            os.path.join(index, f"__b={batch_id}")
+        )
 
     stream = _read_stream(spark, in_dir, docs)
     q = foreach_batch_fanout(
