@@ -32,28 +32,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return topic_aggregates(enriched)
 
 
-# Queries added in round 5 that the driver has never verified — always
+# Queries added in round 6 that the driver has never verified — always
 # emitted first so the 50-slot window covers them.
-_NEW_THIS_ROUND: frozenset[str] = frozenset(
-    {
-        "x72_lsh_sensitivity_curve",
-        "x73_edit_distance_verify",
-        "x74_charset_profile",
-        "x75_lsh_bucket_histogram",
-        "x76_weighted_sample",
-        "x77_containment_pairs",
-        "x78_source_overlap",
-        "x79_psi_drift",
-        "qs13_stream_drift_monitor",
-        "x80_table_profile",
-        "x81_shingle_novelty",
-        "x82_robust_outliers",
-        "qs14_stream_novelty",
-        "x83_bigram_nll",
-        "x84_dedup_threshold_curve",
-        "qs15_stream_heavy_hitters",
-    }
-)
+_NEW_THIS_ROUND: frozenset[str] = frozenset()
 
 
 def _rank(name: str) -> int:
@@ -62,32 +43,41 @@ def _rank(name: str) -> int:
     The driver file caps at exactly 50 entries in emission order.
     Verification history: r1 = q01-q37 + x01-x13; r2 = q01-q22 +
     x14-x35 + qs1-6; r3 = q23-q37 + x01-x13 + x36-x48 + qs1-9;
-    r4 = qs1-12 + x14-x26 + x45 + x48-x71 (50/50 green).
+    r4 = qs1-12 + x14-x26 + x45 + x48-x71; r5 = qs13-15 + x72-x84 +
+    q01-q25 + x27-x35 (50/50 green each).
 
-    Round 5 fronts the stalest blocks — q01-q22 and x27-x35, last
-    driver-verified in r2, two rounds ago — after any brand-new
-    queries, then fills remaining slots from the r3-verified blocks
-    (q23-q37, x01-x13, ...). The freshly-r4-verified set goes last.
+    Round 6 fronts the stalest blocks — q26-q37, x01-x13, x36-x44 and
+    x46-x47, last driver-verified in r3, three rounds ago — after any
+    brand-new queries, then fills remaining slots from the
+    r4-verified set (qs1-12, x14-x26, x45, x48-x71; low x-numbers
+    first via the name sort). The freshly-r5-verified set goes last.
     """
     if name in _NEW_THIS_ROUND:
         return 0
     if (
         name.startswith("q")
+        and not name.startswith("qs")
         and name[1:3].isdigit()  # guard: a q-name outside the qNN scheme
-        and int(name[1:3]) <= 22  # must fall through, not raise
+        and int(name[1:3]) >= 26  # must fall through, not raise
     ):
-        return 1  # q01-q22 — last green r2
-    if name.startswith("x") and name[1:3].isdigit() and 27 <= int(name[1:3]) <= 35:
-        return 2  # x27-x35 — last green r2
-    if name.startswith("q") and not name.startswith("qs"):
-        return 3  # q23-q37 — last green r3
+        return 1  # q26-q37 — last green r3
     if name.startswith("x") and name[1:3].isdigit() and (
         int(name[1:3]) <= 13 or 36 <= int(name[1:3]) <= 47
     ):
         if name in ("x45_embedding_quantize",):
-            return 5  # re-verified r4
-        return 4  # x01-x13, x36-x44, x46-x47 — last green r3
-    return 5  # qs1-12, x14-x26, x45, x48-x71 — green r4
+            return 3  # re-verified r4
+        return 2  # x01-x13, x36-x44, x46-x47 — last green r3
+    if (
+        name.startswith("qs")
+        and name[2:4].strip("_").isdigit()
+        and int(name[2:4].strip("_")) <= 12
+    ):
+        return 3  # qs1-12 — green r4
+    if name.startswith("x") and name[1:3].isdigit() and (
+        14 <= int(name[1:3]) <= 26 or 48 <= int(name[1:3]) <= 71
+    ):
+        return 3  # x14-x26, x48-x71 — green r4
+    return 4  # q01-q25, x27-x35, x72-x84, qs13-15 — green r5
 
 
 def _ordered() -> list[str]:
