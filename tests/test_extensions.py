@@ -1254,3 +1254,88 @@ def test_dedup_threshold_curve_monotone_and_exact(spark):
     assert all(
         rows[a].n_pairs >= rows[b].n_pairs for a, b in zip(ts, ts[1:])
     )
+
+
+def test_segment_dedup_stats_exact(spark):
+    a = " ".join(f"w{i}" for i in range(16))            # 2 segments
+    shared = " ".join(f"w{i}" for i in range(8))        # = a's 1st segment
+    b = shared + " " + " ".join(f"u{i}" for i in range(8))
+    short = "too short"                                  # <8 tokens: absent
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, short)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in D.segment_dedup_stats(df).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_segments == 2 and rows[1].n_dup_segments == 1
+    assert rows[2].n_segments == 2 and rows[2].n_dup_segments == 1
+    assert abs(rows[1].dup_fraction - 0.5) < 1e-9
+    # within-doc repeats count as duplicated too
+    df2 = spark.createDataFrame([(1, a + " " + a)], "doc_id long, text string")
+    r = D.segment_dedup_stats(df2).collect()[0]
+    assert r.n_segments == 4 and r.n_dup_segments == 4
+
+
+def test_mixture_temperature_math(spark):
+    df = spark.createDataFrame(
+        [(i, "t " * 9 + "t", "big") for i in range(9)]
+        + [(100, "t " * 9 + "t", "small")],
+        "doc_id long, text string, source string",
+    )
+    from twitter_kafka_etl_spark.operators import curation as C
+
+    rows = {r.source: r for r in C.mixture_temperature(df).collect()}
+    assert rows["big"].n_tokens == 90 and rows["small"].n_tokens == 10
+    w_big, w_small = 0.9 ** 0.7, 0.1 ** 0.7
+    assert abs(rows["big"].temp_weight - w_big / (w_big + w_small)) < 1e-5
+    assert abs(
+        rows["big"].temp_weight + rows["small"].temp_weight - 1.0
+    ) < 2e-6
+    # temperature flattens: the small source is upsampled, the big one down
+    assert rows["small"].boost > 1.0 > rows["big"].boost
+
+
+def test_source_token_kl_zero_iff_same_distribution(spark):
+    same = [(i, "a b c", f"s{i % 2}") for i in range(10)]
+    df = spark.createDataFrame(same, "doc_id long, text string, source string")
+    rows = {r.source: r for r in T.source_token_kl(df).collect()}
+    assert all(abs(r.kl_nats) < 1e-9 for r in rows.values())
+    skew = spark.createDataFrame(
+        [(1, "a a a a", "p"), (2, "a b c d", "q")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in T.source_token_kl(skew).collect()}
+    assert rows["p"].kl_nats > 0 and rows["q"].kl_nats > 0
+    assert rows["p"].n_types == 1 and rows["q"].n_types == 4
+
+
+def test_pmi_top_bigrams_planted_collocation(spark):
+    # "foo bar" always together; filler tokens never co-occur twice
+    docs = [(i, "foo bar " + f"f{i} g{i}") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = T.pmi_top_bigrams(df, min_count=5, k=10).collect()
+    assert rows, "expected at least the planted collocation"
+    assert all(r.c_ab >= 5 for r in rows)
+    assert rows[0].bigram == "foo bar"
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_cluster_size_profile_exact_and_total(spark):
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "doc_id long, component_id long",
+    )
+    rows = {r.cluster_size: r for r in D.cluster_size_profile(comp).collect()}
+    assert rows[3].n_clusters == 1 and rows[3].docs_removed == 2
+    assert rows[2].n_clusters == 1 and rows[2].docs_removed == 1
+    assert rows[1].n_clusters == 1 and rows[1].docs_removed == 0
+    assert sum(r.n_docs for r in rows.values()) == 6
+
+
+def test_corpus_components_memoized_across_consumers(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents", rebalance=True)
+    first = D.corpus_components(docs)
+    again = D.corpus_components(
+        read_table(spark, sf_dir, "documents", rebalance=True)
+    )
+    assert again is first  # same persisted working set, not a rebuild

@@ -101,7 +101,9 @@ def test_q12_whole_stage_codegen(spark, sf_dir):
         "x76_weighted_sample", "x77_containment_pairs",
         "x78_source_overlap", "x79_psi_drift", "x80_table_profile",
         "x81_shingle_novelty", "x82_robust_outliers", "x83_bigram_nll",
-        "x84_dedup_threshold_curve",
+        "x84_dedup_threshold_curve", "x85_segment_dedup",
+        "x86_mixture_temperature", "x87_source_divergence",
+        "x88_pmi_bigrams", "x89_cluster_size_profile",
     ],
 )
 def test_no_python_udf_in_jvm_paths(spark, sf_dir, name):

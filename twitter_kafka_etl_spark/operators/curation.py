@@ -746,3 +746,104 @@ def robust_outliers(
         .withColumn("is_outlier", F.col("__ad") > k * F.col("mad"))
         .drop("__ad")
     )
+
+
+def mixture_temperature(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled mixture weights per source: w_i ∝ share_i^α
+    with share_i the source's fraction of corpus tokens — the standard
+    multinomial up/down-sampling rule (α=0.7 in GPT-3's and mT5's data
+    mixes; α=1 keeps natural proportions, α→0 approaches uniform) a
+    pipeline computes before writing its sampling plan. Output per
+    source: ``(source, n_docs, n_tokens, raw_share, temp_weight,
+    boost)`` where ``boost`` = temp_weight / raw_share is the effective
+    epoch multiplier each source sees (>1 = upsampled).
+
+    Determinism: the per-source token counts are exact integers from
+    one partial-agg pass; shares are single int64/int64 divisions;
+    pow() is evaluated once per source and immediately quantized to a
+    scaled BIGINT (1e12) so the normalizing sum — the only
+    order-sensitive reduction — is an exact integer sum, identical
+    under any partitioning and engine (the x70/x83 discipline applied
+    to a |sources|-row table).
+
+    Scale: one tokenize+agg pass over the corpus; everything after is
+    |sources| rows against two 1-row aggregates — driver-safe at any
+    corpus size (source cardinality is bounded by the catalog, not the
+    data).
+    """
+    from twitter_kafka_etl_spark.operators.text import tokenize
+
+    from pyspark import StorageLevel
+
+    # |sources| rows, but its lineage is the corpus scan — pin it so
+    # the total and the weight projection don't each re-scan
+    per = (
+        df.select(group_col, F.size(tokenize(text_col)).alias("__n"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("n_tokens"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return temperature_weights(per, group_col=group_col, alpha=alpha)
+
+
+def temperature_weights(
+    counts: DataFrame,
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+    by: tuple[str, ...] = (),
+    alpha: float = 0.7,
+) -> DataFrame:
+    """The temperature math itself, over a precomputed counts table —
+    the single site of the share^α → quantize → exact-sum → normalize
+    rule (same single-site discipline as the bigram prefix rule), so
+    the batch audit (x86) and the streaming monitor (qs16) can never
+    disagree on what a temperature weight is.
+
+    ``counts``: one row per (*by, group) with ``tokens_col`` (plus any
+    carry-through columns, all preserved); normalization runs WITHIN
+    each ``by`` group (qs16 passes ``by=("batch",)`` to get a weight
+    table per micro-batch horizon). Caller persists ``counts`` if its
+    lineage is expensive — this helper only adds group-bounded
+    aggregates and joins on top."""
+    keys = list(by)
+    tot = (
+        counts.groupBy(*keys).agg(F.sum(tokens_col).alias("__tot"))
+        if keys
+        else counts.agg(F.sum(tokens_col).alias("__tot"))
+    )
+    joined = counts.join(tot, keys) if keys else counts.crossJoin(tot)
+    share = F.col(tokens_col).cast("double") / F.col("__tot")
+    p = joined.withColumns(
+        {
+            "__share": share,
+            "__pwq": F.round(F.pow(share, F.lit(alpha)) * F.lit(1e12), 0)
+            .cast("bigint"),
+        }
+    ).drop("__tot")
+    den = p.groupBy(*keys).agg(F.sum("__pwq").alias("__den")) if keys else p.agg(
+        F.sum("__pwq").alias("__den")
+    )
+    p2 = p.join(den, keys) if keys else p.crossJoin(den)
+    w = F.col("__pwq").cast("double") / F.col("__den")
+    carry = [
+        c
+        for c in counts.columns
+        if c not in keys and c != group_col and c != tokens_col
+    ]
+    return p2.select(
+        *keys,
+        F.col(group_col),
+        *[F.col(c).cast("bigint").alias(c) for c in carry],
+        F.col(tokens_col).cast("bigint").alias(tokens_col),
+        F.round("__share", 6).alias("raw_share"),
+        F.round(w, 6).alias("temp_weight"),
+        F.round(w / F.col("__share"), 6).alias("boost"),
+    )

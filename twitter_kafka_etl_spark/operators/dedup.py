@@ -1586,3 +1586,155 @@ def dedup_threshold_curve(
             "est_docs_removed",
         )
     )
+
+
+def segment_dedup_stats(
+    df: DataFrame,
+    width: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-level duplication audit: split each document into
+    consecutive non-overlapping ``width``-token segments and report,
+    per document, how many of its segments occur more than once in the
+    corpus — ``(id, n_segments, n_dup_segments, dup_fraction)``. This
+    is the screen for boilerplate stitching and template reuse that
+    whole-document dedup misses (two distinct pages sharing a licence
+    header or nav block) and near-dup thresholds under-weight — the
+    practical approximation of exact substring dedup (Lee et al. 2022
+    used suffix arrays; fixed windows are its shuffle-friendly stand-in
+    at a coarser granularity).
+
+    A segment instance counts as duplicated when its corpus-wide
+    occurrence count is >= 2 — within-document repeats included, since
+    a training pipeline removes those for the same memorization reason.
+    Documents shorter than ``width`` tokens have no full segment and
+    are absent from the output (the oracle's inner-join contract, like
+    ``bigram_nll``); the trailing partial window is dropped.
+
+    Scale: one narrow tokenize→transform→explode pass at ~tokens/width
+    rows per doc (8x FEWER exploded rows than the shingle join's
+    per-token fan-out), segments carried as 60-bit md5 hashes (8-byte
+    shuffle keys, identical in DuckDB), one vocab-sized groupBy for the
+    occurrence counts, one broadcast-or-shuffle join back, one
+    partial-agg shuffle on the id. No self-join anywhere — the count
+    table is segment-vocabulary-bounded, so there is no hot-key
+    quadratic risk to cap.
+    """
+    from twitter_kafka_etl_spark.operators.text import tokenize
+
+    toked = df.withColumn("__toks", tokenize(text_col))
+    nseg = F.floor(F.size("__toks") / width).cast("int")
+    segs = F.when(
+        nseg >= 1,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice("__toks", (i * width + 1).cast("int"), width)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    seg = toked.select(
+        F.col(id_col), F.explode(segs).alias("__seg")
+    ).select(F.col(id_col), token_hash60(F.col("__seg")).alias("seg_h"))
+    # per-(doc, segment) multiplicity first: the join back to the
+    # occurrence counts then runs on distinct (doc, segment) rows, not
+    # raw instances — smaller probe side, same sums. Persisted because
+    # it feeds BOTH the occurrence re-aggregation and the join probe:
+    # without the pin each consumer re-runs the tokenize→transform→
+    # explode corpus pass (the plan showed two FileScans).
+    from pyspark import StorageLevel
+
+    d = (
+        seg.groupBy(id_col, "seg_h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # corpus occurrence counts by re-aggregating the (doc, segment)
+    # table — segment-vocab-sized, never a second corpus scan
+    c = d.groupBy("seg_h").agg(F.sum("cnt").alias("tc"))
+    dup = F.when(F.col("tc") >= 2, F.col("cnt")).otherwise(F.lit(0))
+    return (
+        d.join(c, "seg_h")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_segments"),
+            F.sum(dup).cast("bigint").alias("n_dup_segments"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(
+                F.col("n_dup_segments")
+                / F.col("n_segments").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def corpus_components(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Memoized, persisted near-dup cluster assignment — minhash-LSH
+    pairs over ``corpus_signatures`` fed through
+    ``connected_components`` with singleton attachment, built once per
+    (session, corpus plan). The cluster table is the smallest working
+    set in the family (two int64s per document) and feeds three
+    registered consumers (x25's assignment, x36's keeper selection,
+    x89's size profile), each of which previously re-ran the entire
+    shingle→minhash→band-join→propagation lineage — the suite's most
+    expensive subtree — from scratch."""
+    from twitter_kafka_etl_spark.operators._cache import plan_memo
+
+    def build() -> DataFrame:
+        # persist the pair graph: connected_components executes it at
+        # least twice (edge-count probe + checkpoint/propagation)
+        pairs = minhash_lsh_pairs(
+            corpus_signatures(df, n=n, text_col=text_col, id_col=id_col),
+        ).persist()
+        return connected_components(pairs, nodes=df, id_col=id_col)
+
+    return plan_memo(df, ("components", n, text_col, id_col), build)
+
+
+def cluster_size_profile(
+    components: DataFrame,
+    component_col: str = "component_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate-cluster size distribution: ``(cluster_size,
+    n_clusters, n_docs, docs_removed)`` per distinct size, ascending —
+    the one-page audit a curator reads before committing a dedup pass.
+    The shape answers the questions that drive the threshold decision:
+    a long tail of giant clusters means boilerplate (tighten the
+    threshold or add containment screening), mass concentrated at size
+    2 means genuine near-dups (keep-one removal is safe), and
+    ``docs_removed = Σ (size-1) · n_clusters`` IS the dedup yield loss,
+    exactly — unlike x84's pair-based estimate, this counts transitive
+    clusters the way keeper selection actually removes them.
+
+    Input is any (id, component) assignment (``corpus_components`` /
+    ``connected_components`` output). Two partial-agg shuffles, the
+    second over at most |distinct sizes| ≤ √(2·|docs|) groups; output
+    is histogram-sized, never corpus-sized.
+    """
+    sizes = components.groupBy(component_col).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("docs_removed"),
+        )
+    )

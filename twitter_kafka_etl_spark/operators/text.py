@@ -908,6 +908,32 @@ def charset_profile(
     )
 
 
+def _bigram_rows(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """One (id, bg) row per adjacent token pair — the single site of
+    the bigram construction rule, shared by ``bigram_nll`` and
+    ``pmi_top_bigrams`` so the two can never disagree on what a bigram
+    is (the same single-site discipline as the w1 prefix rule)."""
+    toked = df.withColumn("__toks", tokenize(text_col))
+    idx = F.sequence(F.lit(0), F.size("__toks") - 2)
+    # guard: sequence(0, negative) is DESCENDING (bogus indices) — an
+    # under-2-token doc must yield an empty array, like the oracle's
+    # empty range()
+    grams = F.when(
+        F.size("__toks") >= 2,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("__toks", (i + 1).cast("int")),
+                F.element_at("__toks", (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toked.select(F.col(id_col), F.explode(grams).alias("bg"))
+
+
 def bigram_nll(
     df: DataFrame,
     text_col: str = "text",
@@ -933,23 +959,7 @@ def bigram_nll(
     and are absent from the output — the same contract as the oracle's
     inner join.
     """
-    toked = df.withColumn("__toks", tokenize(text_col))
-    idx = F.sequence(F.lit(0), F.size("__toks") - 2)
-    # guard: sequence(0, negative) is DESCENDING (bogus indices) — an
-    # under-2-token doc must yield an empty array, like the oracle's
-    # empty range()
-    grams = F.when(
-        F.size("__toks") >= 2,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at("__toks", (i + 1).cast("int")),
-                F.element_at("__toks", (i + 2).cast("int")),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    big = toked.select(F.col(id_col), F.explode(grams).alias("bg"))
+    big = _bigram_rows(df, text_col, id_col)
     # the w1 prefix rule is derived in exactly ONE place per engine
     # (here, and the oracle's c2 CTE) — it is the join key between the
     # bigram vocab and its prefix totals, so a divergent copy would
@@ -986,5 +996,164 @@ def bigram_nll(
             F.round(
                 -F.col("s").cast("double") / 1e6 / F.col("n_bigrams"), 6
             ).alias("avg_neg_logp"),
+        )
+    )
+
+
+def pmi_top_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    PMI(w1,w2) = ln( c(w1 w2) · N / (c(w1 ·) · c(· w2)) ) over adjacent
+    token pairs, with a ``min_count`` floor — the classic association
+    screen (Church & Hanks 1990) a corpus audit runs to surface
+    templated phrases and collocational anomalies before training
+    (boilerplate shows up as impossibly-strong associations; a healthy
+    corpus's top PMI list is named entities and idioms).
+
+    The floor matters statistically AND mechanically: rare pairs have
+    unboundedly-high PMI noise, and the floor is what keeps the ranked
+    set vocabulary-bounded after filtering.
+
+    Determinism: PMI is computed once per surviving bigram from four
+    exact integers — the two marginals come from re-aggregating the
+    bigram VOCAB table (no second corpus pass), N from its 1-row sum —
+    as ln of one int64-ratio division, rounded to 6 dp; ordering is
+    (pmi DESC, bigram ASC) so rank-boundary ties resolve identically
+    in both engines. int64 products c·N stay exact below ~3·10^9
+    bigram instances per product pair; past that (a 100 TB corpus)
+    promote the ratio to double-first division — noted, not gated,
+    since the floor keeps c(w1 w2)·N the only product at risk.
+
+    Scale: one explode, one bigram-vocab groupBy, two vocab-sized
+    re-aggregations joined back, and a TakeOrdered top-k heap — never
+    a full sort; nothing after the first groupBy is corpus-sized.
+    """
+    from pyspark import StorageLevel
+
+    big = _bigram_rows(df, text_col, id_col)
+    # the bigram vocab feeds four consumers (N, both marginals, the
+    # floored candidate set): pin it so the corpus explode runs once —
+    # unpersisted, the plan re-scanned the corpus per consumer
+    c2 = (
+        big.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_tot = c2.agg(F.sum("c_ab").alias("__n"))
+    parts = c2.select(
+        "bg",
+        "c_ab",
+        F.substring_index("bg", " ", 1).alias("__w1"),
+        F.substring_index("bg", " ", -1).alias("__w2"),
+    )
+    c1 = parts.groupBy("__w1").agg(F.sum("c_ab").alias("c_a"))
+    cb = parts.groupBy("__w2").agg(F.sum("c_ab").alias("c_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") * F.col("__n")).cast("double")
+            / (F.col("c_a") * F.col("c_b"))
+        ),
+        6,
+    )
+    return (
+        parts.filter(F.col("c_ab") >= min_count)
+        .join(c1, "__w1")
+        .join(cb, "__w2")
+        .crossJoin(n_tot)
+        .select(
+            F.col("bg").alias("bigram"),
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.col("c_a").cast("bigint").alias("c_a"),
+            F.col("c_b").cast("bigint").alias("c_b"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("bigram"))
+        .limit(k)
+    )
+
+
+def source_token_kl(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution:
+    KL(P_src ‖ P_corpus) = Σ_t p_t · ln(p_t / q_t) in nats — the
+    mixture-audit scalar that ranks sources by how far their token
+    distribution sits from the blend they are about to join (CCNet
+    ranks by LM perplexity against a reference; against the corpus
+    itself KL is the model-free equivalent). A boilerplate-heavy or
+    wrong-language source shows up as a high-KL outlier before any
+    model is trained; x79's PSI drifts a single numeric column, this
+    drifts the whole vocabulary.
+
+    No smoothing is needed: each source's tokens are a subset of the
+    corpus's, so q_t > 0 wherever p_t > 0, and absent tokens contribute
+    exactly 0 (lim p→0 of p·ln p/q). Every ratio
+    (c_st·N)/(N_s·c_t) is a ratio of exact int64 products (exact below
+    ~3·10^9 tokens per product; the 100 TB path promotes to
+    double-first division), ln() is evaluated once per (source, token)
+    — a vocab-bounded table — quantized to scaled BIGINT, and the
+    per-source reduction is an exact integer sum, order-free under any
+    partitioning (the x70/x83 determinism discipline).
+
+    Scale: one explode, one (source, token) groupBy (vocab-bounded per
+    source), one token-vocab re-aggregation for q, broadcast-sized
+    joins of the per-source and corpus totals. Output is |sources|
+    rows: (source, n_tokens, n_types, kl_nats).
+    """
+    from pyspark import StorageLevel
+
+    tok = df.select(
+        F.col(group_col), F.explode(tokenize(text_col)).alias("__t")
+    )
+    # the (source, token) table feeds three consumers (per-source
+    # totals, corpus totals, the term join): pin it so the corpus
+    # explode runs once instead of once per consumer
+    cs = (
+        tok.groupBy(group_col, "__t")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ns = cs.groupBy(group_col).agg(
+        F.sum("c_st").alias("n_s"), F.count(F.lit(1)).alias("n_types")
+    )
+    ct = cs.groupBy("__t").agg(F.sum("c_st").alias("c_t"))
+    n_tot = ct.agg(F.sum("c_t").alias("__n"))
+    lnq = (
+        F.round(
+            F.log(
+                (F.col("c_st") * F.col("__n")).cast("double")
+                / (F.col("n_s") * F.col("c_t"))
+            )
+            * F.lit(1e6),
+            0,
+        )
+        .cast("bigint")
+        .alias("__lnq")
+    )
+    terms = (
+        cs.join(ct, "__t")
+        .join(ns.select(group_col, "n_s"), group_col)
+        .crossJoin(n_tot)
+        .select(F.col(group_col), F.col("c_st"), lnq)
+    )
+    return (
+        terms.groupBy(group_col)
+        .agg(F.sum(F.col("c_st") * F.col("__lnq")).alias("__s"))
+        .join(ns, group_col)
+        .select(
+            F.col(group_col),
+            F.col("n_s").cast("bigint").alias("n_tokens"),
+            F.col("n_types").cast("bigint").alias("n_types"),
+            F.round(
+                F.col("__s").cast("double") / 1e6 / F.col("n_s"), 6
+            ).alias("kl_nats"),
         )
     )

@@ -799,9 +799,8 @@ def x24(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "extension"),
 )
 def x25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(D.corpus_signatures(docs))
-    return D.connected_components(pairs, nodes=docs)
+    # memoized: x25/x36/x89 share one pairs→components build per session
+    return D.corpus_components(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -1356,16 +1355,9 @@ def x36(spark: SparkSession, sf_dir: str) -> DataFrame:
     from twitter_kafka_etl_spark.operators import curation as C
 
     docs = _docs(spark, sf_dir)
-    # persist the pair graph: connected_components executes it at least
-    # twice (edge count probe + checkpoint/propagation) and the full
-    # shingle→minhash→LSH subtree upstream is the most expensive lineage
-    # in the suite (top sf1 bench line before this). Same cache-lifetime
-    # contract as x46's signature persist: released by session cache
-    # eviction or session end.
-    pairs = D.minhash_lsh_pairs(
-        D.corpus_signatures(docs)
-    ).persist()
-    comp = D.connected_components(pairs, nodes=docs)
+    # memoized components working set (pair-graph persist + propagation
+    # live inside corpus_components) — shared with x25/x89
+    comp = D.corpus_components(docs)
     scored = T.quality_features(docs).select("doc_id", "quality_score")
     return C.select_keepers(scored, comp)
 
@@ -3513,4 +3505,213 @@ def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return D.dedup_threshold_curve(
         docs, shingled=D.corpus_shingles_cached(docs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x85 — chunk-level duplication audit (substring-dedup stand-in)
+# ---------------------------------------------------------------------------
+@_register(
+    "x85_segment_dedup",
+    "chunk-level duplication audit: non-overlapping 8-token segments "
+    "hashed corpus-wide; per doc, the count and fraction of segments "
+    "occurring >= 2 times anywhere — the boilerplate/template screen "
+    "whole-doc and near-dup passes miss (fixed-window stand-in for "
+    "suffix-array substring dedup); segment-vocab-bounded counts, no "
+    "self-join, 8x fewer exploded rows than the shingle join",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    seg0 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, len(t) // 8),
+                    i -> array_to_string(list_slice(t, i*8 + 1, i*8 + 8), ' ')))
+               AS seg
+      FROM toks WHERE len(t) >= 8
+    ),
+    seg AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(seg), 1, 15) AS BIGINT) AS seg_h
+      FROM seg0
+    ),
+    d AS (SELECT doc_id, seg_h, COUNT(*) AS cnt FROM seg GROUP BY 1, 2),
+    c AS (SELECT seg_h, SUM(cnt) AS tc FROM d GROUP BY seg_h)
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN tc >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+             AS n_dup_segments,
+           round(SUM(CASE WHEN tc >= 2 THEN cnt ELSE 0 END)
+                 / CAST(SUM(cnt) AS DOUBLE), 6) AS dup_fraction
+    FROM d JOIN c USING (seg_h) GROUP BY doc_id
+    """,
+    tags=("dedup", "extension"),
+)
+def x85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.segment_dedup_stats(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x86 — temperature-scaled mixture weights
+# ---------------------------------------------------------------------------
+@_register(
+    "x86_mixture_temperature",
+    "temperature-scaled sampling weights per source (w ~ share^0.7, "
+    "the GPT-3/mT5 multinomial mix rule): per-source token counts -> "
+    "share -> pow quantized to scaled BIGINT so the normalizing sum is "
+    "an exact integer reduction; boost = effective epoch multiplier",
+    """
+    WITH t AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS tot FROM t),
+    p AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(n_tokens AS DOUBLE) / tot AS share,
+             CAST(round(pow(CAST(n_tokens AS DOUBLE) / tot, 0.7) * 1e12, 0)
+                  AS BIGINT) AS pwq
+      FROM t, tot
+    ),
+    s AS (SELECT SUM(pwq) AS den FROM p)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(share, 6) AS raw_share,
+           round(CAST(pwq AS DOUBLE) / den, 6) AS temp_weight,
+           round(CAST(pwq AS DOUBLE) / den / share, 6) AS boost
+    FROM p, s
+    """,
+    tags=("curation", "extension"),
+)
+def x86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.mixture_temperature(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x87 — per-source KL divergence from the corpus unigram distribution
+# ---------------------------------------------------------------------------
+@_register(
+    "x87_source_divergence",
+    "per-source KL(P_src || P_corpus) over unigram token distributions "
+    "in nats — the model-free mixture audit that ranks sources by "
+    "distributional distance before blending (x79 drifts one numeric "
+    "column; this drifts the whole vocabulary); no smoothing needed "
+    "(source tokens are a subset of corpus tokens), ln once per "
+    "(source, token), scaled-BIGINT order-free sums",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    cs AS (SELECT source, t, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+    ns AS (
+      SELECT source, SUM(c_st) AS n_s, COUNT(*) AS n_types
+      FROM cs GROUP BY source
+    ),
+    ct AS (SELECT t, SUM(c_st) AS c_t FROM cs GROUP BY t),
+    n AS (SELECT SUM(c_t) AS n FROM ct),
+    terms AS (
+      SELECT cs.source, cs.c_st,
+             CAST(round(ln(CAST(cs.c_st * n.n AS DOUBLE)
+                           / (ns.n_s * ct.c_t)) * 1e6, 0) AS BIGINT) AS lnq
+      FROM cs JOIN ct USING (t) JOIN ns USING (source) CROSS JOIN n
+    ),
+    agg AS (
+      SELECT source, SUM(c_st * lnq) AS s FROM terms GROUP BY source
+    )
+    SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           round(CAST(s AS DOUBLE) / 1e6 / n_s, 6) AS kl_nats
+    FROM agg JOIN ns USING (source)
+    """,
+    tags=("text", "curation", "extension"),
+)
+def x87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.source_token_kl(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x88 — top-k PMI collocations
+# ---------------------------------------------------------------------------
+@_register(
+    "x88_pmi_bigrams",
+    "top-50 collocations by pointwise mutual information with a "
+    "min-count floor (Church & Hanks): templated phrases surface as "
+    "impossibly strong associations before training; marginals from "
+    "re-aggregating the bigram vocab (no second corpus pass), PMI once "
+    "per surviving bigram from exact int64 counts, TakeOrdered heap "
+    "with (pmi DESC, bigram) tie-break — never a full sort",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM toks
+    ),
+    c2 AS (SELECT bg, COUNT(*) AS c_ab FROM b GROUP BY bg),
+    n AS (SELECT SUM(c_ab) AS n FROM c2),
+    parts AS (
+      SELECT bg, c_ab, split_part(bg, ' ', 1) AS w1,
+             split_part(bg, ' ', 2) AS w2
+      FROM c2
+    ),
+    c1 AS (SELECT w1, SUM(c_ab) AS c_a FROM parts GROUP BY w1),
+    cb AS (SELECT w2, SUM(c_ab) AS c_b FROM parts GROUP BY w2)
+    SELECT bg AS bigram, CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+           round(ln(CAST(c_ab * n.n AS DOUBLE) / (c_a * c_b)), 6) AS pmi
+    FROM parts JOIN c1 USING (w1) JOIN cb USING (w2) CROSS JOIN n
+    WHERE c_ab >= 5
+    ORDER BY pmi DESC, bigram
+    LIMIT 50
+    """,
+    tags=("text", "extension"),
+)
+def x88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.pmi_top_bigrams(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x89 — duplicate-cluster size profile
+# ---------------------------------------------------------------------------
+@_register(
+    "x89_cluster_size_profile",
+    "near-dup cluster size distribution from the memoized components "
+    "working set (minhash-LSH pairs -> connected components, built "
+    "once per session for x25/x36/x89): n_clusters and exact "
+    "docs_removed = (size-1)*n_clusters per size — the transitive "
+    "dedup yield-loss audit x84's pair-based estimate lower-bounds",
+    f"""
+    WITH RECURSIVE {_SIG_CTE},
+    bands AS (
+    {_BAND_BRANCHES}
+    ),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM prs
+      UNION SELECT doc_b, doc_a FROM prs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS component_id
+             FROM reach GROUP BY id),
+    sz AS (SELECT component_id, COUNT(*) AS cluster_size
+           FROM comp GROUP BY component_id)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS docs_removed
+    FROM sz GROUP BY cluster_size
+    """,
+    tags=("dedup", "extension"),
+)
+def x89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.cluster_size_profile(
+        D.corpus_components(_docs(spark, sf_dir))
     )
