@@ -34,7 +34,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Queries added in round 6 that the driver has never verified — always
 # emitted first so the 50-slot window covers them.
-_NEW_THIS_ROUND: frozenset[str] = frozenset()
+_NEW_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        "x85_segment_dedup",
+        "x86_mixture_temperature",
+        "x87_source_divergence",
+        "x88_pmi_bigrams",
+        "x89_cluster_size_profile",
+        "qs16_stream_mixture_monitor",
+    }
+)
 
 
 def _rank(name: str) -> int:

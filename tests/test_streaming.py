@@ -577,3 +577,34 @@ def test_qs15_merged_sketch_equals_whole_build_and_exact_output(spark, sf_dir):
         ).collect()
     }
     assert merged == whole
+
+
+def test_qs16_stream_mixture_matches_batch_and_final_horizon(spark, sf_dir):
+    """The final batch horizon's cumulative weights must equal the
+    whole-corpus x86 mixture exactly (the streaming fold sees every
+    doc once), per-horizon weights must sum to 1, and horizons must be
+    the 4 id-range buckets with monotonically growing token totals."""
+    from twitter_kafka_etl_spark.io import read_table
+    from twitter_kafka_etl_spark.operators import curation as C
+    from twitter_kafka_etl_spark.plans import REGISTRY
+
+    rows = REGISTRY["qs16_stream_mixture_monitor"].build(spark, sf_dir).collect()
+    batches = sorted({r.batch for r in rows})
+    assert batches == [0, 1, 2, 3]
+    for b in batches:
+        assert abs(sum(r.temp_weight for r in rows if r.batch == b) - 1.0) < 1e-4
+    tok_by_batch = [
+        sum(r.cum_tokens for r in rows if r.batch == b) for b in batches
+    ]
+    assert tok_by_batch == sorted(tok_by_batch) and tok_by_batch[0] > 0
+    final = {
+        r.source: (r.cum_docs, r.cum_tokens, r.temp_weight, r.boost)
+        for r in rows
+        if r.batch == batches[-1]
+    }
+    docs = read_table(spark, sf_dir, "documents")
+    batch = {
+        r.source: (r.n_docs, r.n_tokens, r.temp_weight, r.boost)
+        for r in C.mixture_temperature(docs).collect()
+    }
+    assert final == batch

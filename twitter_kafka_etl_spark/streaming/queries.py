@@ -1536,3 +1536,126 @@ def _register_qs15() -> None:
 
 
 _register_qs15()
+
+
+# ---------------------------------------------------------------------------
+# QS16 — streaming mixture monitor: cumulative temperature weights per batch
+# ---------------------------------------------------------------------------
+@_register(
+    "qs16_stream_mixture_monitor",
+    "streaming mixture-plan monitor: each micro-batch folds per-source "
+    "doc/token partial counts into a batch-partitioned monitor table "
+    "(replay-idempotent per-batch overwrite partitions, batch label "
+    "from the data's id-range bucket); serve-time readback computes, "
+    "for every batch horizon, the CUMULATIVE per-source temperature "
+    "weights (share^0.7, the x86 rule via the shared single-site "
+    "helper) — the live view of how the sampling plan converges as a "
+    "crawl lands, so a curator sees source boosts stabilize instead of "
+    "recomputing the mix from scratch per snapshot; oracle form: "
+    "id-range buckets, cumulative sums over bk <= batch, identical "
+    "quantized-pow normalization",
+    """
+    WITH w AS (SELECT MAX(doc_id) // 4 + 1 AS width FROM documents),
+    per AS (
+      SELECT doc_id // w.width AS bk, source,
+             len(string_split(text, ' ')) AS n
+      FROM documents CROSS JOIN w
+    ),
+    agg AS (
+      SELECT bk, source, COUNT(*) AS nd, SUM(n) AS nt
+      FROM per GROUP BY 1, 2
+    ),
+    sp AS (SELECT DISTINCT bk AS batch FROM agg),
+    cum AS (
+      SELECT sp.batch, source, SUM(nd) AS cum_docs, SUM(nt) AS cum_tokens
+      FROM sp JOIN agg ON agg.bk <= sp.batch GROUP BY 1, 2
+    ),
+    tot AS (SELECT batch, SUM(cum_tokens) AS tot FROM cum GROUP BY batch),
+    p AS (
+      SELECT batch, source, cum_docs, cum_tokens,
+             CAST(cum_tokens AS DOUBLE) / tot AS share,
+             CAST(round(pow(CAST(cum_tokens AS DOUBLE) / tot, 0.7) * 1e12,
+                        0) AS BIGINT) AS pwq
+      FROM cum JOIN tot USING (batch)
+    ),
+    den AS (SELECT batch, SUM(pwq) AS den FROM p GROUP BY batch)
+    SELECT CAST(batch AS BIGINT) AS batch, source,
+           CAST(cum_docs AS BIGINT) AS cum_docs,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           round(share, 6) AS raw_share,
+           round(CAST(pwq AS DOUBLE) / den, 6) AS temp_weight,
+           round(CAST(pwq AS DOUBLE) / den / share, 6) AS boost
+    FROM p JOIN den USING (batch)
+    """,
+    tags=("streaming", "curation"),
+)
+def qs16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from twitter_kafka_etl_spark.operators.curation import temperature_weights
+    from twitter_kafka_etl_spark.operators.text import tokenize
+    from twitter_kafka_etl_spark.streaming.sinks import foreach_batch_fanout
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    mx = docs.agg(F.max("doc_id")).first()[0] or 0
+    width = mx // 4 + 1
+
+    def write(in_dir: str) -> None:
+        (
+            docs.withColumn(
+                "__f", F.floor(F.col("doc_id") / width).cast("int")
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("__f")
+            .parquet(in_dir)
+        )
+
+    in_dir, work = _staged_input(sf_dir, "qs16", "idrange4src", write)
+    stats = os.path.join(work, "stats")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        # batch label from the DATA (the id-range bucket every row of
+        # this file shares), not the engine's batch counter — restart-
+        # and replay-proof, like qs14; the per-batch overwrite
+        # partition makes a replayed batch rewrite, not double-count
+        (
+            batch_df.select(
+                (F.col("doc_id") / width).cast("bigint").alias("bk"),
+                F.col("source"),
+                F.size(tokenize("text")).alias("__n"),
+            )
+            .groupBy("bk", "source")
+            .agg(
+                F.count(F.lit(1)).alias("nd"),
+                F.sum("__n").alias("nt"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(stats, f"__b={batch_id}"))
+        )
+
+    stream = _read_stream(spark, in_dir, docs)
+    q = foreach_batch_fanout(
+        stream, [fold], checkpoint=os.path.join(work, "ckpt")
+    )
+    q.awaitTermination()
+    # serve-time cumulative view: batches × sources rows — bounded by
+    # the horizon count, never the corpus. The bk<=batch spine join is
+    # the oracle's cum CTE; the temperature math is the x86 single-site
+    # helper, normalized within each batch horizon.
+    agg = spark.read.parquet(stats).select("bk", "source", "nd", "nt")
+    spine = agg.select(F.col("bk").alias("batch")).distinct()
+    cum = (
+        spine.join(agg, agg.bk <= spine.batch)
+        .groupBy("batch", "source")
+        .agg(
+            F.sum("nd").alias("cum_docs"),
+            F.sum("nt").alias("cum_tokens"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return temperature_weights(
+        cum, group_col="source", tokens_col="cum_tokens", by=("batch",)
+    )
