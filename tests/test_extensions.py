@@ -1339,3 +1339,21 @@ def test_corpus_components_memoized_across_consumers(spark, sf_dir):
         read_table(spark, sf_dir, "documents", rebalance=True)
     )
     assert again is first  # same persisted working set, not a rebuild
+
+
+def test_corpus_components_survives_external_rdd_eviction(spark, sf_dir):
+    """bench.py's per-query hygiene clears the SQL cache AND unpersists
+    every RDD — which kills localCheckpoint-backed frames unrecoverably
+    (truncated lineage). A memo hit on such a dead frame must rebuild,
+    not throw checkpointRDDBlockIdNotFound (r6 bench: x25/x36/x89)."""
+    docs = read_table(spark, sf_dir, "documents", rebalance=True)
+    first = D.corpus_components(docs)
+    n = first.count()
+    # simulate bench._evict
+    spark.catalog.clearCache()
+    for rdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).values():
+        rdd.unpersist(True)
+    again = D.corpus_components(
+        read_table(spark, sf_dir, "documents", rebalance=True)
+    )
+    assert again.count() == n  # rebuilt (or replayed) — never a dead frame

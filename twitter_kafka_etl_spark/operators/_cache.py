@@ -68,14 +68,33 @@ def _plan_key(source: DataFrame, tag: tuple) -> tuple | None:
         return None
 
 
-def _repin(hit: DataFrame) -> DataFrame:
-    """Re-persist a hit whose blocks were evicted externally
-    (``spark.catalog.clearCache()`` — bench.py isolates queries this
-    way): the memo then degrades to exactly the old per-query persist
-    behavior, never worse."""
+def _repin(hit: DataFrame) -> DataFrame | None:
+    """Validate and re-pin a memo hit, or return None if the frame is
+    DEAD and must be rebuilt.
+
+    Two external-eviction cases (bench.py isolates queries with
+    ``clearCache()`` + a blocking unpersist of every RDD):
+    - plain persisted lineage: blocks gone but replayable — re-persist
+      and return it (degrades to the old per-query persist behavior);
+    - ``localCheckpoint``-backed lineage (connected_components, the
+      signature tables): the checkpoint TRUNCATED the lineage, so freed
+      blocks are unrecoverable — any job on the hit throws
+      checkpointRDDBlockIdNotFound (r6 bench: x25/x36/x89 all -1.0).
+      The one-row probe below detects that case cheaply (one partition
+      of a persisted-or-replayable frame, a no-op job when healthy) and
+      the caller rebuilds instead of serving a dead frame.
+    """
     lvl = hit.storageLevel
     if not (lvl.useMemory or lvl.useDisk):
         hit.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        hit.take(1)
+    except Exception:
+        try:
+            hit.unpersist()
+        except Exception:
+            pass
+        return None
     return hit
 
 
@@ -90,7 +109,14 @@ def peek_memo(source: DataFrame, tag: tuple) -> DataFrame | None:
         return None
     with _LOCK:
         hit = _MEMO.get(key)
-    return _repin(hit) if hit is not None else None
+    if hit is None:
+        return None
+    alive = _repin(hit)
+    if alive is None:
+        with _LOCK:
+            if _MEMO.get(key) is hit:
+                del _MEMO[key]
+    return alive
 
 
 def plan_memo(
@@ -111,15 +137,24 @@ def plan_memo(
         with _LOCK:
             hit = _MEMO.get(key)
         if hit is not None:
-            return _repin(hit)
+            alive = _repin(hit)
+            if alive is not None:
+                return alive
+            with _LOCK:
+                if _MEMO.get(key) is hit:
+                    del _MEMO[key]
     out = build().persist(StorageLevel.MEMORY_AND_DISK)
     if key is not None:
         evicted: list[DataFrame] = []
         with _LOCK:
-            if key in _MEMO:
-                # lost a first-build race: keep the winner canonical,
-                # hand the loser's frame to its own caller as-is
-                return _repin(_MEMO[key])
+            racer = _MEMO.get(key)
+            if racer is not None and racer is not out:
+                # lost a first-build race: keep the winner canonical IF
+                # alive, hand the loser's frame to its caller otherwise
+                alive = _repin(racer)
+                if alive is not None:
+                    return alive
+                del _MEMO[key]
             while len(_MEMO) >= _MEMO_MAX:
                 evicted.append(_MEMO.pop(next(iter(_MEMO))))
             _MEMO[key] = out
