@@ -551,6 +551,7 @@ def _pair_stats_core(
     persist: bool = True,
     shingled: DataFrame | None = None,
     hot_set: DataFrame | None = None,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate-pair statistics (doc_a, doc_b, common, n_a, n_b) from
     the inverted-index shingle join — the shared core every set-overlap
@@ -566,25 +567,35 @@ def _pair_stats_core(
     collapse-exact rewrite passes the FULL-CORPUS-weighted hot set here
     so the cap regime is identical whether or not the corpus was
     collapsed to representatives first (a cap computed on representative
-    df would keep shingles the uncollapsed join drops)."""
+    df would keep shingles the uncollapsed join drops).
+
+    ``hashed``: optional precomputed, already-persisted (id, sh_h)
+    table — the collapse rewrite shares ONE hashed materialization
+    across the hot-set weighting, the within-group counts and this
+    core, instead of re-running the md5 pass per consumer (the r6
+    parity fix initially persisted the RAW shingle strings, so every
+    cached read re-hashed ~10M rows — x77 measured 1.9× at sf1)."""
     # join on the 60-bit shingle hash, not the string: 8-byte shuffle
     # keys; both engines hash identically so any collision is shared
-    base = (
-        shingled
-        if shingled is not None
-        else shingle(df, n=n, text_col=text_col, id_col=id_col)
-    )
-    sh = base.select(
-        F.col(id_col), token_hash60(F.col("shingle")).alias("sh_h")
-    )
-    if persist:
-        # the shingle table feeds three consumers (hot-set agg + both
-        # self-join sides): materialize the tokenize→explode→hash pass
-        # once instead of three times (4× on the sf1 core). One spillable
-        # disk write beats three recomputes at any scale.
-        from pyspark import StorageLevel
+    if hashed is not None:
+        sh = hashed
+    else:
+        base = (
+            shingled
+            if shingled is not None
+            else shingle(df, n=n, text_col=text_col, id_col=id_col)
+        )
+        sh = base.select(
+            F.col(id_col), token_hash60(F.col("shingle")).alias("sh_h")
+        )
+        if persist:
+            # the shingle table feeds three consumers (hot-set agg + both
+            # self-join sides): materialize the tokenize→explode→hash pass
+            # once instead of three times (4× on the sf1 core). One
+            # spillable disk write beats three recomputes at any scale.
+            from pyspark import StorageLevel
 
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+            sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sh_uncapped = sh
     if hot_set is not None:
         sh = sh.join(hot_set, "sh_h", "left_anti")
@@ -598,7 +609,7 @@ def _pair_stats_core(
             .select("sh_h")
         )
         sh = sh.join(hot, "sh_h", "left_anti")
-    if shingled is not None or persist:
+    if hashed is not None or shingled is not None or persist:
         # |A| per doc from the (persisted, UNCAPPED — |A| stays exact)
         # shingle table: a map-side-combined count over cached rows
         # beats re-running the interpreted HOF gram build over raw
@@ -643,12 +654,13 @@ def _jaccard_pairs_core(
     persist: bool = True,
     shingled: DataFrame | None = None,
     hot_set: DataFrame | None = None,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """The inverted-index Jaccard join: ``_pair_stats_core`` with the
     symmetric-resemblance projection and threshold filter."""
     stats = _pair_stats_core(
         df, n, text_col, id_col, df_cap, persist=persist, shingled=shingled,
-        hot_set=hot_set,
+        hot_set=hot_set, hashed=hashed,
     )
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
     return (
@@ -694,11 +706,14 @@ def containment_pairs(
     """
 
     def core(
-        d: DataFrame, sh: DataFrame | None, hot: DataFrame | None = None
+        d: DataFrame,
+        sh: DataFrame | None,
+        hot: DataFrame | None = None,
+        hashed: DataFrame | None = None,
     ) -> DataFrame:
         stats = _pair_stats_core(
             d, n, text_col, id_col, df_cap, persist=True, shingled=sh,
-            hot_set=hot,
+            hot_set=hot, hashed=hashed,
         )
         cont = F.greatest(
             F.col("common") / F.col("n_a"), F.col("common") / F.col("n_b")
@@ -722,7 +737,7 @@ def containment_pairs(
         id_col,
         True,
         shingled,
-        rep_pairs_fn=core,
+        rep_pairs_fn=lambda d, h, hot: core(d, None, hot, hashed=h),
         value_cols=("common", "containment", "jaccard"),
         within_values=lambda eff, nsh: [
             eff.alias("common"),
@@ -893,9 +908,9 @@ def ngram_jaccard_pairs(
         id_col,
         persist,
         shingled,
-        rep_pairs_fn=lambda rep_docs, rep_shingled, hot: _jaccard_pairs_core(
+        rep_pairs_fn=lambda rep_docs, rep_hashed, hot: _jaccard_pairs_core(
             rep_docs, n, threshold, text_col, id_col, df_cap, persist,
-            shingled=rep_shingled, hot_set=hot,
+            hot_set=hot, hashed=rep_hashed,
         ),
         value_cols=("jaccard",),
         within_values=lambda eff, nsh: [
@@ -940,9 +955,11 @@ def _collapse_expand_pairs(
     rewrite must stay semantics-preserving in BOTH regimes so engine
     and oracle agree whichever path ``_auto_collapse`` picks.
 
-    ``rep_pairs_fn(rep_docs, rep_shingled, hot_set)`` computes
+    ``rep_pairs_fn(rep_docs, rep_hashed, hot_set)`` computes
     (doc_a, doc_b, *value_cols) on representatives under that shared
-    exclusion set. ``within_values(eff, nsh)`` builds the value columns
+    exclusion set, where ``rep_hashed`` is the persisted (id, sh_h)
+    working set (None only when no df_cap and no shared table exist —
+    the core then builds its own). ``within_values(eff, nsh)`` builds the value columns
     for identical-text pairs from the group's shingle count ``nsh`` and
     its post-cap effective intersection ``eff = nsh - |hot shingles|``
     (the naive capped join scores identical docs common=eff with exact
@@ -965,38 +982,46 @@ def _collapse_expand_pairs(
         from pyspark import StorageLevel
 
         rep_docs = rep_docs.persist(StorageLevel.MEMORY_AND_DISK)
-    # restrict a shared full-corpus shingle table to the reps: one
-    # semi-join against the persisted table beats re-running the
-    # interpreted HOF gram build even over 1/d of the docs. With a
-    # df_cap in play the rep shingle table is needed up-front (hot-set
-    # weighting + within-group hot counts), so build it here rather
-    # than inside the pair core.
-    if shingled is not None:
-        rep_shingled = shingled.join(
-            reps.select(F.col("rep_id").alias(id_col)), id_col, "left_semi"
+    # restrict a shared full-corpus shingle table to the reps (one
+    # semi-join beats re-running the interpreted HOF gram build even
+    # over 1/d of the docs), or build the rep shingles fresh when a
+    # df_cap needs them up-front — then materialize the HASHED
+    # projection exactly once. The hashed (id, sh_h) table is what
+    # every consumer (weighted hot-set agg, within-group counts, both
+    # pair-core self-join sides, the exact |A| sizes) actually reads;
+    # persisting the raw strings instead made each cached read re-run
+    # the md5 pass (x77 1.9× at sf1).
+    rep_hashed = None
+    if shingled is not None or df_cap is not None:
+        rep_shingled = (
+            shingled.join(
+                reps.select(F.col("rep_id").alias(id_col)),
+                id_col,
+                "left_semi",
+            )
+            if shingled is not None
+            else shingle(rep_docs, n=n, text_col=text_col, id_col=id_col)
         )
-    elif df_cap is not None:
-        rep_shingled = shingle(rep_docs, n=n, text_col=text_col, id_col=id_col)
+        rep_hashed = rep_shingled.select(
+            F.col(id_col), token_hash60(F.col("shingle")).alias("sh_h")
+        )
         if persist:
             from pyspark import StorageLevel
 
-            # feeds the weighted hot-set agg, the within-group counts
-            # AND the pair core — one HOF gram build, three consumers
-            rep_shingled = rep_shingled.persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        rep_shingled = None
+            rep_hashed = rep_hashed.persist(StorageLevel.MEMORY_AND_DISK)
     hot = None
     if df_cap is not None:
         # full-corpus df = Σ group sizes over groups containing the
         # shingle (rep shingle sets are distinct per doc). The hot set
-        # is tiny (stopword shingles) and feeds two consumers.
+        # is tiny (stopword shingles) and feeds two consumers; the
+        # (rep_id → group size) weight table is |reps| rows, so the
+        # join against the long hashed table broadcasts under AQE.
         gcnt = members.groupBy("fp").agg(F.count(F.lit(1)).alias("__g"))
+        weights = reps.select(F.col("rep_id").alias(id_col), "fp").join(
+            gcnt, "fp"
+        )
         hot = (
-            rep_shingled.select(
-                F.col(id_col), token_hash60(F.col("shingle")).alias("sh_h")
-            )
-            .join(reps.select(F.col("rep_id").alias(id_col), "fp"), id_col)
-            .join(gcnt, "fp")
+            rep_hashed.join(weights, id_col)
             .groupBy("sh_h")
             .agg(F.sum("__g").alias("__df"))
             .filter(F.col("__df") > df_cap)
@@ -1006,7 +1031,7 @@ def _collapse_expand_pairs(
             from pyspark import StorageLevel
 
             hot = hot.persist(StorageLevel.MEMORY_AND_DISK)
-    rep_pairs = rep_pairs_fn(rep_docs, rep_shingled, hot)
+    rep_pairs = rep_pairs_fn(rep_docs, rep_hashed, hot)
     # attach the two groups' fingerprints, then fan out to members
     fp_of = reps.select(F.col("rep_id"), F.col("fp"))
     cross = (
@@ -1028,14 +1053,12 @@ def _collapse_expand_pairs(
     )
     # within-group pairs: identical texts — per-group values from the
     # group's shingle count and (under a df_cap) its hot-shingle count
-    if rep_shingled is not None:
-        # count the persisted shingle rows (shingle() emits distinct
+    if rep_hashed is not None:
+        # count the persisted hashed rows (shingle() emits distinct
         # grams, so count == |set|; zero-shingle reps have no rows —
         # the >0 exclusion is implicit) instead of re-running the
         # interpreted HOF gram build over every representative
-        marked = rep_shingled.select(
-            F.col(id_col), token_hash60(F.col("shingle")).alias("sh_h")
-        )
+        marked = rep_hashed
         if hot is not None:
             marked = marked.join(
                 hot.select("sh_h", F.lit(1).alias("__ish")), "sh_h", "left"
