@@ -146,6 +146,28 @@ SHOWCASE = [
      "then |value − median|) — windows run over per-group VALUE "
      "histograms, never per-group row sorts; the flag is integer "
      "arithmetic end to end."),
+    ("x85_segment_dedup",
+     "Segment-duplication audit: ONE corpus tokenize→explode pass into "
+     "a persisted (doc, segment-hash) table (InMemoryTableScan under "
+     "both consumers); occurrence counts are a vocab re-aggregation of "
+     "that table, never a second scan — and there is no self-join, so "
+     "no hot-key quadratic risk to cap."),
+    ("x87_source_divergence",
+     "Per-source KL: the (source, token) count table is built once and "
+     "pinned; corpus totals, per-source totals and the ln-term join are "
+     "all vocab-bounded re-aggregations of it. ln() once per (source, "
+     "token), quantized to scaled BIGINT — the per-source sum is exact "
+     "integer arithmetic under any partitioning."),
+    ("x88_pmi_bigrams",
+     "PMI collocations: both marginals re-aggregate the persisted "
+     "bigram VOCAB (one corpus explode total), N broadcasts as a 1-row "
+     "aggregate, and the ranked result is a TakeOrderedAndProject heap "
+     "— never a full sort of the vocabulary."),
+    ("x89_cluster_size_profile",
+     "Cluster size profile: reads the memoized components working set "
+     "(shared with x25/x36 — the pairs→propagation subtree builds once "
+     "per session), then two partial-agg shuffles whose output is "
+     "histogram-sized, never corpus-sized."),
 ]
 
 HEADER = """# PLANS — annotated physical plans (generated)
