@@ -133,10 +133,10 @@ SHOWCASE = [
      "a self-equi-join whose fan-out is bounded by |sources|² per hash "
      "— a corpus-scale audit whose output never outgrows the driver."),
     ("x80_table_profile",
-     "Column profile: ONE multi-distinct aggregate — Catalyst Expand + "
-     "two-stage partial agg — profiles every column in a single job; "
-     "the per-column rows explode from a literal struct array, not a "
-     "second scan."),
+     "Column profile: one union branch per column, each a column-pruned "
+     "scan + single-distinct two-stage agg — no Expand row "
+     "multiplication; the branches together read the bytes of one "
+     "all-column scan and run concurrently."),
     ("x81_shingle_novelty",
      "Marginal novelty: min(id) per shingle hash (map-side combine "
      "collapses duplicates early) + one join back — linear in the "

@@ -1178,10 +1178,14 @@ def test_profile_table_counts_planted_nulls_and_cardinality(spark):
     assert got["k"].n_rows == 5 and got["k"].n_nulls == 0
     assert got["k"].n_distinct == 4
     assert got["v"].n_nulls == 2 and got["v"].n_distinct == 2
-    # the profile is ONE job: a single multi-distinct aggregate, no
-    # per-column re-scan
-    plan = profile_table(df)._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("LogicalRDD") == 1
+    # the profile is a union of per-column SINGLE-distinct branches —
+    # never the multi-distinct form, whose Expand replicates every row
+    # once per column (2.7-3x slower measured at sf0.1/sf1)
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    # each branch prunes to its own column: no branch reads both
+    opt = profile_table(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Project [k#" in opt and "Project [v#" in opt
 
 
 def test_shingle_novelty_first_doc_all_novel_copy_none(spark):
@@ -1357,3 +1361,44 @@ def test_corpus_components_survives_external_rdd_eviction(spark, sf_dir):
         read_table(spark, sf_dir, "documents", rebalance=True)
     )
     assert again.count() == n  # rebuilt (or replayed) — never a dead frame
+
+
+def test_winnow_match_pairs_guarantee_and_threshold(spark):
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token shared run
+    d1 = shared + " uniq1 uniq2 uniq3 uniq4"
+    d2 = "other words first then " + shared
+    d3 = "completely different content with no common run at all"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    # winnowing guarantee: a shared run of w+k-1 = 6 tokens MUST share
+    # at least one fingerprint
+    got1 = {
+        (r.doc_a, r.doc_b): r.shared_fp
+        for r in T.winnow_match_pairs(df, min_shared=1).collect()
+    }
+    assert (1, 2) in got1 and got1[(1, 2)] >= 1
+    assert not any(3 in p for p in got1)
+    # raising min_shared can only shrink the pair set
+    got2 = set(
+        (r.doc_a, r.doc_b)
+        for r in T.winnow_match_pairs(df, min_shared=2).collect()
+    )
+    assert got2 <= set(got1)
+
+
+def test_cross_source_pairs_normalized_and_counted(spark):
+    t = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, t, "sB"), (2, t, "sA"), (3, t, "sA"),
+         (4, "unrelated text entirely here today", "sC")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in D.cross_source_pairs(df).collect()
+    }
+    # identical texts pair in every band: (1,2),(1,3) cross sA/sB
+    # (normalized), (2,3) within sA; doc 4 pairs with nothing
+    assert got[("sA", "sB")] == 2 and got[("sA", "sA")] == 1
+    assert not any("sC" in k for k in got)

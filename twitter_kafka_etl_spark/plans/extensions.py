@@ -3302,11 +3302,12 @@ _PROFILE_SQL = "\nUNION ALL\n".join(
 @_register(
     "x80_table_profile",
     "column-level data profile of lineitem — (column, n_rows, n_nulls, "
-    "n_distinct) for every column in ONE multi-distinct aggregate "
-    "(Catalyst Expand + two-stage partial agg; exact, the cross-engine-"
-    "checkable form — approx_count_distinct is the documented one-pass "
-    "alternative at scale): the schema-quality audit run on any newly "
-    "landed table before it joins a pipeline",
+    "n_distinct) for every column as one job of per-column pruned-scan "
+    "single-distinct agg branches (the multi-distinct Expand form "
+    "replicated every row |columns|x — 2.7-3x slower measured; "
+    "approx_count_distinct is the documented estimate alternative at "
+    "scale): the schema-quality audit run on any newly landed table "
+    "before it joins a pipeline",
     _PROFILE_SQL,
     tags=("relational", "extension"),
 )
@@ -3715,3 +3716,88 @@ def x89(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.cluster_size_profile(
         D.corpus_components(_docs(spark, sf_dir))
     )
+
+
+# ---------------------------------------------------------------------------
+# x90 — winnowing cross-document matcher (MOSS-style substring overlap)
+# ---------------------------------------------------------------------------
+@_register(
+    "x90_winnow_matches",
+    "cross-document winnowing matcher: pairs sharing >= 2 window-min "
+    "fingerprints with the shared count (MOSS, Schleimer et al. 2003) "
+    "— the guarantee-backed substring-overlap detector (any shared "
+    ">= w+k-1 token run MUST share a fingerprint) complementing "
+    "MinHash's whole-document resemblance; inverted-index self-join on "
+    "the 31-bit fingerprint, ~2/(w+1) the shingle join's exploded rows",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE []::VARCHAR[] END AS grams
+      FROM toks
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(grams, s -> {_HASH_SQL.format(col='s')}) AS hs
+      FROM g
+    ),
+    wnd AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 4 THEN
+               list_distinct(list_transform(range(1, len(hs) - 2),
+                                            i -> list_min(hs[i:i+3])))
+             ELSE []::BIGINT[] END AS fps
+      FROM h
+    ),
+    fpr AS (SELECT doc_id, unnest(fps) AS fp FROM wnd)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fp
+    FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+    tags=("text", "dedup", "extension"),
+)
+def x90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.winnow_match_pairs(_docs(spark, sf_dir), k=3, w=4, min_shared=2)
+
+
+# ---------------------------------------------------------------------------
+# x91 — cross-source near-duplicate leakage matrix
+# ---------------------------------------------------------------------------
+@_register(
+    "x91_cross_source_leakage",
+    "near-dup leakage matrix between sources: LSH candidate pairs "
+    "aggregated by normalized endpoint sources — the doc-granular "
+    "complement to x78's shingle-set overlap (N specific documents are "
+    "near-copies across two feeds: re-sold crawls, and the leak risk "
+    "of source-keyed train/eval splits); two id->source joins over the "
+    "memoized signature working set, |sources|^2-bounded output",
+    f"""
+    WITH {_SIG_CTE},
+    bands AS (
+    {_BAND_BRANCHES}
+    ),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    lab AS (
+      SELECT LEAST(da.source, db.source) AS source_a,
+             GREATEST(da.source, db.source) AS source_b
+      FROM prs
+      JOIN documents da ON da.doc_id = prs.doc_a
+      JOIN documents db ON db.doc_id = prs.doc_b
+    )
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM lab GROUP BY 1, 2
+    """,
+    tags=("dedup", "curation", "extension"),
+)
+def x91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return D.cross_source_pairs(docs)
