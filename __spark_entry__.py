@@ -42,6 +42,8 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "x88_pmi_bigrams",
         "x89_cluster_size_profile",
         "qs16_stream_mixture_monitor",
+        "x90_winnow_matches",
+        "x91_cross_source_leakage",
     }
 )
 

@@ -827,3 +827,30 @@ def test_collapse_df_cap_all_hot_group_emits_no_pairs(spark):
     naive = ngram_jaccard_pairs(corpus, collapse_exact=False, **kw).collect()
     fast = ngram_jaccard_pairs(corpus, collapse_exact=True, **kw).collect()
     assert naive == [] and fast == []
+
+
+def test_winnow_match_collapse_is_identity(spark, sf_dir):
+    """The fingerprint-collapse rewrite must be invisible: on a corpus
+    with 3 byte-identical copies of every text, collapsed and naive
+    winnow matchers return identical (pair, shared_fp) sets — within
+    pairs carrying the group's full fp-set size."""
+    from twitter_kafka_etl_spark.io import read_table
+    from twitter_kafka_etl_spark.operators.text import winnow_match_pairs
+
+    base = read_table(spark, sf_dir, "documents").limit(50)
+    corpus = (
+        base.select("doc_id", "text")
+        .union(base.selectExpr("doc_id + 100000 AS doc_id", "text"))
+        .union(base.selectExpr("doc_id + 200000 AS doc_id", "text"))
+    )
+    key = lambda r: (r.doc_a, r.doc_b, r.shared_fp)
+    naive = {
+        key(r)
+        for r in winnow_match_pairs(corpus, collapse_exact=False).collect()
+    }
+    fast = {
+        key(r)
+        for r in winnow_match_pairs(corpus, collapse_exact=True).collect()
+    }
+    assert fast == naive
+    assert len(fast) >= 3 * 50  # within-group pairs present

@@ -1761,3 +1761,51 @@ def cluster_size_profile(
             .alias("docs_removed"),
         )
     )
+
+
+def cross_source_pairs(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate leakage matrix BETWEEN sources: LSH candidate
+    pairs aggregated by the (source_a, source_b) of their endpoints —
+    ``(source_a, source_b, n_pairs)`` with the pair normalized so
+    source_a <= source_b. This is the doc-granular complement to
+    ``source_overlap`` (which compares whole shingle sets): x78 says
+    two feeds share vocabulary; this says N specific documents are
+    near-copies across them — the audit that catches a vendor
+    re-selling another vendor's crawl, and the train/eval-split risk
+    when splits are drawn per-source (cross-source duplicates leak
+    across any source-keyed split).
+
+    Cost on top of the memoized signature working set is two
+    (id → source) equi-joins against a projection of the corpus and a
+    |sources|²-bounded aggregate — the pair table is the LSH-banded
+    one, never all-pairs.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            corpus_signatures(df, id_col=id_col), id_col=id_col
+        )
+    src = df.select(F.col(id_col), F.col(group_col))
+    lab = pairs.join(
+        src.select(
+            F.col(id_col).alias("doc_a"), F.col(group_col).alias("__sa")
+        ),
+        "doc_a",
+    ).join(
+        src.select(
+            F.col(id_col).alias("doc_b"), F.col(group_col).alias("__sb")
+        ),
+        "doc_b",
+    )
+    return (
+        lab.select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )

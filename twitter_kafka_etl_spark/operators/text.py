@@ -106,23 +106,12 @@ def lang_id(df: DataFrame, text_col: str = "text", out: str = "pred_lang") -> Da
     return df.withColumn(out, pred)
 
 
-def winnow_fingerprints(
-    df: DataFrame,
-    k: int = 3,
-    w: int = 4,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Winnowing rolling-hash fingerprints (Schleimer, Wilkerson, Aiken —
-    SIGMOD 2003): hash every ordered k-gram, slide a window of ``w``
-    hashes, keep each window's minimum; any shared substring of
-    ``w + k - 1`` tokens is guaranteed to share a fingerprint.
-
-    The whole chain — k-grams, hashes, window minima, distinct — is JVM
-    array expressions per row: no explode, no shuffle, embarrassingly
-    parallel at any scale. Output: (id, n_fp, min_fp) summary per doc;
-    join/groupBy on exploded fingerprints for cross-doc matching.
-    """
+def _winnow_fps(
+    df: DataFrame, k: int, w: int, text_col: str
+) -> tuple[DataFrame, Column]:
+    """(staged frame, fingerprint-array column) — the single site of
+    the winnowing rule shared by the per-doc summary and the cross-doc
+    matcher."""
     from twitter_kafka_etl_spark.operators.dedup import _gram_array, token_hash
 
     toked, grams = _gram_array(df, k, text_col)
@@ -138,11 +127,183 @@ def winnow_fingerprints(
     fps = F.array_distinct(
         F.transform(starts, lambda i: F.array_min(F.slice(hs, i, w)))
     )
+    return staged, fps
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD 2003): hash every ordered k-gram, slide a window of ``w``
+    hashes, keep each window's minimum; any shared substring of
+    ``w + k - 1`` tokens is guaranteed to share a fingerprint.
+
+    The whole chain — k-grams, hashes, window minima, distinct — is JVM
+    array expressions per row: no explode, no shuffle, embarrassingly
+    parallel at any scale. Output: (id, n_fp, min_fp) summary per doc;
+    ``winnow_match_pairs`` is the cross-doc matcher over the same rule.
+    """
+    staged, fps = _winnow_fps(df, k, w, text_col)
     return staged.select(
         F.col(id_col),
         F.size(fps).cast("bigint").alias("n_fp"),
         F.array_min(fps).cast("bigint").alias("min_fp"),
     )
+
+
+def winnow_match_pairs(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int | None = None,
+    collapse_exact: bool | None = None,
+) -> DataFrame:
+    """Cross-document winnowing matcher: pairs of documents sharing at
+    least ``min_shared`` fingerprints, with the shared count —
+    MOSS-style substring-overlap detection (Schleimer et al. 2003,
+    §4), the guarantee-backed complement to MinHash (any shared run of
+    ``w + k − 1`` tokens MUST surface here; MinHash only matches
+    whole-document resemblance). Output: (doc_a, doc_b, shared_fp).
+
+    Same inverted-index discipline as the shingle pair joins: only
+    documents sharing ≥1 fingerprint are ever materialized, via a
+    self-equi-join on the 31-bit fingerprint; ``min_shared`` then
+    filters the pair aggregate. Winnowing keeps ~2/(w+1) of the gram
+    hashes, so the exploded table is a fraction of the shingle join's
+    and the same df-cap story applies if boilerplate makes a
+    fingerprint hot (``df_cap``, default off — the window-min selection
+    already suppresses most stopword grams).
+
+    Default ``df_cap=None`` keeps the exact guarantee; the registered
+    query keeps it off because its oracle mirrors the uncapped join.
+
+    ``collapse_exact`` (auto-probed like the shingle pair metrics):
+    byte-identical texts carry identical fingerprint sets, so the fp
+    self-join runs on distinct texts only and pairs expand back via
+    two text-fingerprint equi-joins (within-group shared_fp = the
+    group's |fps|; cross-group pairs inherit the representative pair's
+    count — a pure function of the two fp sets). 1/d² the join work on
+    a duplication-factor-d corpus, bitwise-identical output. Only
+    taken when ``df_cap is None``: a cap would need the full-corpus
+    weighting machinery (see dedup._collapse_expand_pairs), and the
+    window-min selection rarely needs a cap at all.
+    """
+    from pyspark import StorageLevel
+
+    from twitter_kafka_etl_spark.operators.dedup import _auto_collapse
+
+    def fpr_of(docs: DataFrame) -> DataFrame:
+        """Exploded, persisted (id, fp) fingerprint table — one
+        materialization of the per-row gram/hash/window chain feeding
+        every downstream consumer."""
+        staged, fps = _winnow_fps(docs, k, w, text_col)
+        return staged.select(
+            F.col(id_col), F.explode(fps).alias("fp")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def pair_core(fpr: DataFrame) -> DataFrame:
+        if df_cap is not None:
+            hot = (
+                fpr.groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") > df_cap)
+                .select("fp")
+            )
+            fpr = fpr.join(hot, "fp", "left_anti")
+        a, b = fpr.alias("a"), fpr.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.fp") == F.col("b.fp"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fp"))
+            .filter(F.col("shared_fp") >= min_shared)
+        )
+
+    if collapse_exact is None and df_cap is None:
+        collapse_exact = _auto_collapse(df, F.md5(F.col(text_col)))
+    if not (df_cap is None and collapse_exact):
+        return pair_core(fpr_of(df))
+    # collapse branch. The (id, text-md5) map feeds seven consumers
+    # (reps, both expansion sides, both within sides) — pin it, or each
+    # re-scans and re-hashes the full corpus (measured 29 s vs 2 s on a
+    # 1.5k-doc triplicate corpus before the pin/share rework)
+    members = df.select(
+        F.col(id_col).alias("m_id"), F.md5(F.col(text_col)).alias("tfp")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    reps = members.groupBy("tfp").agg(F.min("m_id").alias("rep_id"))
+    rep_docs = df.join(
+        reps.select(F.col("rep_id").alias(id_col)), id_col, "left_semi"
+    )
+    # ONE fingerprint build over the representatives serves the pair
+    # join AND the within-group fp-set sizes
+    fpr_rep = fpr_of(rep_docs)
+    rep_pairs = pair_core(fpr_rep)
+    fp_of = reps.select("rep_id", "tfp")
+    cross = (
+        rep_pairs.join(
+            fp_of.select(
+                F.col("rep_id").alias("doc_a"), F.col("tfp").alias("ta")
+            ),
+            "doc_a",
+        )
+        .join(
+            fp_of.select(
+                F.col("rep_id").alias("doc_b"), F.col("tfp").alias("tb")
+            ),
+            "doc_b",
+        )
+        .join(
+            members.select(F.col("m_id").alias("ia"), F.col("tfp").alias("ta")),
+            "ta",
+        )
+        .join(
+            members.select(F.col("m_id").alias("ib"), F.col("tfp").alias("tb")),
+            "tb",
+        )
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            F.col("shared_fp"),
+        )
+    )
+    # within-group pairs: identical texts share their whole fp set
+    # (|fps| = the persisted table's per-rep row count; zero-fp groups
+    # have no rows, so the >=min_shared filter also excludes them)
+    gsz = (
+        fpr_rep.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__nfp"))
+        .filter(F.col("__nfp") >= min_shared)
+        .join(reps.select(F.col("rep_id").alias(id_col), "tfp"), id_col)
+        .select(F.col("tfp").alias("__wt"), "__nfp")
+    )
+    m1, m2 = members.alias("m1"), members.alias("m2")
+    within = (
+        m1.join(
+            m2,
+            (F.col("m1.tfp") == F.col("m2.tfp"))
+            & (F.col("m1.m_id") < F.col("m2.m_id")),
+        )
+        .join(gsz, F.col("m1.tfp") == F.col("__wt"))
+        .select(
+            F.col("m1.m_id").alias("doc_a"),
+            F.col("m2.m_id").alias("doc_b"),
+            F.col("__nfp").cast("bigint").alias("shared_fp"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataFrame:
