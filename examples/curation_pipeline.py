@@ -55,6 +55,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     #     re-crawled source pairs (mixing them double-counts content),
     overlap = D.source_overlap(docs).filter(F.col("jaccard") >= 0.5)
     print(f"pre-flight: {overlap.count()} source pairs share >=50% shingles")
+    #     the doc-granular form of the same question — N specific
+    #     near-copy documents ACROSS two feeds (re-sold crawls; leak
+    #     risk for any source-keyed split)
+    leak = D.cross_source_pairs(docs).filter(
+        F.col("source_a") != F.col("source_b")
+    )
+    print(f"pre-flight: {leak.count()} source pairs with cross-feed near-dups")
+    #     and each source's distributional distance from the blend it
+    #     is about to join (high-KL outliers are wrong-language or
+    #     boilerplate-heavy feeds)
+    print("pre-flight: most-divergent sources (KL vs corpus):")
+    T.source_token_kl(docs).orderBy(F.desc("kl_nats")).show(3)
     #     corpus-shape drift between the two acquisition cohorts,
     cohort = F.when(
         F.expr("CAST(substring(source, 4) AS INT)") < 10, "base"
@@ -137,6 +149,22 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     print(f"containment pass: {quotes.count()} quote-inclusion pairs flagged")
 
+    # 3a' — how much chunk-level duplication survives document-level
+    #       dedup (the substring-dedup signal, 8-token segments), plus
+    #       the guarantee-backed winnowing matcher for shared runs
+    seg = D.segment_dedup_stats(deduped).agg(
+        (F.sum("n_dup_segments") / F.sum("n_segments")).alias("dup_frac")
+    ).first()
+    print(f"segment audit: {seg.dup_frac:.3f} of segments still duplicated")
+    runs = T.winnow_match_pairs(deduped, min_shared=2)
+    print(f"winnow audit: {runs.count()} doc pairs share >=2 fingerprints")
+
+    # 3a'' — what the dedup decision DID: cluster size distribution and
+    #        the exact transitive yield loss (x84's curve estimates it;
+    #        this counts it)
+    print("cluster profile (size, clusters, docs removed):")
+    D.cluster_size_profile(comps).orderBy("cluster_size").show(5)
+
     # 3b — embedding-space curation (the semantic layer textual dedup
     #      can't see): SemDeDup near-dup pruning inside IVF cells, then
     #      prototypicality pruning against each cell's mean
@@ -171,10 +199,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(f"review queue: {review.count()} docs (2 per source, length-weighted)")
 
     # 5 — mix the sources at configured rates (the training-mix recipe),
-    #     then pack into 512-token sequences per source
+    #     then pack into 512-token sequences per source. The
+    #     temperature table is where those rates COME from: share^0.7
+    #     up/down-sampling with the boost column as the per-source
+    #     epoch multiplier a curator sanity-checks first
     train = assigned.filter(F.col("split") == "train").withColumn(
         "tok", F.size(F.split("text", " ")).cast("bigint")
     )
+    print("temperature mixture plan (alpha=0.7):")
+    C.mixture_temperature(train).orderBy(F.desc("n_tokens")).show(5)
     mixed = C.mixture_sample(
         train, "source", "doc_id", {"src0": 100, "src1": 50}, default_pct=25
     )
@@ -196,6 +229,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         (F.sum("n_novel") / F.sum("n_sh")).alias("novel_frac")
     ).first()
     print(f"novelty: {nov.novel_frac:.3f} of shingle mass was first-seen")
+    #     and the strongest collocations — templated phrases read as
+    #     impossibly strong associations; a healthy corpus's top PMI
+    #     list is entities and idioms
+    print("top collocations (PMI, min-count 5):")
+    T.pmi_top_bigrams(train, min_count=5, k=3).show(truncate=False)
     rollup = (
         train.groupBy("source")
         .agg(
