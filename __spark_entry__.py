@@ -44,6 +44,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "qs16_stream_mixture_monitor",
         "x90_winnow_matches",
         "x91_cross_source_leakage",
+        "x92_embedding_profile",
     }
 )
 

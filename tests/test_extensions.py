@@ -1402,3 +1402,49 @@ def test_cross_source_pairs_normalized_and_counted(spark):
     # (normalized), (2,3) within sA; doc 4 pairs with nothing
     assert got[("sA", "sB")] == 2 and got[("sA", "sA")] == 1
     assert not any("sC" in k for k in got)
+
+
+def test_embedding_profile_catches_planted_breakages(spark):
+    from twitter_kafka_etl_spark.operators import similarity as S
+
+    rows = [
+        (1, [3.0, 4.0], 0),          # norm 5
+        (2, [3.0, 4.0], 0),          # exact duplicate of vec 1
+        (3, [0.0, 0.0], 0),          # zero vector
+        (4, [1.0, 0.0, 0.0], 1),     # ragged dim in label 1
+        (5, [0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r.label: r for r in S.embedding_profile(df).collect()}
+    assert got[0].n_vecs == 3 and got[0].n_dup_vecs == 2
+    assert got[0].n_zero == 1 and got[0].dim_min == got[0].dim_max == 2
+    assert abs(got[0].mean_norm - (5 + 5 + 0) / 3) < 1e-6
+    assert (got[1].dim_min, got[1].dim_max) == (2, 3)  # ragged flagged
+    assert got[1].n_dup_vecs == 0
+
+
+def test_profile_table_empty_columns_returns_empty(spark):
+    from twitter_kafka_etl_spark.operators.relational import profile_table
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    out = profile_table(df, columns=[])
+    assert out.count() == 0
+    assert out.columns == ["column", "n_rows", "n_nulls", "n_distinct"]
+
+
+def test_memo_eviction_never_kills_checkpoint_backed_holder(spark, sf_dir):
+    """Internal eviction (memo past capacity) must not unpersist a
+    localCheckpoint-backed frame an earlier caller still holds — a
+    truncated-lineage frame cannot be recomputed (round-6 review)."""
+    from twitter_kafka_etl_spark.operators._cache import _MEMO_MAX, plan_memo
+
+    docs = read_table(spark, sf_dir, "documents", rebalance=True)
+    comp = D.corpus_components(docs)
+    n = comp.count()
+    # force evictions: fill the memo with fresh keys
+    for i in range(_MEMO_MAX + 1):
+        src = spark.range(10 + i)
+        plan_memo(src, (f"__test_{i}",), lambda s=src: s.groupBy().count())
+    assert comp.count() == n  # held frame still alive after eviction

@@ -877,3 +877,69 @@ def prototype_scores(
             .alias("keep"),
         )
     )
+
+
+def embedding_profile(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-table QA profile, per label: ``(label, n_vecs,
+    dim_min, dim_max, n_zero, n_dup_vecs, mean_norm)`` — the pre-flight
+    the similarity family (ANN, SemDeDup, prototypicality) runs before
+    trusting a vector column. The four silent breakages it catches:
+    ragged dimensions (dim_min != dim_max breaks every dot product),
+    zero vectors (cosine is undefined — they score 0 against
+    everything and pollute IVF cells), duplicate vectors (an upstream
+    encoder re-run or join fan-out — they make every neighbor list a
+    mirror), and a drifting norm profile (un-normalized batches mixed
+    into a normalized table).
+
+    Determinism: the per-vector norm is the engine's sequential
+    double-precision fold (bitwise-identical to DuckDB's
+    list_aggregate — the x07 discipline), immediately quantized to a
+    scaled BIGINT so the per-label mean is an exact integer sum;
+    duplicate detection groups on the RAW float array — no arithmetic,
+    so float formatting never enters. ONE scan: the first aggregate
+    groups on (label, vector) — dim and norm are functions of the
+    vector, evaluated once per distinct copy — and every per-label
+    statistic re-aggregates that vector-distinct table (n_vecs as
+    Σ count, duplicate mass as Σ count where ≥2, norm mass as
+    Σ count·normq), so no second pass over the source exists to pin.
+    Output is |labels| rows.
+    """
+    vd = as_double(F.col(vec_col))
+    normq = (
+        F.round(norm(vd) * F.lit(1e6), 0).cast("bigint").alias("__nq")
+    )
+    base = df.select(
+        F.col(label_col),
+        F.col(vec_col).alias("__v"),
+        F.size(F.col(vec_col)).alias("__dim"),
+        normq,
+    )
+    g = base.groupBy(label_col, "__v", "__dim", "__nq").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    per = g.groupBy(label_col).agg(
+        F.sum("__c").cast("bigint").alias("n_vecs"),
+        F.min("__dim").cast("bigint").alias("dim_min"),
+        F.max("__dim").cast("bigint").alias("dim_max"),
+        F.sum(F.when(F.col("__nq") == 0, F.col("__c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+        F.sum(F.when(F.col("__c") >= 2, F.col("__c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_vecs"),
+        F.sum(F.col("__c") * F.col("__nq")).alias("__snq"),
+    )
+    return per.select(
+        F.col(label_col),
+        "n_vecs",
+        "dim_min",
+        "dim_max",
+        "n_zero",
+        "n_dup_vecs",
+        F.round(F.col("__snq").cast("double") / 1e6 / F.col("n_vecs"), 6)
+        .alias("mean_norm"),
+    )

@@ -3801,3 +3801,52 @@ def x90(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x91(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return D.cross_source_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# x92 — embedding-table QA profile
+# ---------------------------------------------------------------------------
+@_register(
+    "x92_embedding_profile",
+    "embedding-table QA per label: vector counts, dim min/max (ragged "
+    "dims break every dot product), zero vectors (cosine-undefined), "
+    "duplicate vectors (grouped on the RAW float array — no float "
+    "formatting), and the quantized-exact mean norm — the pre-flight "
+    "the ANN/SemDeDup/prototype family runs before trusting a vector "
+    "column",
+    """
+    WITH e AS (
+      SELECT label, embedding AS v, embedding::DOUBLE[] AS vd
+      FROM embeddings
+    ),
+    n AS (
+      SELECT label, v, len(v) AS dim,
+             CAST(round(sqrt(list_aggregate(
+                 list_transform(vd, x -> x * x), 'sum')) * 1e6, 0)
+               AS BIGINT) AS nq
+      FROM e
+    ),
+    d AS (SELECT label, v, COUNT(*) AS c FROM e GROUP BY 1, 2),
+    dup AS (
+      SELECT label,
+             CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+               AS n_dup_vecs
+      FROM d GROUP BY label
+    ),
+    per AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(MIN(dim) AS BIGINT) AS dim_min,
+             CAST(MAX(dim) AS BIGINT) AS dim_max,
+             CAST(SUM(CASE WHEN nq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+             SUM(nq) AS snq
+      FROM n GROUP BY label
+    )
+    SELECT label, n_vecs, dim_min, dim_max, n_zero, n_dup_vecs,
+           round(CAST(snq AS DOUBLE) / 1e6 / n_vecs, 6) AS mean_norm
+    FROM per JOIN dup USING (label)
+    """,
+    tags=("similarity", "extension"),
+)
+def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_profile(_emb(spark, sf_dir))
