@@ -47,7 +47,12 @@ from collections.abc import Callable
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-_MEMO: dict[tuple, DataFrame] = {}
+#: key -> (frame, safe_to_unpersist_on_evict). Checkpoint-backed
+#: frames (corpus_components) set the flag False: unpersisting a
+#: truncated-lineage frame a caller still holds kills it
+#: unrecoverably, so eviction only drops the reference and lets the
+#: driver GC reclaim the blocks when the last holder releases it.
+_MEMO: dict[tuple, tuple[DataFrame, bool]] = {}
 _LOCK = threading.Lock()
 #: entries are few and small (signature/assignment tables), but bound
 #: the memo anyway so a long exploratory session can't accumulate
@@ -83,6 +88,15 @@ def _repin(hit: DataFrame) -> DataFrame | None:
       The one-row probe below detects that case cheaply (one partition
       of a persisted-or-replayable frame, a no-op job when healthy) and
       the caller rebuilds instead of serving a dead frame.
+
+    Known limitation: the probe touches one partition, so a PARTIALLY
+    evicted checkpoint-backed frame (some blocks lost, partition 0's
+    survivor intact — possible on multi-executor deployments under
+    executor loss) passes and dies later in the consumer's full scan.
+    In this engine's local-mode deployments every eviction path
+    (clearCache, the bench hygiene unpersist) drops all blocks
+    atomically, so the single-partition probe is exact; a cluster
+    deployment hardening pass would probe with a count() or checksum.
     """
     lvl = hit.storageLevel
     if not (lvl.useMemory or lvl.useDisk):
@@ -108,19 +122,23 @@ def peek_memo(source: DataFrame, tag: tuple) -> DataFrame | None:
     if key is None:
         return None
     with _LOCK:
-        hit = _MEMO.get(key)
-    if hit is None:
+        entry = _MEMO.get(key)
+    if entry is None:
         return None
+    hit = entry[0]
     alive = _repin(hit)
     if alive is None:
         with _LOCK:
-            if _MEMO.get(key) is hit:
+            if _MEMO.get(key) is entry:
                 del _MEMO[key]
     return alive
 
 
 def plan_memo(
-    source: DataFrame, tag: tuple, build: Callable[[], DataFrame]
+    source: DataFrame,
+    tag: tuple,
+    build: Callable[[], DataFrame],
+    unpersist_on_evict: bool = True,
 ) -> DataFrame:
     """Return a persisted ``build()`` result memoized on
     ``(session, plan fingerprint, *tag)``.
@@ -128,39 +146,62 @@ def plan_memo(
     ``build`` must derive its result from ``source`` alone (plus the
     parameters captured in ``tag``) — the tag is the cache-correctness
     contract, exactly like a cache key's closure. On a concurrent
-    first-build race both threads build; one result wins the slot, the
-    loser stays a plain persisted frame for its caller (correct either
-    way — ``build`` is pure by contract).
+    first-build race both threads build; one result wins the slot and
+    the loser's frame is released (its caller gets the winner).
+
+    ``unpersist_on_evict=False``: for builds whose result is
+    localCheckpoint-backed (``corpus_components``) — eviction must NOT
+    unpersist them, because a truncated-lineage frame an earlier caller
+    still holds cannot be recomputed; the reference is simply dropped
+    and the blocks live until the driver GCs the last holder's handle.
     """
     key = _plan_key(source, tag)
     if key is not None:
         with _LOCK:
-            hit = _MEMO.get(key)
-        if hit is not None:
-            alive = _repin(hit)
+            entry = _MEMO.get(key)
+        if entry is not None:
+            alive = _repin(entry[0])
             if alive is not None:
                 return alive
             with _LOCK:
-                if _MEMO.get(key) is hit:
+                if _MEMO.get(key) is entry:
                     del _MEMO[key]
     out = build().persist(StorageLevel.MEMORY_AND_DISK)
-    if key is not None:
-        evicted: list[DataFrame] = []
-        with _LOCK:
-            racer = _MEMO.get(key)
-            if racer is not None and racer is not out:
-                # lost a first-build race: keep the winner canonical IF
-                # alive, hand the loser's frame to its caller otherwise
-                alive = _repin(racer)
-                if alive is not None:
-                    return alive
-                del _MEMO[key]
-            while len(_MEMO) >= _MEMO_MAX:
-                evicted.append(_MEMO.pop(next(iter(_MEMO))))
-            _MEMO[key] = out
-        for old in evicted:
+    if key is None:
+        return out
+    # lost-race check OUTSIDE the lock: _repin runs a Spark job, and
+    # holding the lock across it would serialize every other thread's
+    # memo access behind it
+    with _LOCK:
+        racer = _MEMO.get(key)
+    if racer is not None and racer[0] is not out:
+        alive = _repin(racer[0])
+        if alive is not None:
+            # keep the winner canonical; release the loser's duplicate
             try:
-                old.unpersist()
+                out.unpersist()
             except Exception:
                 pass
+            return alive
+        with _LOCK:
+            if _MEMO.get(key) is racer:
+                del _MEMO[key]
+    evicted: list[tuple[DataFrame, bool]] = []
+    with _LOCK:
+        racer = _MEMO.get(key)
+        if racer is not None and racer[0] is not out:
+            # a THIRD racer slipped in while we probed: let it keep the
+            # slot; this thread's frame stays a plain persisted frame
+            # for its own caller
+            return out
+        while len(_MEMO) >= _MEMO_MAX:
+            evicted.append(_MEMO.pop(next(iter(_MEMO))))
+        _MEMO[key] = (out, unpersist_on_evict)
+    for old, safe in evicted:
+        if not safe:
+            continue
+        try:
+            old.unpersist()
+        except Exception:
+            pass
     return out

@@ -833,6 +833,10 @@ def temperature_weights(
     )
     p2 = p.join(den, keys) if keys else p.crossJoin(den)
     w = F.col("__pwq").cast("double") / F.col("__den")
+    # carry columns pass through UNCHANGED — a cast here would silently
+    # truncate a double or null a string carry; only the tokens column
+    # (an integer count by contract) is normalized to bigint for the
+    # cross-engine dtype-exact compare
     carry = [
         c
         for c in counts.columns
@@ -841,7 +845,7 @@ def temperature_weights(
     return p2.select(
         *keys,
         F.col(group_col),
-        *[F.col(c).cast("bigint").alias(c) for c in carry],
+        *[F.col(c) for c in carry],
         F.col(tokens_col).cast("bigint").alias(tokens_col),
         F.round("__share", 6).alias("raw_share"),
         F.round(w, 6).alias("temp_weight"),

@@ -1720,7 +1720,13 @@ def corpus_components(
         ).persist()
         return connected_components(pairs, nodes=df, id_col=id_col)
 
-    return plan_memo(df, ("components", n, text_col, id_col), build)
+    # unpersist_on_evict=False: the result is localCheckpoint-backed
+    # (propagation truncates lineage), so an eviction-time unpersist
+    # would kill the frame for any earlier caller still holding it
+    return plan_memo(
+        df, ("components", n, text_col, id_col), build,
+        unpersist_on_evict=False,
+    )
 
 
 def cluster_size_profile(

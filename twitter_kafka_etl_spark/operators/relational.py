@@ -483,6 +483,13 @@ def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFr
     from functools import reduce
 
     cols = list(columns) if columns is not None else list(df.columns)
+    if not cols:
+        # preserve the previous form's edge behavior: an empty column
+        # selection profiles to zero rows, not a reduce() TypeError
+        return df.sparkSession.createDataFrame(
+            [],
+            "column string, n_rows bigint, n_nulls bigint, n_distinct bigint",
+        )
     parts = []
     for c in cols:
         parts.append(
