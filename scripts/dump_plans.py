@@ -168,6 +168,11 @@ SHOWCASE = [
      "(shared with x25/x36 — the pairs→propagation subtree builds once "
      "per session), then two partial-agg shuffles whose output is "
      "histogram-sized, never corpus-sized."),
+    ("x92_embedding_profile",
+     "Embedding QA: one scan — the first aggregate groups on (label, "
+     "vector) with dim/norm evaluated once per distinct copy, and "
+     "every per-label statistic (counts, dup mass, quantized norm "
+     "mass) re-aggregates that vector-distinct table."),
 ]
 
 HEADER = """# PLANS — annotated physical plans (generated)
