@@ -45,6 +45,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "x90_winnow_matches",
         "x91_cross_source_leakage",
         "x92_embedding_profile",
+        "x93_packing_stats",
     }
 )
 

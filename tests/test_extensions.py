@@ -1448,3 +1448,17 @@ def test_memo_eviction_never_kills_checkpoint_backed_holder(spark, sf_dir):
         src = spark.range(10 + i)
         plan_memo(src, (f"__test_{i}",), lambda s=src: s.groupBy().count())
     assert comp.count() == n  # held frame still alive after eviction
+
+
+def test_packing_stats_fill_rate_exact(spark):
+    from twitter_kafka_etl_spark.operators import curation as C
+
+    # start-offset rule: doc2 STARTS at offset 300 (< 512) so both
+    # docs share seq 0 — 600 tokens in one 512 budget, fill > 1 (the
+    # overpacking signal); a doc starting past the boundary opens seq 1
+    rows = [(1, "t " * 299 + "t", "sA"), (2, "t " * 299 + "t", "sA"),
+            (3, "t " * 511 + "t", "sB"), (4, "t " * 99 + "t", "sB")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in C.packing_stats(df, budget=512).collect()}
+    assert got["sA"].n_seqs == 1 and abs(got["sA"].fill_rate - 600/512) < 1e-6
+    assert got["sB"].n_seqs == 2 and abs(got["sB"].fill_rate - 612/1024) < 1e-6

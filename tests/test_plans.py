@@ -105,7 +105,7 @@ def test_q12_whole_stage_codegen(spark, sf_dir):
         "x86_mixture_temperature", "x87_source_divergence",
         "x88_pmi_bigrams", "x89_cluster_size_profile",
         "x90_winnow_matches", "x91_cross_source_leakage",
-        "x92_embedding_profile",
+        "x92_embedding_profile", "x93_packing_stats",
     ],
 )
 def test_no_python_udf_in_jvm_paths(spark, sf_dir, name):

@@ -851,3 +851,44 @@ def temperature_weights(
         F.round(w, 6).alias("temp_weight"),
         F.round(w / F.col("__share"), 6).alias("boost"),
     )
+
+
+def packing_stats(
+    df: DataFrame,
+    budget: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source packing yield at a given sequence budget: ``(source,
+    n_docs, n_tokens, n_seqs, fill_rate)`` where ``fill_rate`` =
+    tokens / (sequences × budget) — the fraction of the training
+    compute that is real data rather than padding/waste under the
+    ``pack_sequences`` offset rule. The number a batch-shape decision
+    actually optimizes: x49 accounts padding for FIXED buckets, this
+    accounts the packed alternative, and the two together are the
+    bucket-vs-pack tradeoff table.
+
+    One window shuffle on (source, doc order) — identical to
+    ``pack_sequences``, whose seq assignment this re-derives through
+    the same single-site rule — then one partial-agg pass. Output is
+    |sources| rows.
+    """
+    from twitter_kafka_etl_spark.operators.text import tokenize
+
+    t = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.size(tokenize(text_col)).alias("__tok"),
+    )
+    packed = pack_sequences(t, "__tok", budget, [group_col], [id_col])
+    return packed.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__tok").cast("bigint").alias("n_tokens"),
+        F.countDistinct("seq_id").cast("bigint").alias("n_seqs"),
+        F.round(
+            F.sum("__tok")
+            / (F.countDistinct("seq_id") * F.lit(budget)).cast("double"),
+            6,
+        ).alias("fill_rate"),
+    )

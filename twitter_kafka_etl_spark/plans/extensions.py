@@ -3850,3 +3850,40 @@ def x91(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_profile(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x93 — packing yield accounting
+# ---------------------------------------------------------------------------
+@_register(
+    "x93_packing_stats",
+    "per-source packing yield at a 512-token budget: sequences, tokens "
+    "and fill_rate = tokens/(seqs*budget) under the pack_sequences "
+    "offset rule — the compute-utilization half of the bucket-vs-pack "
+    "batch-shape decision (x49 accounts the fixed-bucket half); one "
+    "window shuffle + one partial agg",
+    """
+    WITH t AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, tok,
+             COALESCE(SUM(tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM t
+    ),
+    p AS (SELECT source, tok, CAST(cb // 512 AS BIGINT) AS seq FROM c)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT seq) AS BIGINT) AS n_seqs,
+           round(SUM(tok) / CAST(COUNT(DISTINCT seq) * 512 AS DOUBLE), 6)
+             AS fill_rate
+    FROM p GROUP BY source
+    """,
+    tags=("curation", "extension"),
+)
+def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.packing_stats(_docs(spark, sf_dir))
