@@ -46,6 +46,10 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "x91_cross_source_leakage",
         "x92_embedding_profile",
         "x93_packing_stats",
+        "x94_feature_correlation",
+        "x95_source_stylometry",
+        "x96_dup_growth_curve",
+        "x97_embedding_separation",
     }
 )
 
@@ -60,10 +64,11 @@ def _rank(name: str) -> int:
     q01-q25 + x27-x35 (50/50 green each).
 
     Round 6 fronts the stalest blocks — q26-q37, x01-x13, x36-x44 and
-    x46-x47, last driver-verified in r3, three rounds ago — after any
-    brand-new queries, then fills remaining slots from the
-    r4-verified set (qs1-12, x14-x26, x45, x48-x71; low x-numbers
-    first via the name sort). The freshly-r5-verified set goes last.
+    x46-x47, last driver-verified in r3, three rounds ago — after the
+    14 brand-new queries (x85-x97, qs16), which together fill the
+    window exactly (14 + 12 + 24 = 50). The r4-verified set (qs1-12,
+    x14-x26, x45, x48-x71) ranks next; the freshly-r5-verified set
+    goes last.
     """
     if name in _NEW_THIS_ROUND:
         return 0

@@ -173,6 +173,17 @@ SHOWCASE = [
      "vector) with dim/norm evaluated once per distinct copy, and "
      "every per-label statistic (counts, dup mass, quantized norm "
      "mass) re-aggregates that vector-distinct table."),
+    ("x94_feature_correlation",
+     "Feature correlation: ONE scan collapses to a single exact-BIGINT "
+     "moment row (map-side combine carries the work; the exchange is "
+     "one row per task), and all three Pearson outputs are projected "
+     "from that row — no second pass, no per-pair scan."),
+    ("x96_dup_growth_curve",
+     "Dup growth curve: text is reduced to a 16-byte fingerprint inside "
+     "the scan, the nested 25/50/75/100%% membership fans out as an "
+     "array-filter explode (≤4 rows per doc), and both aggregations are "
+     "partial-agg shuffles keyed on (level, fingerprint) — the x01 "
+     "exact-dedup exchange repeated per level, never re-reading text."),
 ]
 
 HEADER = """# PLANS — annotated physical plans (generated)

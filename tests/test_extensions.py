@@ -1462,3 +1462,74 @@ def test_packing_stats_fill_rate_exact(spark):
     got = {r.source: r for r in C.packing_stats(df, budget=512).collect()}
     assert got["sA"].n_seqs == 1 and abs(got["sA"].fill_rate - 600/512) < 1e-6
     assert got["sB"].n_seqs == 2 and abs(got["sB"].fill_rate - 612/1024) < 1e-6
+
+
+def test_feature_correlation_planted_linear_and_constant(spark):
+    from twitter_kafka_etl_spark.operators import curation as C
+
+    # single-char tokens: n_chars = 2*tokens - 1 (perfect linear, r = 1);
+    # every token identical within a doc: f_types constant (var 0 → 0.0)
+    rows = [(i, "t " * (n - 1) + "t", 2 * n - 1) for i, n in enumerate([2, 5, 9, 14])]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    got = {(r.feat_x, r.feat_y): r for r in C.feature_correlation(df).collect()}
+    assert set(got) == {("f_chars", "f_tokens"), ("f_chars", "f_types"),
+                        ("f_tokens", "f_types")}
+    assert all(r.n_docs == 4 for r in got.values())
+    assert abs(got[("f_chars", "f_tokens")].pearson - 1.0) < 1e-9
+    # f_types has zero variance → guard yields exactly 0.0, not NaN
+    assert got[("f_chars", "f_types")].pearson == 0.0
+    assert got[("f_tokens", "f_types")].pearson == 0.0
+
+
+def test_source_stylometry_planted_ttr_and_hapax(spark):
+    rows = [(1, "a a a a", "rep"), (2, "a bb ccc dddd", "rich")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in T.source_stylometry(df).collect()}
+    rep, rich = got["rep"], got["rich"]
+    assert (rep.n_docs, rep.n_tokens, rep.n_types, rep.n_hapax) == (1, 4, 1, 0)
+    assert abs(rep.ttr - 0.25) < 1e-9 and rep.hapax_frac == 0.0
+    assert abs(rep.mean_word_len - 1.0) < 1e-9
+    assert (rich.n_types, rich.n_hapax) == (4, 4)
+    assert rich.ttr == 1.0 and rich.hapax_frac == 1.0
+    assert abs(rich.mean_word_len - 10 / 4) < 1e-9
+
+
+def test_dup_growth_curve_full_level_exact_and_nested_monotone(spark):
+    dup = "same text here"
+    rows = [(i, dup) for i in range(1, 5)] + [
+        (i, f"unique text {i}") for i in range(5, 9)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.pct: r for r in D.dup_growth_curve(df).collect()}
+    full = out[100]
+    assert (full.n_docs, full.n_distinct, full.n_dup_docs, full.n_excess) == (
+        8, 5, 4, 3,
+    )
+    assert abs(full.dup_frac - 3 / 8) < 1e-9
+    # nested samples: every statistic is monotone non-decreasing in pct
+    pcts = sorted(out)
+    for lo, hi in zip(pcts, pcts[1:]):
+        assert out[lo].n_docs <= out[hi].n_docs
+        assert out[lo].n_distinct <= out[hi].n_distinct
+        assert out[lo].n_excess <= out[hi].n_excess
+
+
+def test_embedding_separation_planted_clusters_and_zero_vec(spark):
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.0, 0.0], 0),  # zero vector: excluded from scoring
+        (4, [0.0, 1.0], 1),
+        (5, [0.1, 0.9], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r.label: r for r in S.embedding_separation(df).collect()}
+    assert got[0].n_scored == 2  # zero vector dropped
+    assert got[1].n_scored == 2
+    for r in got.values():
+        assert r.cohesion > 0.99  # tight clusters
+        assert r.inter_cos < 0.2  # near-orthogonal centroids
+        assert r.margin > 0.8
+    assert got[0].nearest_label == 1 and got[1].nearest_label == 0

@@ -106,6 +106,8 @@ def test_q12_whole_stage_codegen(spark, sf_dir):
         "x88_pmi_bigrams", "x89_cluster_size_profile",
         "x90_winnow_matches", "x91_cross_source_leakage",
         "x92_embedding_profile", "x93_packing_stats",
+        "x94_feature_correlation", "x95_source_stylometry",
+        "x96_dup_growth_curve", "x97_embedding_separation",
     ],
 )
 def test_no_python_udf_in_jvm_paths(spark, sf_dir, name):

@@ -892,3 +892,79 @@ def packing_stats(
             6,
         ).alias("fill_rate"),
     )
+
+
+def feature_correlation(
+    df: DataFrame,
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Pairwise Pearson correlation between the per-document integer
+    features a curation pipeline filters on — declared char count,
+    whitespace tokens, distinct tokens — in long form ``(feat_x,
+    feat_y, n_docs, pearson)``. The feature-redundancy audit run
+    before building a quality classifier or stratifying a mixture: a
+    pair at |r| ≈ 1 is one signal counted twice (weighting it double
+    in a gate silently doubles its influence), and a declared-length
+    column that does NOT correlate ≈ 1 with the recomputed token
+    count exposes a corrupted ingest.
+
+    Determinism: Pearson is computed from the five raw moment sums
+    (n, Σx, Σy, Σx², Σy², Σxy), and every feature is an INTEGER, so
+    the sums are exact BIGINT in any partition order — the float math
+    is a fixed expression dag over those exact integers, identical
+    across engines (the scaled-BIGINT discipline of the quality
+    rollup, applied to second moments). Degenerate variance yields
+    0.0, not NaN, in both engines.
+
+    Plan shape: ONE scan → one partial-aggregated global agg to a
+    single moment row (map-side combine does nearly all the work; the
+    exchange carries one row per task) → the 3 output rows are
+    projected from that row with no further scan. At 100 TB the only
+    caveat is BIGINT headroom on Σxy: with per-doc features capped at
+    ~10⁶ the second moments stay < 2⁶³ up to ~10⁴ PB of documents —
+    lift the sums to DECIMAL(38,0) past that.
+    """
+    from twitter_kafka_etl_spark.operators.text import tokenize
+
+    names = ["f_chars", "f_tokens", "f_types"]
+    toks = tokenize(text_col)
+    feats = df.select(
+        F.col(chars_col).cast("bigint").alias("f_chars"),
+        F.size(toks).cast("bigint").alias("f_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("f_types"),
+    )
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for a in names:
+        aggs.append(F.sum(a).alias(f"s_{a}"))
+        aggs.append(F.sum(F.col(a) * F.col(a)).alias(f"ss_{a}"))
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    one = feats.agg(*aggs)
+
+    def _pearson(a: str, b: str) -> Column:
+        n = F.col("n")
+        cov = (n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}"))
+        vx = n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        vy = n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        r = cov.cast("double") / (
+            F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))
+        )
+        return F.when((vx > 0) & (vy > 0), F.round(r, 6)).otherwise(F.lit(0.0))
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("feat_x"),
+                F.lit(b).alias("feat_y"),
+                _pearson(a, b).alias("pearson"),
+            )
+            for a, b in pairs
+        ]
+    )
+    # generator stays a top-level select item (never nested in an expr)
+    exploded = one.select(F.col("n").alias("n_docs"), F.explode(rows).alias("p"))
+    return exploded.select(
+        "p.feat_x", "p.feat_y", F.col("n_docs"), "p.pearson"
+    )

@@ -1815,3 +1815,67 @@ def cross_source_pairs(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+
+
+def dup_growth_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    levels: Sequence[int] = (25, 50, 75, 100),
+    salt: str = "growth",
+) -> DataFrame:
+    """Duplicate-fraction growth curve over nested deterministic corpus
+    samples: for each sample level p, the exact-dedup statistics of the
+    sub-corpus {docs : hash_bucket(id) < p}. Duplicate rate GROWS with
+    corpus size (a doc's twin is more likely already present in a
+    bigger crawl), so the dedup budget measured on a pilot sample
+    undershoots production — this curve is how the 100 TB dedup pass is
+    sized from affordable prefixes, and its extrapolation slope is the
+    scaling-study input (how much unique data is actually left).
+
+    Samples are NESTED (bucket < 25 ⊂ bucket < 50 ⊂ …) and md5-keyed —
+    the same rows on every engine/run/retry, so the curve is monotone
+    by construction rather than up to sampling noise.
+
+    Plan shape: one scan computing (16-byte fingerprint, bucket); an
+    array-filter explode fans each doc to the ≤|levels| samples that
+    contain it; one partial-agg shuffle on (level, fingerprint); a
+    |levels|-keyed re-agg. The exchange carries ≤ |levels|·n rows of
+    ~20 bytes — at 100 TB this is the x01 exact-dedup shuffle repeated
+    |levels| times, with text never leaving the scan.
+    """
+    from twitter_kafka_etl_spark.operators.curation import hash_bucket
+
+    lv = F.array(*[F.lit(int(p)) for p in levels])
+    base = df.select(
+        F.md5(fingerprint_norm(F.col(text_col))).alias("__fp"),
+        hash_bucket(id_col, salt).alias("__b"),
+    )
+    # a doc belongs to every level above its bucket — nested samples
+    lev = base.select(
+        "__fp", F.explode(F.filter(lv, lambda p: p > F.col("__b"))).alias("pct")
+    )
+    g = lev.groupBy("pct", "__fp").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        g.groupBy("pct")
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum(F.when(F.col("__c") >= 2, F.col("__c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            (F.sum(F.col("__c")) - F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("n_excess"),
+        )
+        .select(
+            F.col("pct").cast("bigint").alias("pct"),
+            "n_docs",
+            "n_distinct",
+            "n_dup_docs",
+            "n_excess",
+            F.round(
+                F.col("n_excess").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_frac"),
+        )
+    )

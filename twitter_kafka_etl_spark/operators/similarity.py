@@ -943,3 +943,95 @@ def embedding_profile(
         F.round(F.col("__snq").cast("double") / 1e6 / F.col("n_vecs"), 6)
         .alias("mean_norm"),
     )
+
+
+def embedding_separation(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Class-separation audit of a labeled embedding table: per label,
+    ``(label, n_scored, cohesion, nearest_label, inter_cos, margin)``
+    where cohesion is the mean cosine of members to their own label's
+    centroid, inter_cos the cosine between this centroid and its
+    NEAREST other centroid, and margin = cohesion − inter_cos. A label
+    whose margin ≤ 0 overlaps a neighbor more than it coheres —
+    mislabeled or duplicated classes that poison both stratified
+    mixtures and classifier-filtered curation; the embedding-space twin
+    of the x69 label audit.
+
+    Determinism: centroids are the DECIMAL(38,12)-exact means of
+    ``label_centroids`` rounded to 6 dp; member cosines are sequential
+    double folds against that rounded centroid (the x07 bitwise-identity
+    discipline), quantized to scaled BIGINT before the per-label mean so
+    the sum is exact-integer in any partition order; the nearest-other
+    choice orders by (rounded cosine DESC, label) — no float tie-break.
+    Zero-norm vectors are excluded from cohesion (cosine undefined —
+    x92 counts them).
+
+    Plan shape: one posexplode partial-agg shuffle for the centroids
+    (output labels × dims — broadcast-sized at any corpus scale), a
+    labels²-row centroid-pair comparison entirely on that broadcast
+    table, and ONE narrow scoring pass over the vectors against the
+    broadcast centroid map. Nothing but the centroid agg shuffles the
+    big table.
+    """
+    from pyspark.sql import Window
+
+    cents = label_centroids(df, vec_col, label_col)
+    cv = (
+        cents.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "centroid"))).alias("pm"))
+        .select(
+            label_col, F.transform("pm", lambda x: x["centroid"]).alias("cvec")
+        )
+    )
+    vd = as_double(F.col(vec_col))
+    base = df.select(F.col(label_col), vd.alias("__v")).filter(
+        dot(F.col("__v"), F.col("__v")) > 0
+    )
+    coh = (
+        base.join(F.broadcast(cv), label_col)
+        .select(
+            label_col,
+            F.round(cosine(F.col("__v"), F.col("cvec")) * 1e6, 0)
+            .cast("bigint")
+            .alias("__cq"),
+        )
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.sum("__cq").alias("__s"),
+        )
+    )
+    a = cv.select(F.col(label_col).alias("__la"), F.col("cvec").alias("__ca"))
+    b = cv.select(F.col(label_col).alias("__lb"), F.col("cvec").alias("__cb"))
+    pairs = a.join(F.broadcast(b), F.col("__la") != F.col("__lb")).select(
+        "__la",
+        "__lb",
+        F.round(cosine(F.col("__ca"), F.col("__cb")), 6).alias("inter_cos"),
+    )
+    w = Window.partitionBy("__la").orderBy(F.desc("inter_cos"), F.col("__lb"))
+    nearest = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__la").alias(label_col),
+            F.col("__lb").alias("nearest_label"),
+            "inter_cos",
+        )
+    )
+    return coh.join(nearest, label_col).select(
+        label_col,
+        "n_scored",
+        F.round(F.col("__s").cast("double") / 1e6 / F.col("n_scored"), 6).alias(
+            "cohesion"
+        ),
+        "nearest_label",
+        "inter_cos",
+        F.round(
+            F.round(F.col("__s").cast("double") / 1e6 / F.col("n_scored"), 6)
+            - F.col("inter_cos"),
+            6,
+        ).alias("margin"),
+    )

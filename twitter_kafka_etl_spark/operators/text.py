@@ -1318,3 +1318,62 @@ def source_token_kl(
             ).alias("kl_nats"),
         )
     )
+
+
+def source_stylometry(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Vocabulary-richness profile per source: ``(source, n_docs,
+    n_tokens, n_types, n_hapax, ttr, hapax_frac, mean_word_len)``.
+    Type-token ratio and hapax fraction are the classic stylometry
+    signals for machine-generated or template text (a scraped listing
+    farm has a tiny TTR; human prose at this scale sits much higher),
+    and a mean-word-length outlier flags tokenizer-hostile content —
+    the per-source triage read BEFORE choosing dedup and quality
+    thresholds per source.
+
+    Every emitted ratio is int/int (exact BIGINT numerators and
+    denominators, one double division, round 6) — bit-reproducible
+    across engines and partitionings, the x54 discipline.
+
+    Plan shape: explode tokens → ONE partial-agg shuffle on (source,
+    token) — the same vocabulary-bounded exchange as the corpus-freq
+    family (shuffle rows ≤ |sources| × |vocab|, regardless of corpus
+    row count) — then a |vocab|-sized re-agg per source and a
+    broadcast join with the |sources|-row doc count. At 100 TB the
+    map-side combine absorbs the token stream; nothing scales with
+    raw token count past the combiner.
+    """
+    tok = df.select(
+        F.col(group_col), F.explode(tokenize(text_col)).alias("__tok")
+    )
+    per = tok.groupBy(group_col, "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    st = per.groupBy(group_col).agg(
+        F.sum("__c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.sum(F.length("__tok") * F.col("__c")).cast("bigint").alias("__chars"),
+    )
+    nd = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return st.join(F.broadcast(nd), group_col).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias(
+            "ttr"
+        ),
+        F.round(F.col("n_hapax").cast("double") / F.col("n_types"), 6).alias(
+            "hapax_frac"
+        ),
+        F.round(F.col("__chars").cast("double") / F.col("n_tokens"), 6).alias(
+            "mean_word_len"
+        ),
+    )

@@ -3887,3 +3887,194 @@ def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.packing_stats(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x94 — per-document feature correlation (curation-feature QA)
+# ---------------------------------------------------------------------------
+_FC_FEATS = {
+    "f_chars": "n_chars",
+    "f_tokens": "len(string_split(text, ' '))",
+    "f_types": "len(list_distinct(string_split(text, ' ')))",
+}
+_FC_MOMENTS = ",\n         ".join(
+    f"CAST(SUM({k}) AS BIGINT) AS s_{k}, "
+    f"CAST(SUM({k} * {k}) AS BIGINT) AS ss_{k}"
+    for k in _FC_FEATS
+) + ",\n         " + ",\n         ".join(
+    f"CAST(SUM({a} * {b}) AS BIGINT) AS sp_{a}_{b}"
+    for i, a in enumerate(_FC_FEATS)
+    for b in list(_FC_FEATS)[i + 1 :]
+)
+_FC_BRANCHES = "\n    UNION ALL\n".join(
+    f"""SELECT '{a}' AS feat_x, '{b}' AS feat_y, n AS n_docs,
+       CASE WHEN (n * ss_{a} - s_{a} * s_{a}) > 0
+              AND (n * ss_{b} - s_{b} * s_{b}) > 0
+            THEN round(CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS DOUBLE)
+                       / (sqrt(CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE))
+                          * sqrt(CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE))),
+                       6)
+            ELSE 0.0 END AS pearson
+    FROM s"""
+    for i, a in enumerate(_FC_FEATS)
+    for b in list(_FC_FEATS)[i + 1 :]
+)
+
+
+@_register(
+    "x94_feature_correlation",
+    "pairwise Pearson correlation of the per-doc curation features "
+    "(declared chars, tokens, distinct tokens) from exact BIGINT "
+    "moment sums — the redundancy audit before weighting features in "
+    "a quality gate, and a declared-vs-recomputed ingest check; one "
+    "global partial agg to a single moment row",
+    f"""
+    WITH f AS (
+      SELECT {", ".join(f"{v} AS {k}" for k, v in _FC_FEATS.items())}
+      FROM documents
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {_FC_MOMENTS}
+      FROM f
+    )
+    {_FC_BRANCHES}
+    """,
+    tags=("curation", "extension"),
+)
+def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.feature_correlation(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x95 — per-source stylometry (vocabulary-richness profile)
+# ---------------------------------------------------------------------------
+@_register(
+    "x95_source_stylometry",
+    "per-source vocabulary-richness profile: type-token ratio, hapax "
+    "fraction and mean word length as exact int/int ratios — the "
+    "template/machine-text triage read before setting per-source "
+    "dedup and quality thresholds; one vocabulary-bounded shuffle",
+    """
+    WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+    per AS (SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+    st AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+             CAST(SUM(len(tok) * c) AS BIGINT) AS cm
+      FROM per GROUP BY source
+    ),
+    d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source)
+    SELECT source, n_docs, n_tokens, n_types, n_hapax,
+           round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+           round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_frac,
+           round(CAST(cm AS DOUBLE) / n_tokens, 6) AS mean_word_len
+    FROM st JOIN d USING (source)
+    """,
+    tags=("text", "extension"),
+)
+def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.source_stylometry(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x96 — duplicate-fraction growth curve (dedup scaling study)
+# ---------------------------------------------------------------------------
+@_register(
+    "x96_dup_growth_curve",
+    "exact-dedup statistics over NESTED md5-keyed corpus samples "
+    "(25/50/75/100%): duplicate rate grows with corpus size, so this "
+    "curve — monotone by construction — is how a 100 TB dedup budget "
+    "is extrapolated from affordable prefixes; text never leaves the "
+    "scan, the exchange carries 16-byte fingerprints",
+    f"""
+    WITH b AS (
+      SELECT md5({_NORM_SQL}) AS fp,
+             {_BUCKET_SQL_T.format(salt='growth', col='doc_id')} AS bk
+      FROM documents
+    ),
+    l AS (SELECT unnest([25, 50, 75, 100]) AS pct),
+    m AS (SELECT l.pct, b.fp FROM b, l WHERE b.bk < l.pct),
+    g AS (SELECT pct, fp, COUNT(*) AS c FROM m GROUP BY 1, 2)
+    SELECT CAST(pct AS BIGINT) AS pct,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(SUM(c - 1) AS BIGINT) AS n_excess,
+           round(CAST(SUM(c - 1) AS DOUBLE) / SUM(c), 6) AS dup_frac
+    FROM g GROUP BY pct
+    """,
+    tags=("dedup", "extension"),
+)
+def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dup_growth_curve(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x97 — embedding class-separation audit (cohesion vs nearest centroid)
+# ---------------------------------------------------------------------------
+_CENT_COS = (
+    "round(list_dot_product({v}, {q}) / "
+    "(sqrt(list_dot_product({v}, {v})) * sqrt(list_dot_product({q}, {q}))), 6)"
+)
+
+
+@_register(
+    "x97_embedding_separation",
+    "class-separation audit: per label, members' mean cosine to their "
+    "own decimal-exact centroid vs the cosine to the NEAREST other "
+    "centroid; margin <= 0 flags overlapping/mislabeled classes — the "
+    "embedding-space twin of the x69 label audit; centroid table is "
+    "broadcast-sized, one narrow scoring pass",
+    f"""
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    comp AS (
+      SELECT label,
+             unnest(list_transform(range(1, len(v) + 1),
+                    i -> {{'p': i, 'v': v[i]}})) AS s
+      FROM e
+    ),
+    m AS (
+      SELECT label, s.p - 1 AS pos,
+             round(CAST(SUM(CAST(s.v AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*), 6) AS m
+      FROM comp GROUP BY 1, 2
+    ),
+    cv AS (SELECT label, list(m ORDER BY pos) AS cvec FROM m GROUP BY 1),
+    coh AS (
+      SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n_scored,
+             SUM(CAST(round(list_dot_product(e.v, cv.cvec)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(cv.cvec, cv.cvec)))
+                   * 1e6, 0) AS BIGINT)) AS sq
+      FROM e JOIN cv USING (label)
+      WHERE list_dot_product(e.v, e.v) > 0
+      GROUP BY e.label
+    ),
+    pr AS (
+      SELECT a.label, b.label AS nearest_label,
+             {_CENT_COS.format(v='a.cvec', q='b.cvec')} AS inter_cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.label
+               ORDER BY {_CENT_COS.format(v='a.cvec', q='b.cvec')} DESC,
+                        b.label) AS rn
+      FROM cv a JOIN cv b ON a.label <> b.label
+    )
+    SELECT coh.label, n_scored,
+           round(CAST(sq AS DOUBLE) / 1e6 / n_scored, 6) AS cohesion,
+           nearest_label, inter_cos,
+           round(round(CAST(sq AS DOUBLE) / 1e6 / n_scored, 6) - inter_cos,
+                 6) AS margin
+    FROM coh JOIN pr USING (label)
+    WHERE rn = 1
+    """,
+    tags=("similarity", "extension"),
+)
+def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_separation(_emb(spark, sf_dir))
