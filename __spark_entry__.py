@@ -50,6 +50,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "x95_source_stylometry",
         "x96_dup_growth_curve",
         "x97_embedding_separation",
+        "x98_dedup_method_agreement",
     }
 )
 
@@ -65,10 +66,11 @@ def _rank(name: str) -> int:
 
     Round 6 fronts the stalest blocks — q26-q37, x01-x13, x36-x44 and
     x46-x47, last driver-verified in r3, three rounds ago — after the
-    14 brand-new queries (x85-x97, qs16), which together fill the
-    window exactly (14 + 12 + 24 = 50). The r4-verified set (qs1-12,
-    x14-x26, x45, x48-x71) ranks next; the freshly-r5-verified set
-    goes last.
+    15 brand-new queries (x85-x98, qs16). 15 + 12 + 24 = 51 overflows
+    the 50-slot window by one: x47 (last stale name in sort order)
+    slides to r7, where it fronts the rotation. The r4-verified set
+    (qs1-12, x14-x26, x45, x48-x71) ranks next; the freshly-
+    r5-verified set goes last.
     """
     if name in _NEW_THIS_ROUND:
         return 0

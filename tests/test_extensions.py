@@ -1533,3 +1533,29 @@ def test_embedding_separation_planted_clusters_and_zero_vec(spark):
         assert r.inter_cos < 0.2  # near-orthogonal centroids
         assert r.margin > 0.8
     assert got[0].nearest_label == 1 and got[1].nearest_label == 0
+
+
+def test_dedup_method_agreement_planted_cells(spark):
+    long_a = " ".join(f"w{i}" for i in range(12))
+    rows = [
+        # byte-identical SHORT docs: no 3-gram shingles → no MinHash
+        # signature — the LSH blind spot cell (1, 0, 1)
+        (1, "a b"),
+        (2, "a b"),
+        # byte-identical LONG docs: all three methods agree (1, 1, 1)
+        (3, long_a),
+        (4, long_a),
+        # unrelated doc: pairs with nothing
+        (5, " ".join(f"z{i}" for i in range(20, 40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.in_exact, r.in_minhash, r.in_simhash): r.n_pairs
+        for r in D.dedup_method_agreement(df).collect()
+    }
+    assert got[(1, 0, 1)] == 1  # the short identical pair
+    assert got[(1, 1, 1)] == 1  # the long identical pair
+    # identical text always has hamming-0 simhash: exact-only is empty
+    assert (1, 0, 0) not in got
+    # no detector invents a pair across unrelated docs
+    assert sum(got.values()) == len(got) == 2

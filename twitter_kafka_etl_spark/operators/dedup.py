@@ -1879,3 +1879,69 @@ def dup_growth_curve(
             ).alias("dup_frac"),
         )
     )
+
+
+def dedup_method_agreement(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Agreement matrix across the three cheap pair detectors — exact
+    fingerprint, banded MinHash-LSH candidates, SimHash hamming ≤ 3 —
+    as ``(in_exact, in_minhash, in_simhash, n_pairs)``, one row per
+    non-empty membership combination. The method-calibration read
+    taken before committing a 100 TB dedup stack: the exact∖minhash
+    cell exposes LSH's sub-shingle blind spot (documents shorter than
+    the shingle width carry no signature, so byte-identical short docs
+    land at (1,0,1)), the simhash-only cell sizes the bag-of-words
+    false-positive surface, and the minhash∩simhash∖exact mass is the
+    near-dup yield the threshold decision is actually about.
+
+    Each arm is the registered operator's own plan — banded/indexed,
+    never all-pairs, with the collapse-exact rewrite intact on
+    duplicate-heavy corpora — and the MinHash arm reads the memoized
+    ``corpus_signatures`` working set shared with x03/x46/x59/x60.
+    The agreement itself is a union of the three pair sets tagged with
+    method flags, ONE partial-agg shuffle keyed on the pair id (the
+    exchange is pair-set-sized, ~24 bytes/row), and a ≤8-row re-agg.
+    Flags are BIGINT 0/1 so the output hashes identically cross-engine.
+    """
+    fp = df.select(
+        F.col(id_col), F.md5(fingerprint_norm(F.col(text_col))).alias("__fp")
+    )
+    exact = fp.alias("a").join(fp.alias("b"), "__fp").filter(
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+    )
+    mh = minhash_lsh_pairs(
+        corpus_signatures(df, text_col=text_col, id_col=id_col), id_col=id_col
+    ).select("doc_a", "doc_b")
+    sh = simhash_pairs(
+        simhash(df, text_col=text_col, id_col=id_col), id_col=id_col
+    ).select("doc_a", "doc_b")
+
+    def _tag(pairs: DataFrame, e: int, m: int, s: int) -> DataFrame:
+        return pairs.select(
+            "doc_a",
+            "doc_b",
+            F.lit(e).alias("__e"),
+            F.lit(m).alias("__m"),
+            F.lit(s).alias("__s"),
+        )
+
+    tagged = (
+        _tag(exact, 1, 0, 0)
+        .unionByName(_tag(mh, 0, 1, 0))
+        .unionByName(_tag(sh, 0, 0, 1))
+    )
+    per_pair = tagged.groupBy("doc_a", "doc_b").agg(
+        F.max("__e").alias("in_exact"),
+        F.max("__m").alias("in_minhash"),
+        F.max("__s").alias("in_simhash"),
+    )
+    return per_pair.groupBy(
+        F.col("in_exact").cast("bigint").alias("in_exact"),
+        F.col("in_minhash").cast("bigint").alias("in_minhash"),
+        F.col("in_simhash").cast("bigint").alias("in_simhash"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))

@@ -4078,3 +4078,66 @@ _CENT_COS = (
 )
 def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_separation(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x98 — dedup-method agreement matrix (exact vs MinHash-LSH vs SimHash)
+# ---------------------------------------------------------------------------
+@_register(
+    "x98_dedup_method_agreement",
+    "agreement matrix across the three cheap pair detectors (exact "
+    "fingerprint, banded MinHash-LSH candidates, SimHash hamming<=3): "
+    "pair counts per membership combination — the method-calibration "
+    "read before committing a 100 TB dedup stack; the exact-without-"
+    "minhash cell exposes LSH's sub-shingle blind spot, simhash-only "
+    "sizes the bag-of-words false-positive surface; one pair-set-sized "
+    "partial-agg shuffle",
+    f"""
+    WITH {_SIG_CTE},
+    bands AS (
+    {_BAND_BRANCHES}
+    ),
+    mh AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    {_SIMHASH_CTE},
+    chunks AS (
+      SELECT doc_id, simhash,
+             (simhash >> 0) & 255 AS c0, (simhash >> 8) & 255 AS c1,
+             (simhash >> 16) & 255 AS c2, (simhash >> 24) & 255 AS c3
+      FROM sim
+    ),
+    sp AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM chunks a JOIN chunks b
+        ON a.doc_id < b.doc_id
+       AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    fp AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents),
+    ex AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    tagged AS (
+      SELECT doc_a, doc_b, 1 AS e, 0 AS m, 0 AS s FROM ex
+      UNION ALL
+      SELECT doc_a, doc_b, 0, 1, 0 FROM mh
+      UNION ALL
+      SELECT doc_a, doc_b, 0, 0, 1 FROM sp
+    ),
+    pp AS (
+      SELECT doc_a, doc_b, MAX(e) AS e, MAX(m) AS m, MAX(s) AS s
+      FROM tagged GROUP BY 1, 2
+    )
+    SELECT CAST(e AS BIGINT) AS in_exact, CAST(m AS BIGINT) AS in_minhash,
+           CAST(s AS BIGINT) AS in_simhash,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pp GROUP BY 1, 2, 3
+    """,
+    tags=("dedup", "extension"),
+)
+def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_method_agreement(_docs(spark, sf_dir))
