@@ -51,6 +51,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "x96_dup_growth_curve",
         "x97_embedding_separation",
         "x98_dedup_method_agreement",
+        "qs17_stream_neardup_ingest",
     }
 )
 
@@ -66,11 +67,11 @@ def _rank(name: str) -> int:
 
     Round 6 fronts the stalest blocks — q26-q37, x01-x13, x36-x44 and
     x46-x47, last driver-verified in r3, three rounds ago — after the
-    15 brand-new queries (x85-x98, qs16). 15 + 12 + 24 = 51 overflows
-    the 50-slot window by one: x47 (last stale name in sort order)
-    slides to r7, where it fronts the rotation. The r4-verified set
-    (qs1-12, x14-x26, x45, x48-x71) ranks next; the freshly-
-    r5-verified set goes last.
+    16 brand-new queries (x85-x98, qs16-qs17). 16 + 12 + 24 = 52
+    overflows the 50-slot window by two: x46 and x47 (last stale names
+    in sort order) slide to r7, where they front the rotation. The
+    r4-verified set (qs1-12, x14-x26, x45, x48-x71) ranks next; the
+    freshly-r5-verified set goes last.
     """
     if name in _NEW_THIS_ROUND:
         return 0

@@ -608,3 +608,61 @@ def test_qs16_stream_mixture_matches_batch_and_final_horizon(spark, sf_dir):
         for r in C.mixture_temperature(docs).collect()
     }
     assert final == batch
+
+
+def test_qs17_stream_equals_batch_recursion(spark, sf_dir):
+    """The streamed kept set must equal a batch replay of the
+    kept-history recursion: batch 0 keeps all its first-occurrence
+    docs, batch i keeps exactly the first-occurrence docs sharing no
+    fingerprint and no MinHash band bucket with any EARLIER-KEPT doc —
+    the stream/batch equivalence the accumulated index claims."""
+    from pyspark.sql import Window
+
+    from twitter_kafka_etl_spark.io import read_table
+    from twitter_kafka_etl_spark.operators import dedup as D
+    from twitter_kafka_etl_spark.plans import REGISTRY
+
+    streamed = {
+        (r.doc_id, r.batch)
+        for r in REGISTRY["qs17_stream_neardup_ingest"]
+        .build(spark, sf_dir)
+        .collect()
+    }
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    width = (docs.agg(F.max("doc_id")).first()[0] or 0) // 4 + 1
+    lab = docs.select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") / width).cast("bigint").alias("bk"),
+        F.md5("text").alias("fp"),
+    )
+    w = Window.partitionBy("bk", "fp").orderBy("doc_id")
+    cand = (
+        lab.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .collect()
+    )
+    bands = {}
+    for r in D.band_rows(
+        D.minhash_signatures(D.shingle(docs))
+    ).collect():
+        bands.setdefault(r.doc_id, set()).add((r.band, r.sig))
+
+    kept, kept_fps, kept_bands = set(), set(), set()
+    for i in range(4):
+        batch = [r for r in cand if r.bk == i]
+        level = {
+            (r.doc_id, r.bk)
+            for r in batch
+            if r.fp not in kept_fps
+            and not (bands.get(r.doc_id, set()) & kept_bands)
+        }
+        kept |= level
+        kept_fps |= {r.fp for r in batch if (r.doc_id, r.bk) in level}
+        for r in batch:
+            if (r.doc_id, r.bk) in level:
+                kept_bands |= bands.get(r.doc_id, set())
+    assert streamed == kept
+    # the history gate actually fires: some candidate was rejected
+    assert len(streamed) < len(cand)

@@ -215,18 +215,19 @@ def corpus_signatures(
     return plan_memo(df, ("minhash_sigs", n, text_col, id_col, ptag), build)
 
 
-def _minhash_lsh_pairs_core(
+def band_rows(
     signatures: DataFrame,
-    id_col: str,
-    n_bands: int,
-    rows_per_band: int,
+    id_col: str = "doc_id",
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
-    """Banded equi-join over the given signature rows.
-
-    Bands are produced by a single explode over an array of per-band
-    structs — ONE scan of the signature table, not an ``n_bands``-way
-    union (each union branch re-evaluates the upstream plan; at sf1 the
-    union form re-ran the shingle+signature subtree four times)."""
+    """Unpivot a MinHash signature table to ``(id, band, sig)`` rows —
+    the LSH bucket keys. Produced by a single explode over an array of
+    per-band structs — ONE scan of the signature table, not an
+    ``n_bands``-way union (each union branch re-evaluates the upstream
+    plan; at sf1 the union form re-ran the shingle+signature subtree
+    four times). Shared by the banded pair join and the incremental
+    band-index ingest (qs17)."""
     band_structs = F.array(
         *[
             F.struct(
@@ -242,13 +243,23 @@ def _minhash_lsh_pairs_core(
             for b in range(n_bands)
         ]
     )
-    bands = signatures.select(
+    return signatures.select(
         F.col(id_col), F.explode(band_structs).alias("__bs")
     ).select(
         F.col(id_col),
         F.col("__bs.band").alias("band"),
         F.col("__bs.sig").alias("sig"),
     )
+
+
+def _minhash_lsh_pairs_core(
+    signatures: DataFrame,
+    id_col: str,
+    n_bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """Banded equi-join over the ``band_rows`` of the given signatures."""
+    bands = band_rows(signatures, id_col, n_bands, rows_per_band)
     a = bands.alias("a")
     b_ = bands.alias("b")
     return (

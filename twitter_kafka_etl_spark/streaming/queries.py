@@ -1659,3 +1659,173 @@ def qs16(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_weights(
         cum, group_col="source", tokens_col="cum_tokens", by=("batch",)
     )
+
+
+# ---------------------------------------------------------------------------
+# QS17 — incremental NEAR-dup ingest: exact fp + MinHash band index vs
+# accumulated KEPT history (qs12's pattern lifted from exact to near-dup)
+# ---------------------------------------------------------------------------
+def _register_qs17() -> None:
+    from twitter_kafka_etl_spark.plans.extensions import (
+        _BAND_BRANCHES,
+        _SIG_CTE,
+    )
+
+    # The kept set is recursive across batches (a doc is kept iff it
+    # misses every EARLIER-KEPT doc's fingerprint and band buckets) —
+    # SQL-expressible because the harness arrival schedule is exactly 4
+    # id-range batches, so the recursion unrolls to 4 CTE levels.
+    levels = []
+    prior = "k0"
+    for i in (1, 2, 3):
+        levels.append(f"""
+    pr{i} AS (SELECT doc_id FROM {prior}),
+    h{i} AS (
+      SELECT DISTINCT a.doc_id FROM bb a
+        JOIN bb p ON a.band = p.band AND a.sig = p.sig
+        JOIN pr{i} ON p.doc_id = pr{i}.doc_id
+      WHERE a.bk = {i}
+      UNION
+      SELECT a.doc_id FROM ddf a
+        JOIN ddf p ON a.fp = p.fp
+        JOIN pr{i} ON p.doc_id = pr{i}.doc_id
+      WHERE a.bk = {i}
+    ),
+    k{i} AS (SELECT doc_id, bk FROM dd WHERE bk = {i}
+             AND doc_id NOT IN (SELECT doc_id FROM h{i}))""")
+        prior = f"(SELECT doc_id, NULL bk FROM pr{i} UNION ALL SELECT doc_id, NULL bk FROM k{i})"
+    unrolled = ",".join(levels)
+
+    @_register(
+        "qs17_stream_neardup_ingest",
+        "incremental NEAR-dup ingest: each arriving batch is deduped "
+        "within itself (min doc_id per md5 fingerprint), then rejected "
+        "if its fingerprint OR any of its 4 MinHash band buckets "
+        "matches the accumulated index of EARLIER-KEPT documents; "
+        "survivors append their fingerprint+bands to the index — "
+        "qs12's crawl-ingest pattern lifted from exact to near-dup, "
+        "with state = (16 B fp + 4 band keys) per KEPT doc, not a "
+        "state store; sub-shingle docs carry no bands and pass only "
+        "the exact gate (the x98 blind-spot cell, live); oracle form: "
+        "the 4-batch recursion unrolled over id-range buckets",
+        f"""
+    WITH {_SIG_CTE},
+    bands AS (
+    {_BAND_BRANCHES}
+    ),
+    w AS (SELECT MAX(doc_id) // 4 + 1 AS width FROM documents),
+    d0 AS (
+      SELECT doc_id, md5(text) AS fp, doc_id // w.width AS bk,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id // w.width, md5(text)
+               ORDER BY doc_id) AS rn
+      FROM documents CROSS JOIN w
+    ),
+    dd AS (SELECT doc_id, bk FROM d0 WHERE rn = 1),
+    ddf AS (SELECT doc_id, bk, fp FROM d0 WHERE rn = 1),
+    bb AS (SELECT b.doc_id, b.band, b.sig, dd.bk
+           FROM bands b JOIN dd USING (doc_id)),
+    k0 AS (SELECT doc_id, bk FROM dd WHERE bk = 0),
+    {unrolled}
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(bk AS BIGINT) AS batch
+    FROM (SELECT * FROM k0 UNION ALL SELECT * FROM k1
+          UNION ALL SELECT * FROM k2 UNION ALL SELECT * FROM k3)
+    """,
+        tags=("streaming", "dedup"),
+    )
+    def qs17(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from twitter_kafka_etl_spark.operators import dedup as D
+        from twitter_kafka_etl_spark.streaming.sinks import (
+            foreach_batch_fanout,
+        )
+
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        mx = docs.agg(F.max("doc_id")).first()[0] or 0
+        width = mx // 4 + 1
+
+        def write(in_dir: str) -> None:
+            (
+                docs.withColumn(
+                    "__f", F.floor(F.col("doc_id") / width).cast("int")
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .partitionBy("__f")
+                .parquet(in_dir)
+            )
+
+        in_dir, work = _staged_input(sf_dir, "qs17", "idrange4", write)
+        corpus = os.path.join(work, "corpus")
+        bandidx = os.path.join(work, "bandidx")
+
+        def ingest(batch_df: DataFrame, batch_id: int) -> None:
+            s = batch_df.sparkSession
+            # within-batch exact dedup, batch label from the DATA
+            fp = batch_df.select(
+                "doc_id",
+                (F.col("doc_id") / width).cast("bigint").alias("batch"),
+                F.md5("text").alias("fp"),
+                "text",
+            )
+            w_ = Window.partitionBy("fp").orderBy("doc_id")
+            novel = (
+                fp.withColumn("__rn", F.row_number().over(w_))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            # bands of this batch's candidates (tiny: 4 rows/doc) —
+            # checkpointed so the hit probe and the index append don't
+            # re-run the shingle+minhash subtree
+            bands = D.band_rows(
+                D.minhash_signatures(D.shingle(novel.select("doc_id", "text")))
+            ).localCheckpoint(eager=True)
+            # hit = exact fp in earlier-KEPT corpus OR any band bucket
+            # in earlier-KEPT band index (own-batch partitions excluded
+            # → replay-idempotent, per the qs12 round-5 advice fix)
+            if os.path.exists(corpus):
+                seen_fp = (
+                    s.read.parquet(corpus)
+                    .filter(F.col("__b") != batch_id)
+                    .select("fp")
+                )
+                seen_bands = (
+                    s.read.parquet(bandidx)
+                    .filter(F.col("__b") != batch_id)
+                    .select("band", "sig")
+                )
+                hits = (
+                    novel.join(seen_fp, "fp", "left_semi")
+                    .select("doc_id")
+                    .unionByName(
+                        bands.join(seen_bands, ["band", "sig"], "left_semi")
+                        .select("doc_id")
+                    )
+                    .distinct()
+                )
+                kept = novel.join(hits, "doc_id", "left_anti")
+            else:
+                kept = novel
+            # pin before the two appends (qs12's re-list footgun: the
+            # first append extends the file source the second plan
+            # would re-list)
+            kept = kept.localCheckpoint(eager=True)
+            kept.select("doc_id", "batch", "fp").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(corpus, f"__b={batch_id}"))
+            bands.join(
+                kept.select("doc_id"), "doc_id", "left_semi"
+            ).write.mode("overwrite").parquet(
+                os.path.join(bandidx, f"__b={batch_id}")
+            )
+
+        stream = _read_stream(spark, in_dir, docs)
+        q = foreach_batch_fanout(
+            stream, [ingest], checkpoint=os.path.join(work, "ckpt")
+        )
+        q.awaitTermination()
+        return spark.read.parquet(corpus).select("doc_id", "batch")
+
+
+_register_qs17()
