@@ -52,6 +52,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "x97_embedding_separation",
         "x98_dedup_method_agreement",
         "qs17_stream_neardup_ingest",
+        "x99_dedup_source_yield",
     }
 )
 
@@ -67,9 +68,10 @@ def _rank(name: str) -> int:
 
     Round 6 fronts the stalest blocks — q26-q37, x01-x13, x36-x44 and
     x46-x47, last driver-verified in r3, three rounds ago — after the
-    16 brand-new queries (x85-x98, qs16-qs17). 16 + 12 + 24 = 52
-    overflows the 50-slot window by two: x46 and x47 (last stale names
-    in sort order) slide to r7, where they front the rotation. The
+    17 brand-new queries (x85-x99, qs16-qs17). 17 + 12 + 24 = 53
+    overflows the 50-slot window by three: x44, x46 and x47 (last
+    stale names in sort order) slide to r7, where they front the
+    rotation. The
     r4-verified set (qs1-12, x14-x26, x45, x48-x71) ranks next; the
     freshly-r5-verified set goes last.
     """

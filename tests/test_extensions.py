@@ -1559,3 +1559,20 @@ def test_dedup_method_agreement_planted_cells(spark):
     assert (1, 0, 0) not in got
     # no detector invents a pair across unrelated docs
     assert sum(got.values()) == len(got) == 2
+
+
+def test_dedup_source_yield_planted_cross_source_loss(spark):
+    dup = "the same exact near dup text body"
+    rows = [
+        (1, dup, "srcA"),            # keeper (min id of the cluster)
+        (2, dup, "srcA"),            # removed within-source
+        (3, "a unique document entirely", "srcA"),
+        (4, dup, "srcB"),            # removed, keeper lives in srcA
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in D.dedup_source_yield(df).collect()}
+    a, b = got["srcA"], got["srcB"]
+    assert (a.n_docs, a.n_removed, a.n_lost_other) == (3, 1, 0)
+    assert abs(a.removed_frac - 1 / 3) < 1e-6
+    assert (b.n_docs, b.n_removed, b.n_lost_other) == (1, 1, 1)
+    assert b.removed_frac == 1.0

@@ -1956,3 +1956,59 @@ def dedup_method_agreement(
         F.col("in_minhash").cast("bigint").alias("in_minhash"),
         F.col("in_simhash").cast("bigint").alias("in_simhash"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+
+
+def dedup_source_yield(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source yield loss under near-dup dedup (min-id keeper per
+    LSH component): ``(source, n_docs, n_removed, removed_frac,
+    n_lost_other)`` where ``n_lost_other`` counts removed docs whose
+    keeper lives in a DIFFERENT source. The mixture-impact audit run
+    before committing a dedup pass: a source losing most of its mass
+    is a re-sold or mirrored crawl (x91 finds the pairs; this prices
+    the decision), and a large ``n_lost_other`` means the dedup pass
+    silently REWEIGHTS the training mixture — the per-source token
+    budgets x50/x86 planned no longer hold after the pass.
+
+    Reads the memoized ``corpus_components`` working set (two
+    int64s/doc, shared with x25/x36/x89). Two narrow co-keyed joins —
+    components to sources on id, then the keeper's source on
+    component id — and one |sources|-row agg; nothing carries text.
+    At 100 TB both joins are int64-keyed exchanges of three columns.
+    """
+    comps = corpus_components(df, text_col=text_col, id_col=id_col)
+    src = df.select(F.col(id_col), F.col(group_col))
+    labeled = comps.join(src, id_col)
+    keeper_src = src.select(
+        F.col(id_col).alias("component_id"),
+        F.col(group_col).alias("__keeper_src"),
+    )
+    j = labeled.join(keeper_src, "component_id")
+    removed = F.col(id_col) != F.col("component_id")
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(removed.cast("int")).cast("bigint").alias("n_removed"),
+            F.sum(
+                (removed & (F.col("__keeper_src") != F.col(group_col))).cast(
+                    "int"
+                )
+            )
+            .cast("bigint")
+            .alias("n_lost_other"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_removed",
+            F.round(
+                F.col("n_removed").cast("double") / F.col("n_docs"), 6
+            ).alias("removed_frac"),
+            "n_lost_other",
+        )
+    )

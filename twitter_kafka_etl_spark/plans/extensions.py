@@ -4141,3 +4141,60 @@ def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_method_agreement(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x99 — per-source dedup yield loss (mixture impact of the dedup pass)
+# ---------------------------------------------------------------------------
+@_register(
+    "x99_dedup_source_yield",
+    "per-source yield loss under near-dup dedup (min-id keeper per LSH "
+    "component): docs removed, removed fraction, and docs whose keeper "
+    "lives in a DIFFERENT source — the mixture-impact audit priced "
+    "before committing a dedup pass (a high-loss source is a re-sold "
+    "crawl; n_lost_other measures how the pass silently reweights the "
+    "x50/x86 mixture); reads the memoized components working set, two "
+    "int64-keyed narrow joins, one |sources|-row agg",
+    f"""
+    WITH RECURSIVE {_SIG_CTE},
+    bands AS (
+    {_BAND_BRANCHES}
+    ),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM prs
+      UNION SELECT doc_b, doc_a FROM prs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS component_id
+             FROM reach GROUP BY id),
+    j AS (
+      SELECT c.doc_id, c.component_id, d.source,
+             k.source AS keeper_src
+      FROM comp c
+      JOIN documents d ON c.doc_id = d.doc_id
+      JOIN documents k ON c.component_id = k.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id <> component_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           round(CAST(SUM(CASE WHEN doc_id <> component_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS removed_frac,
+           CAST(SUM(CASE WHEN doc_id <> component_id
+                          AND keeper_src <> source THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lost_other
+    FROM j GROUP BY source
+    """,
+    tags=("dedup", "extension"),
+)
+def x99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_source_yield(_docs(spark, sf_dir))
