@@ -78,6 +78,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         C.robust_outliers(docs).filter(F.col("is_outlier")).count()
     )
     print(f"pre-flight: {n_out} robust length outliers (median/MAD)")
+    #     the declared-vs-recomputed ingest check: declared n_chars must
+    #     correlate ~1 with recomputed token counts, and a |r|~1 feature
+    #     pair is one gate signal about to be counted twice
+    print("pre-flight: curation-feature correlations:")
+    C.feature_correlation(docs).show()
+    #     per-source stylometry: tiny TTR = template/listing farm; a
+    #     mean-word-length outlier is tokenizer-hostile content
+    print("pre-flight: lowest type-token-ratio sources:")
+    T.source_stylometry(docs).orderBy("ttr").show(3)
 
     # 1 — doc-level signals (parallel branches, joined on doc_id)
     signals = (
@@ -165,6 +174,22 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("cluster profile (size, clusters, docs removed):")
     D.cluster_size_profile(comps).orderBy("cluster_size").show(5)
 
+    # 3a''' — method calibration and budget sizing for the pass itself:
+    #         which pairs each cheap detector finds (the exact-without-
+    #         minhash cell is LSH's sub-shingle blind spot), how the
+    #         duplicate fraction grows with corpus size (what a 100 TB
+    #         pass will actually face, extrapolated from prefixes), and
+    #         which sources the pass taxes — including mass silently
+    #         reassigned to OTHER sources' keepers
+    print("dedup method agreement (exact / minhash / simhash):")
+    D.dedup_method_agreement(docs).orderBy(
+        "in_exact", "in_minhash", "in_simhash"
+    ).show()
+    print("duplicate-fraction growth over nested samples:")
+    D.dup_growth_curve(docs).orderBy("pct").show()
+    print("per-source dedup yield loss (mixture impact):")
+    D.dedup_source_yield(docs).orderBy(F.desc("removed_frac")).show(3)
+
     # 3b — embedding-space curation (the semantic layer textual dedup
     #      can't see): SemDeDup near-dup pruning inside IVF cells, then
     #      prototypicality pruning against each cell's mean
@@ -177,6 +202,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         f"{proto.filter(F.col('keep') == 1).count()}/{n_emb} kept as "
         "prototypical"
     )
+    #      labels with margin <= 0 overlap a neighbor more than they
+    #      cohere — don't stratify or classifier-filter on them
+    print("embedding class separation (cohesion vs nearest centroid):")
+    S.embedding_separation(emb).orderBy("margin").show(3)
 
     # 3c — importance selection: steer the mix toward the target domain
     #      (DSIR log-likelihood ratio of hashed unigrams vs src0)

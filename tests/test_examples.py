@@ -24,6 +24,9 @@ def test_curation_pipeline_example(spark, sf_dir, capsys):
     assert "filter pass:" in out
     assert "span scrub:" in out
     assert "dedup pass:" in out
+    assert "dedup method agreement" in out
+    assert "per-source dedup yield loss" in out
+    assert "embedding class separation" in out
     assert "mixture pass:" in out
     assert "packed into" in out
 
