@@ -53,6 +53,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "x98_dedup_method_agreement",
         "qs17_stream_neardup_ingest",
         "x99_dedup_source_yield",
+        "x100_quality_dedup_calibration",
     }
 )
 
@@ -68,8 +69,8 @@ def _rank(name: str) -> int:
 
     Round 6 fronts the stalest blocks — q26-q37, x01-x13, x36-x44 and
     x46-x47, last driver-verified in r3, three rounds ago — after the
-    17 brand-new queries (x85-x99, qs16-qs17). 17 + 12 + 24 = 53
-    overflows the 50-slot window by three: x44, x46 and x47 (last
+    18 brand-new queries (x85-x100, qs16-qs17). 18 + 12 + 24 = 54
+    overflows the 50-slot window by four: x43, x44, x46 and x47 (last
     stale names in sort order) slide to r7, where they front the
     rotation. The
     r4-verified set (qs1-12, x14-x26, x45, x48-x71) ranks next; the

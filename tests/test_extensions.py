@@ -1576,3 +1576,21 @@ def test_dedup_source_yield_planted_cross_source_loss(spark):
     assert abs(a.removed_frac - 1 / 3) < 1e-6
     assert (b.n_docs, b.n_removed, b.n_lost_other) == (1, 1, 1)
     assert b.removed_frac == 1.0
+
+
+def test_quality_dedup_calibration_planted_buckets(spark):
+    from twitter_kafka_etl_spark.operators import curation as C
+
+    boiler = "the the the the the the"  # all stopwords -> score ~0.083
+    rows = [
+        (1, boiler), (2, boiler), (3, boiler),      # bucket 0, 2 removed
+        (4, "alpha beta gamma delta epsilon zeta"),  # score 1.0 -> bucket 9
+        (5, "one two three four five six"),          # score 1.0 -> bucket 9
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.q_bucket: r for r in C.quality_dedup_calibration(df).collect()}
+    assert set(got) == {0, 9}
+    assert (got[0].n_docs, got[0].n_removed) == (3, 2)
+    assert abs(got[0].removed_frac - 2 / 3) < 1e-6
+    assert (got[9].n_docs, got[9].n_removed) == (2, 0)
+    assert got[9].removed_frac == 0.0

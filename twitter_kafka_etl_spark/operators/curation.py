@@ -968,3 +968,60 @@ def feature_correlation(
     return exploded.select(
         "p.feat_x", "p.feat_y", F.col("n_docs"), "p.pearson"
     )
+
+
+def quality_dedup_calibration(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cross-signal calibration: per fixed-width quality-score bucket,
+    the fraction of documents a near-dup dedup pass removes —
+    ``(q_bucket, n_docs, n_removed, removed_frac)``. Answers the
+    question that decides pipeline ORDER at 100 TB: if low-quality
+    buckets carry most of the duplication (boilerplate is both), the
+    cheap quality filter runs FIRST and shrinks the expensive
+    LSH/components pass; a flat curve means filtering first buys the
+    dedup pass nothing. It is also the score's external validation —
+    a quality score UNcorrelated with duplication is suspect, since
+    template text should sit low on both axes.
+
+    Buckets are fixed-width (floor(score·n), top-clamped), not
+    data-dependent quantiles — the same doc lands in the same bucket
+    on every engine, run and partitioning, and the score itself is the
+    round-6dp expression both engines share. Reads the memoized
+    components working set (x25/x36/x89/x99); the only new work is a
+    narrow int64-keyed join of (id, score-bucket) against (id,
+    component_id) and an ``n_buckets``-row agg.
+    """
+    from twitter_kafka_etl_spark.operators.dedup import corpus_components
+    from twitter_kafka_etl_spark.operators.text import quality_features
+
+    q = quality_features(df, text_col=text_col).select(
+        F.col(id_col),
+        F.least(
+            F.floor(F.col("quality_score") * n_buckets),
+            F.lit(n_buckets - 1),
+        )
+        .cast("bigint")
+        .alias("q_bucket"),
+    )
+    comps = corpus_components(df, text_col=text_col, id_col=id_col)
+    removed = F.col(id_col) != F.col("component_id")
+    return (
+        q.join(comps, id_col)
+        .groupBy("q_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(removed.cast("int")).cast("bigint").alias("n_removed"),
+        )
+        .select(
+            "q_bucket",
+            "n_docs",
+            "n_removed",
+            F.round(
+                F.col("n_removed").cast("double") / F.col("n_docs"), 6
+            ).alias("removed_frac"),
+        )
+    )

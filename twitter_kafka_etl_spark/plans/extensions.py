@@ -4198,3 +4198,62 @@ def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x99(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_source_yield(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x100 — quality-vs-dedup calibration (pipeline-order decision table)
+# ---------------------------------------------------------------------------
+@_register(
+    "x100_quality_dedup_calibration",
+    "cross-signal calibration: per fixed-width quality-score bucket, "
+    "the fraction of docs the near-dup pass removes — decides pipeline "
+    "ORDER at 100 TB (if low-quality buckets carry the duplication, "
+    "the cheap filter runs first and shrinks the LSH pass) and "
+    "externally validates the score (template text should sit low on "
+    "both axes); memoized components + one narrow int64 join, "
+    "n_buckets rows out",
+    f"""
+    WITH RECURSIVE {_SIG_CTE},
+    bands AS (
+    {_BAND_BRANCHES}
+    ),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM prs
+      UNION SELECT doc_b, doc_a FROM prs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS component_id
+             FROM reach GROUP BY id),
+    t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    q AS (
+      SELECT doc_id,
+             LEAST(CAST(FLOOR(round(
+                     (len(list_distinct(tk)) / len(tk)) * 0.5
+                     + (1.0 - len(list_filter(tk, x -> x = 'a' OR x = 'the'))
+                              / len(tk)) * 0.5, 6) * 10) AS BIGINT),
+                   9) AS q_bucket
+      FROM t
+    )
+    SELECT q.q_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c.doc_id <> c.component_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           round(CAST(SUM(CASE WHEN c.doc_id <> c.component_id
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS removed_frac
+    FROM q JOIN comp c ON q.doc_id = c.doc_id
+    GROUP BY q.q_bucket
+    """,
+    tags=("curation", "extension"),
+)
+def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.quality_dedup_calibration(_docs(spark, sf_dir))
