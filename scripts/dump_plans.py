@@ -184,6 +184,12 @@ SHOWCASE = [
      "array-filter explode (≤4 rows per doc), and both aggregations are "
      "partial-agg shuffles keyed on (level, fingerprint) — the x01 "
      "exact-dedup exchange repeated per level, never re-reading text."),
+    ("x100_quality_dedup_calibration",
+     "Quality-vs-dedup calibration: the components side reads the "
+     "memoized pairs→propagation working set (shared with "
+     "x25/x36/x89/x99), the quality side is one projection chain, and "
+     "the cross-signal join is int64-keyed carrying two columns — the "
+     "only corpus-scale exchange feeding a 10-row agg."),
 ]
 
 HEADER = """# PLANS — annotated physical plans (generated)
