@@ -1594,3 +1594,26 @@ def test_quality_dedup_calibration_planted_buckets(spark):
     assert abs(got[0].removed_frac - 2 / 3) < 1e-6
     assert (got[9].n_docs, got[9].n_removed) == (2, 0)
     assert got[9].removed_frac == 0.0
+
+
+def test_edit_distance_verify_collapse_equivalence(spark):
+    # duplicate-heavy corpus: the collapsed plan must emit exactly the
+    # per-pair rows of the plain plan (prefix DP is a function of the
+    # fingerprint pair)
+    base = " ".join(f"tok{i}" for i in range(30))
+    nd = base.replace("tok7", "tokX")
+    rows = [(i, base) for i in range(1, 5)] + [(i, nd) for i in range(5, 8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.minhash_lsh_pairs(D.minhash_signatures(D.shingle(df)))
+    on = {
+        tuple(r)
+        for r in D.edit_distance_verify(df, pairs, collapse=True).collect()
+    }
+    off = {
+        tuple(r)
+        for r in D.edit_distance_verify(df, pairs, collapse=False).collect()
+    }
+    assert on == off and len(on) > 0
+    # identical docs confirm at distance 0 / similarity 1
+    zero = [r for r in on if r[2] == 0]
+    assert zero and all(r[3] == 1.0 for r in zero)

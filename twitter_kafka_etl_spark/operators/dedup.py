@@ -1441,6 +1441,7 @@ def edit_distance_verify(
     text_col: str = "text",
     id_col: str = "doc_id",
     prefix: int = 200,
+    collapse: bool = True,
 ) -> DataFrame:
     """Edit-distance confirmation of candidate pairs: Levenshtein over
     bounded text prefixes, the cheap exact-ish verify a dedup review
@@ -1455,22 +1456,28 @@ def edit_distance_verify(
 
     Scale shape: |pairs| is LSH-bounded, the two text joins are plain
     equi-joins, and only (ids, two ints, one double) leave the
-    projection. Output: (doc_a, doc_b, edit_distance,
-    edit_sim = 1 - lev/max(len_a, len_b))."""
+    projection. ``collapse`` (default on) applies the collapse-exact
+    discipline to the verify stage: the O(prefix²) DP runs once per
+    DISTINCT (prefix_a, prefix_b) fingerprint pair and re-expands
+    through one AQE-broadcast equi-join on the 16-byte keys. On a
+    duplicate-heavy corpus the candidate graph pairs replicated docs
+    quadratically while their prefixes collapse to a handful of
+    distinct strings — measured at the 10x-replicated sf1: 250,600
+    pairs, 4,980 distinct prefix pairs, 11.8s → 5.8s min-of-3. On a
+    dup-free corpus the rep table is pair-sized and the collapse is a
+    wash (2.2s → 2.1s at sf0.1: the map-side combine absorbs the
+    groupBy and the saved DPs pay for the re-expand join), so it
+    stays on — output is identical either way. Output: (doc_a, doc_b,
+    edit_distance, edit_sim = 1 - lev/max(len_a, len_b))."""
     t = df.select(
-        F.col(id_col), F.substring(F.col(text_col), 1, prefix).alias("__t")
+        F.col(id_col),
+        F.substring(F.col(text_col), 1, prefix).alias("__t"),
     )
-    ta = t.select(F.col(id_col).alias("doc_a"), F.col("__t").alias("__ta"))
-    tb = t.select(F.col(id_col).alias("doc_b"), F.col("__t").alias("__tb"))
-    lev = F.levenshtein(F.col("__ta"), F.col("__tb"))
-    longest = F.greatest(F.length("__ta"), F.length("__tb"))
-    return (
-        pairs.select("doc_a", "doc_b")
-        .join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
+
+    def _score(a: str, b: str) -> list:
+        lev = F.levenshtein(F.col(a), F.col(b))
+        longest = F.greatest(F.length(a), F.length(b))
+        return [
             lev.cast("bigint").alias("edit_distance"),
             F.round(
                 F.when(longest > 0, F.lit(1.0) - lev / longest).otherwise(
@@ -1478,7 +1485,40 @@ def edit_distance_verify(
                 ),
                 6,
             ).alias("edit_sim"),
+        ]
+
+    if not collapse:
+        ta = t.select(F.col(id_col).alias("doc_a"), F.col("__t").alias("__ta"))
+        tb = t.select(F.col(id_col).alias("doc_b"), F.col("__t").alias("__tb"))
+        return (
+            pairs.select("doc_a", "doc_b")
+            .join(ta, "doc_a")
+            .join(tb, "doc_b")
+            .select("doc_a", "doc_b", *_score("__ta", "__tb"))
         )
+
+    tf = t.withColumn("__f", F.md5("__t"))
+    ta = tf.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("__t").alias("__ta"),
+        F.col("__f").alias("__fa"),
+    )
+    tb = tf.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("__t").alias("__tb"),
+        F.col("__f").alias("__fb"),
+    )
+    joined = pairs.select("doc_a", "doc_b").join(ta, "doc_a").join(tb, "doc_b")
+    # one DP per distinct prefix pair: __ta/__tb are functions of the
+    # fingerprint key, so min() just picks THE value deterministically
+    reps = joined.groupBy("__fa", "__fb").agg(
+        F.min("__ta").alias("__ta"), F.min("__tb").alias("__tb")
+    )
+    scored = reps.select("__fa", "__fb", *_score("__ta", "__tb"))
+    return (
+        joined.select("doc_a", "doc_b", "__fa", "__fb")
+        .join(scored, ["__fa", "__fb"])
+        .select("doc_a", "doc_b", "edit_distance", "edit_sim")
     )
 
 
