@@ -54,6 +54,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "qs17_stream_neardup_ingest",
         "x99_dedup_source_yield",
         "x100_quality_dedup_calibration",
+        "x101_bootstrap_source_ci",
     }
 )
 
@@ -69,10 +70,10 @@ def _rank(name: str) -> int:
 
     Round 6 fronts the stalest blocks — q26-q37, x01-x13, x36-x44 and
     x46-x47, last driver-verified in r3, three rounds ago — after the
-    18 brand-new queries (x85-x100, qs16-qs17). 18 + 12 + 24 = 54
-    overflows the 50-slot window by four: x43, x44, x46 and x47 (last
-    stale names in sort order) slide to r7, where they front the
-    rotation. The
+    19 brand-new queries (x85-x101, qs16-qs17). 19 + 12 + 24 = 55
+    overflows the 50-slot window by five: x42, x43, x44, x46 and x47
+    (last stale names in sort order) slide to r7, where they front
+    the rotation. The
     r4-verified set (qs1-12, x14-x26, x45, x48-x71) ranks next; the
     freshly-r5-verified set goes last.
     """

@@ -1617,3 +1617,27 @@ def test_edit_distance_verify_collapse_equivalence(spark):
     # identical docs confirm at distance 0 / similarity 1
     zero = [r for r in on if r[2] == 0]
     assert zero and all(r[3] == 1.0 for r in zero)
+
+
+def test_bootstrap_source_ci_constant_and_varied(spark):
+    from twitter_kafka_etl_spark.operators import curation as C
+
+    rows = [(i, "t", "const", 100) for i in range(50)] + [
+        (100 + i, "t", "varied", 200 if i % 2 else 0) for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    got = {r.source: r for r in C.bootstrap_source_ci(df).collect()}
+    c, v = got["const"], got["varied"]
+    # constant metric: every non-empty replica mean is exactly 100 —
+    # zero bootstrap variance, the CI collapses onto the mean
+    assert c.mean == 100.0 and c.boot_mean == 100.0
+    assert c.boot_sd == 0.0 and c.ci_lo == c.ci_hi == 100.0
+    # varied metric: exact plain mean, positive width, ordered interval
+    assert v.mean == 100.0
+    assert v.boot_sd > 0
+    assert v.ci_lo < v.boot_mean < v.ci_hi
+    # resampling noise stays in a plausible band (sd of the mean for
+    # sd=100, n=50 is ~14; Poisson bootstrap tracks it within ~3x)
+    assert 2 < v.boot_sd < 45

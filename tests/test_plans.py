@@ -109,7 +109,7 @@ def test_q12_whole_stage_codegen(spark, sf_dir):
         "x94_feature_correlation", "x95_source_stylometry",
         "x96_dup_growth_curve", "x97_embedding_separation",
         "x98_dedup_method_agreement", "x99_dedup_source_yield",
-        "x100_quality_dedup_calibration",
+        "x100_quality_dedup_calibration", "x101_bootstrap_source_ci",
     ],
 )
 def test_no_python_udf_in_jvm_paths(spark, sf_dir, name):

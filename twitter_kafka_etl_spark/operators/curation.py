@@ -1025,3 +1025,133 @@ def quality_dedup_calibration(
             ).alias("removed_frac"),
         )
     )
+
+
+#: Poisson(1) inverse-CDF cut points (cumulative e^-1 * 1/k! sums); the
+#: per-(doc, replica) resample weight is the first k whose cumulative
+#: probability exceeds the doc's uniform hash — tail clamped at 5.
+_POIS1_CDF = (
+    0.36787944117144233,  # P(0)
+    0.7357588823428847,   # P(<=1)
+    0.9196986029286058,   # P(<=2)
+    0.9810118431238462,   # P(<=3)
+    0.9963401531726563,   # P(<=4)
+)
+_HASH60_DEN = float(1 << 60)
+
+
+def bootstrap_source_ci(
+    df: DataFrame,
+    metric_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    n_replicas: int = 32,
+    salt: str = "boot",
+) -> DataFrame:
+    """Per-source Poisson-bootstrap confidence interval for the mean of
+    an integer metric: ``(source, n_docs, mean, boot_mean, boot_sd,
+    ci_lo, ci_hi)`` with ci = boot_mean ± 1.96·sd over ``n_replicas``
+    resample means. THE one-pass CI technique for data too large to
+    resample by shuffling: instead of drawing n docs with replacement
+    per replica, each (doc, replica) pair gets an independent
+    Poisson(1) weight — the large-n limit of multinomial resampling —
+    so every replica is computed in the same streaming aggregation as
+    the plain mean. The audit that turns 'source A scores lower than
+    B' into 'lower AND the intervals don't overlap' before a curator
+    drops a feed on a point estimate.
+
+    Determinism (the salted-md5 discipline): weights come from the
+    Poisson(1) inverse CDF applied to a 60-bit md5 hash of
+    (salt, doc_id, replica) — the same doc draws the same weight in
+    every engine, run and partitioning, so the CI is reproducible
+    bit-for-bit. Weighted sums are exact BIGINT (int weight × int
+    metric); each replica mean is ONE double division quantized to a
+    scaled BIGINT before the cross-replica moments, so the sd is
+    computed from exact integer sums in any aggregation order.
+
+    Plan shape: project (group, metric, id) → explode ``n_replicas``
+    ints (narrow rows; the fan-out hits the map-side combiner, the
+    exchange carries |groups|·B partial rows per task) → one
+    (group, rep) partial agg → one |groups|-row re-agg. No shuffle of
+    resampled DATA ever exists — the resample lives entirely in the
+    weight column.
+    """
+    reps = F.explode(
+        F.sequence(F.lit(0), F.lit(int(n_replicas) - 1))
+    ).alias("__rep")
+    base = df.select(
+        F.col(group_col),
+        F.col(metric_col).cast("bigint").alias("__x"),
+        F.col(id_col).cast("string").alias("__id"),
+    ).select(F.col(group_col), "__x", "__id", reps)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt),
+                    F.col("__id"),
+                    F.lit("_"),
+                    F.col("__rep").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = h / F.lit(_HASH60_DEN)
+    w = F.lit(5)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    per_rep = (
+        base.select(F.col(group_col), "__rep", "__x", w.alias("__w"))
+        .groupBy(group_col, "__rep")
+        .agg(
+            F.sum(F.col("__w") * F.col("__x")).alias("__wx"),
+            F.sum("__w").alias("__wn"),
+        )
+        .select(
+            F.col(group_col),
+            # quantized replica mean: exact int from here on (an empty
+            # replica — every weight 0, likely only for 1-doc sources —
+            # contributes mean 0 in both engines, division guarded)
+            F.round(
+                F.when(
+                    F.col("__wn") > 0,
+                    F.col("__wx").cast("double") / F.col("__wn"),
+                ).otherwise(F.lit(0.0))
+                * 1e6,
+                0,
+            )
+            .cast("bigint")
+            .alias("__mq"),
+        )
+    )
+    moments = per_rep.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__b"),
+        F.sum("__mq").alias("__s"),
+        F.sum(F.col("__mq") * F.col("__mq")).alias("__ss"),
+    )
+    plain = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col(metric_col).cast("bigint")).alias("__sx"),
+    )
+    bm = F.col("__s").cast("double") / F.col("__b") / 1e6
+    var = (
+        F.col("__ss").cast("double") / F.col("__b")
+        - (F.col("__s").cast("double") / F.col("__b"))
+        * (F.col("__s").cast("double") / F.col("__b"))
+    ) / 1e12
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return plain.join(moments, group_col).select(
+        group_col,
+        "n_docs",
+        F.round(F.col("__sx").cast("double") / F.col("n_docs"), 6).alias(
+            "mean"
+        ),
+        F.round(bm, 6).alias("boot_mean"),
+        F.round(sd, 6).alias("boot_sd"),
+        F.round(bm - F.lit(1.96) * sd, 6).alias("ci_lo"),
+        F.round(bm + F.lit(1.96) * sd, 6).alias("ci_hi"),
+    )

@@ -4257,3 +4257,73 @@ def x99(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.quality_dedup_calibration(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x101 — Poisson-bootstrap per-source CI (one-pass resampling at scale)
+# ---------------------------------------------------------------------------
+@_register(
+    "x101_bootstrap_source_ci",
+    "per-source Poisson-bootstrap 95% CI for mean n_chars: each (doc, "
+    "replica) draws a deterministic md5-derived Poisson(1) weight (the "
+    "large-n limit of with-replacement resampling), so all 32 replicas "
+    "compute in ONE streaming aggregation — the technique that turns "
+    "'source A scores lower' into 'lower and the intervals do not "
+    "overlap' without ever shuffling resampled data; replica means "
+    "quantized to scaled BIGINT so the sd is exact-integer in any "
+    "aggregation order",
+    """
+    WITH r AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS x, doc_id,
+             unnest(range(32)) AS rep
+      FROM documents
+    ),
+    h AS (
+      SELECT source, x, rep,
+             CAST('0x' || substr(md5('boot' || CAST(doc_id AS VARCHAR)
+                                  || '_' || CAST(rep AS VARCHAR)), 1, 15)
+                  AS BIGINT) / 1152921504606846976.0 AS u
+      FROM r
+    ),
+    w AS (SELECT source, rep, x, CASE WHEN u < 0.36787944117144233 THEN 0 WHEN u < 0.7357588823428847 THEN 1 WHEN u < 0.9196986029286058 THEN 2 WHEN u < 0.9810118431238462 THEN 3 WHEN u < 0.9963401531726563 THEN 4 ELSE 5 END AS w FROM h),
+    pr AS (
+      SELECT source, rep,
+             CAST(round(CASE WHEN SUM(w) > 0
+                             THEN CAST(SUM(w * x) AS DOUBLE) / SUM(w)
+                             ELSE 0.0 END * 1e6, 0) AS BIGINT) AS mq
+      FROM w GROUP BY 1, 2
+    ),
+    mo AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS b,
+             CAST(SUM(mq) AS BIGINT) AS s,
+             CAST(SUM(mq * mq) AS BIGINT) AS ss
+      FROM pr GROUP BY 1
+    ),
+    pl AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sx
+      FROM documents GROUP BY 1
+    )
+    SELECT pl.source, n_docs,
+           round(CAST(sx AS DOUBLE) / n_docs, 6) AS mean,
+           round(CAST(s AS DOUBLE) / b / 1e6, 6) AS boot_mean,
+           round(sqrt(GREATEST(
+             (CAST(ss AS DOUBLE) / b
+              - (CAST(s AS DOUBLE) / b) * (CAST(s AS DOUBLE) / b)) / 1e12,
+             0.0)), 6) AS boot_sd,
+           round(CAST(s AS DOUBLE) / b / 1e6
+                 - 1.96 * sqrt(GREATEST(
+                     (CAST(ss AS DOUBLE) / b
+                      - (CAST(s AS DOUBLE) / b) * (CAST(s AS DOUBLE) / b))
+                     / 1e12, 0.0)), 6) AS ci_lo,
+           round(CAST(s AS DOUBLE) / b / 1e6
+                 + 1.96 * sqrt(GREATEST(
+                     (CAST(ss AS DOUBLE) / b
+                      - (CAST(s AS DOUBLE) / b) * (CAST(s AS DOUBLE) / b))
+                     / 1e12, 0.0)), 6) AS ci_hi
+    FROM pl JOIN mo ON pl.source = mo.source
+""",
+    tags=("curation", "extension"),
+)
+def x101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.bootstrap_source_ci(_docs(spark, sf_dir))
