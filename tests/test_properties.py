@@ -854,3 +854,162 @@ def test_winnow_match_collapse_is_identity(spark, sf_dir):
     }
     assert fast == naive
     assert len(fast) >= 3 * 50  # within-group pairs present
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: growth curve, method agreement, bootstrap, edit verify
+# ---------------------------------------------------------------------------
+_POOL = [
+    " ".join(f"w{i}{j}" for j in range(6)) for i in range(4)
+] + ["a b"]  # one sub-shingle text in the pool
+
+doc_lists = st.lists(
+    st.sampled_from(_POOL), min_size=1, max_size=20
+)
+
+
+@given(texts=doc_lists)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dup_growth_curve_monotone_and_exact_at_full(spark, texts):
+    """For ANY corpus: every statistic is monotone non-decreasing in
+    the sample level (samples are nested), and the 100% level equals
+    the exact Python ground truth."""
+    from collections import Counter
+
+    from twitter_kafka_etl_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {r.pct: r for r in D.dup_growth_curve(df).collect()}
+    pcts = sorted(out)
+    for lo, hi in zip(pcts, pcts[1:]):
+        for c in ("n_docs", "n_distinct", "n_dup_docs", "n_excess"):
+            assert getattr(out[lo], c) <= getattr(out[hi], c)
+    # normalized-text fingerprints: the pool is already normalized
+    full = out[100]
+    cnt = Counter(texts)
+    assert full.n_docs == len(texts)
+    assert full.n_distinct == len(cnt)
+    assert full.n_excess == sum(c - 1 for c in cnt.values())
+
+
+@given(texts=doc_lists)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_method_agreement_matches_set_algebra(spark, texts):
+    """The matrix must equal the Python set algebra of the three pair
+    sets the registered operators emit — the union/flag/agg plumbing
+    adds and loses nothing."""
+    from twitter_kafka_etl_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    ex = {
+        (a, b)
+        for i, ta in enumerate(texts)
+        for j, tb in enumerate(texts)
+        for a, b in [(i, j)]
+        if a < b and ta == tb  # pool texts are pre-normalized
+    }
+    mh = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(
+            D.minhash_signatures(D.shingle(df))
+        ).collect()
+    }
+    sh = {
+        (r.doc_a, r.doc_b)
+        for r in D.simhash_pairs(D.simhash(df)).collect()
+    }
+    truth = {}
+    for p in ex | mh | sh:
+        key = (int(p in ex), int(p in mh), int(p in sh))
+        truth[key] = truth.get(key, 0) + 1
+    got = {
+        (r.in_exact, r.in_minhash, r.in_simhash): r.n_pairs
+        for r in D.dedup_method_agreement(df).collect()
+    }
+    assert got == truth
+
+
+metric_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["s0", "s1"]),
+        st.integers(min_value=0, max_value=1000),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(data=metric_rows)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bootstrap_ci_brackets_and_exact_mean(spark, data):
+    """For ANY non-negative metric: the plain mean is exact, the
+    interval is ordered around the bootstrap mean, sd is non-negative,
+    and the bootstrap mean stays inside [0, max(metric)] (a resample
+    mean is a convex combination; empty replicas contribute 0)."""
+    from twitter_kafka_etl_spark.operators import curation as C
+
+    rows = [(i, s, v) for i, (s, v) in enumerate(data)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    truth = {}
+    for _, s, v in rows:
+        truth.setdefault(s, []).append(v)
+    for r in C.bootstrap_source_ci(df).collect():
+        vals = truth[r.source]
+        assert r.n_docs == len(vals)
+        assert abs(r.mean - sum(vals) / len(vals)) < 1e-6
+        assert r.boot_sd >= 0
+        assert r.ci_lo <= r.boot_mean <= r.ci_hi
+        assert 0.0 <= r.boot_mean <= max(vals) + 1e-9
+
+
+short_text = st.text(alphabet="abc ", min_size=0, max_size=12)
+
+
+@given(texts=st.lists(short_text, min_size=2, max_size=8), data=st.data())
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_edit_distance_verify_matches_python_dp(spark, texts, data):
+    """Against a reference Python DP, for arbitrary candidate pairs
+    over arbitrary short texts (both collapse plans)."""
+    from twitter_kafka_etl_spark.operators import dedup as D
+
+    n = len(texts)
+    pair_pool = [(a, b) for a in range(n) for b in range(n) if a < b]
+    pairs = data.draw(
+        st.lists(st.sampled_from(pair_pool), min_size=1,
+                 max_size=min(6, len(pair_pool)), unique=True)
+    )
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    for collapse in (True, False):
+        got = {
+            (r.doc_a, r.doc_b): (r.edit_distance, r.edit_sim)
+            for r in D.edit_distance_verify(df, pdf, collapse=collapse)
+            .collect()
+        }
+        assert set(got) == set(pairs)
+        for a, b in pairs:
+            d = lev(texts[a], texts[b])
+            m = max(len(texts[a]), len(texts[b]))
+            sim = round(1.0 - d / m, 6) if m else 1.0
+            assert got[(a, b)] == (d, sim)

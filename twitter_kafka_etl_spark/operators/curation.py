@@ -1128,10 +1128,15 @@ def bootstrap_source_ci(
             .alias("__mq"),
         )
     )
+    # second moment in DECIMAL(38,0): mq is metric·1e6 (≤ ~1e12 for
+    # million-unit metrics), so mq² reaches ~1e24 — far past BIGINT.
+    # decimal(19,0)·decimal(19,0) → exact decimal(38,0) products and
+    # sums; only the final variance expression drops to double
+    mq_dec = F.col("__mq").cast("decimal(19,0)")
     moments = per_rep.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("__b"),
         F.sum("__mq").alias("__s"),
-        F.sum(F.col("__mq") * F.col("__mq")).alias("__ss"),
+        F.sum(mq_dec * mq_dec).alias("__ss"),
     )
     plain = df.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -4296,7 +4296,7 @@ def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
     mo AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS b,
              CAST(SUM(mq) AS BIGINT) AS s,
-             CAST(SUM(mq * mq) AS BIGINT) AS ss
+             SUM(CAST(mq AS HUGEINT) * mq) AS ss
       FROM pr GROUP BY 1
     ),
     pl AS (
