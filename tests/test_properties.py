@@ -1013,3 +1013,56 @@ def test_edit_distance_verify_matches_python_dp(spark, texts, data):
             m = max(len(texts[a]), len(texts[b]))
             sim = round(1.0 - d / m, 6) if m else 1.0
             assert got[(a, b)] == (d, sim)
+
+
+@given(texts=st.lists(
+    st.text(alphabet="ab c", min_size=1, max_size=16), min_size=1, max_size=15
+))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_source_stylometry_matches_python_counts(spark, texts):
+    """Exact int/int ratios vs a Python tokenizer for arbitrary text."""
+    from collections import Counter
+
+    from twitter_kafka_etl_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    row = T.source_stylometry(df).collect()[0]
+    toks = [w for t in texts for w in t.split(" ")]
+    cnt = Counter(toks)
+    assert row.n_docs == len(texts)
+    assert row.n_tokens == len(toks)
+    assert row.n_types == len(cnt)
+    assert row.n_hapax == sum(1 for c in cnt.values() if c == 1)
+    assert abs(row.ttr - len(cnt) / len(toks)) < 1e-6
+    assert abs(row.mean_word_len - sum(map(len, toks)) / len(toks)) < 1e-6
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=1, max_value=30),
+              st.integers(min_value=0, max_value=10_000)),
+    min_size=2, max_size=20,
+))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_feature_correlation_bounded_and_symmetric_counts(spark, rows):
+    """|pearson| <= 1 for ANY integer features; n_docs exact; all three
+    declared pairs present exactly once."""
+    from twitter_kafka_etl_spark.operators import curation as C
+
+    data = [
+        (i, "t " * (n - 1) + "t", c) for i, (n, c) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string, n_chars long")
+    got = C.feature_correlation(df).collect()
+    assert len(got) == 3
+    assert {(r.feat_x, r.feat_y) for r in got} == {
+        ("f_chars", "f_tokens"), ("f_chars", "f_types"),
+        ("f_tokens", "f_types"),
+    }
+    for r in got:
+        assert r.n_docs == len(rows)
+        assert -1.0 - 1e-9 <= r.pearson <= 1.0 + 1e-9
