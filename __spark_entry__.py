@@ -32,29 +32,15 @@ def entry(spark: SparkSession) -> DataFrame:
     return topic_aggregates(enriched)
 
 
-# Queries added in round 6 that the driver has never verified — always
-# emitted first so the 50-slot window covers them.
-_NEW_THIS_ROUND: frozenset[str] = frozenset(
+# The five queries whose last driver verification is round 3 — they
+# overflowed round 6's 50-slot window and MUST front round 7's.
+_R3_STALE: frozenset[str] = frozenset(
     {
-        "x85_segment_dedup",
-        "x86_mixture_temperature",
-        "x87_source_divergence",
-        "x88_pmi_bigrams",
-        "x89_cluster_size_profile",
-        "qs16_stream_mixture_monitor",
-        "x90_winnow_matches",
-        "x91_cross_source_leakage",
-        "x92_embedding_profile",
-        "x93_packing_stats",
-        "x94_feature_correlation",
-        "x95_source_stylometry",
-        "x96_dup_growth_curve",
-        "x97_embedding_separation",
-        "x98_dedup_method_agreement",
-        "qs17_stream_neardup_ingest",
-        "x99_dedup_source_yield",
-        "x100_quality_dedup_calibration",
-        "x101_bootstrap_source_ci",
+        "x42_curation_balance",
+        "x43_salted_join",
+        "x44_pii_redaction",
+        "x46_dedup_jaccard_estimate",
+        "x47_embedding_project",
     }
 )
 
@@ -66,43 +52,48 @@ def _rank(name: str) -> int:
     Verification history: r1 = q01-q37 + x01-x13; r2 = q01-q22 +
     x14-x35 + qs1-6; r3 = q23-q37 + x01-x13 + x36-x48 + qs1-9;
     r4 = qs1-12 + x14-x26 + x45 + x48-x71; r5 = qs13-15 + x72-x84 +
-    q01-q25 + x27-x35 (50/50 green each).
+    q01-q25 + x27-x35; r6 = x85-x101 + qs16-17 + q26-q37 + x01-x13 +
+    x36-x41 (50/50 green each round).
 
-    Round 6 fronts the stalest blocks — q26-q37, x01-x13, x36-x44 and
-    x46-x47, last driver-verified in r3, three rounds ago — after the
-    19 brand-new queries (x85-x101, qs16-qs17). 19 + 12 + 24 = 55
-    overflows the 50-slot window by five: x42, x43, x44, x46 and x47
-    (last stale names in sort order) slide to r7, where they front
-    the rotation. The
-    r4-verified set (qs1-12, x14-x26, x45, x48-x71) ranks next; the
-    freshly-r5-verified set goes last.
+    Round 7 adds no new queries (155 registered; the 50-slot window
+    sustains a ~3-round rotation at this suite size, so the suite is
+    deliberately frozen). The window fronts the five r3-verified
+    stragglers (x42-x44, x46-x47 — the round-6 verdict's item 1),
+    then the r4-verified block (qs1-12, x14-x26, x45, x48-x71 — 50
+    queries, now three rounds old). 5 + 50 = 55 overflows by five:
+    x67-x71 (last in sort order) slide to r8, where they front the
+    rotation ahead of the r5-verified set.
     """
-    if name in _NEW_THIS_ROUND:
-        return 0
-    if (
-        name.startswith("q")
-        and not name.startswith("qs")
-        and name[1:3].isdigit()  # guard: a q-name outside the qNN scheme
-        and int(name[1:3]) >= 26  # must fall through, not raise
-    ):
-        return 1  # q26-q37 — last green r3
-    if name.startswith("x") and name[1:3].isdigit() and (
-        int(name[1:3]) <= 13 or 36 <= int(name[1:3]) <= 47
-    ):
-        if name in ("x45_embedding_quantize",):
-            return 3  # re-verified r4
-        return 2  # x01-x13, x36-x44, x46-x47 — last green r3
+    if name in _R3_STALE:
+        return 0  # last green r3 — four rounds ago, front of the window
     if (
         name.startswith("qs")
         and name[2:4].strip("_").isdigit()
         and int(name[2:4].strip("_")) <= 12
     ):
-        return 3  # qs1-12 — green r4
+        return 1  # qs1-12 — green r4
     if name.startswith("x") and name[1:3].isdigit() and (
-        14 <= int(name[1:3]) <= 26 or 48 <= int(name[1:3]) <= 71
+        14 <= int(name[1:3]) <= 26
+        or name == "x45_embedding_quantize"
+        or 48 <= int(name[1:3]) <= 71
     ):
-        return 3  # x14-x26, x48-x71 — green r4
-    return 4  # q01-q25, x27-x35, x72-x84, qs13-15 — green r5
+        return 1  # x14-x26, x45, x48-x71 — green r4 (x67-x71 → r8)
+    if (
+        name.startswith("q")
+        and not name.startswith("qs")
+        and name[1:3].isdigit()  # guard: a q-name outside the qNN scheme
+        and int(name[1:3]) <= 25  # must fall through, not raise
+    ):
+        return 2  # q01-q25 — green r5
+    if name.startswith("x") and name[1:3].isdigit() and (
+        27 <= int(name[1:3]) <= 35 or 72 <= int(name[1:3]) <= 84
+    ):
+        return 2  # x27-x35, x72-x84 — green r5
+    if name.startswith("qs") and name[2:4].strip("_").isdigit() and (
+        13 <= int(name[2:4].strip("_")) <= 15
+    ):
+        return 2  # qs13-15 — green r5
+    return 3  # q26-q37, x01-x13, x36-x41, x85-x101, qs16-17 — green r6
 
 
 def _ordered() -> list[str]:
