@@ -1561,6 +1561,40 @@ def test_dedup_method_agreement_planted_cells(spark):
     assert sum(got.values()) == len(got) == 2
 
 
+def test_dedup_method_agreement_collapsed_combinatorics(spark):
+    """The collapsed rewrite's arithmetic paths: C(c,2) within-group
+    mass for duplicate-heavy groups (long AND short texts), c_a*c_b
+    cross-group weights, whitespace-variant exact pairs across raw
+    groups, and null-text exclusion."""
+    long_a = " ".join(f"w{i}" for i in range(12))
+    rows = (
+        # 5 byte-identical long docs → C(5,2)=10 pairs at (1,1,1)
+        [(i, long_a) for i in range(1, 6)]
+        # 4 byte-identical SHORT docs → C(4,2)=6 pairs at (1,0,1)
+        + [(i, "a b") for i in range(10, 14)]
+        # two raw-DISTINCT whitespace variants sharing a normalized
+        # fingerprint with each other (fingerprint_norm collapses runs
+        # but does not trim, so neither matches bare long_a): the
+        # cross-raw-group exact pair the rep-level fp self-join must
+        # still find — weight c_a*c_b = 1*1
+        + [(20, long_a + " "), (21, long_a + "  ")]
+        # null text: contributes nothing anywhere
+        + [(30, None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.in_exact, r.in_minhash, r.in_simhash): r.n_pairs
+        for r in D.dedup_method_agreement(df).collect()
+    }
+    assert got[(1, 0, 1)] == 6  # short within-group mass, no signature
+    # exact algebra is deterministic even where detector flags aren't
+    # (the variants' extra empty token perturbs shingles/simhash):
+    # C(5,2)=10 long within + C(4,2)=6 short within + (20,21) variant
+    exact_total = sum(v for k, v in got.items() if k[0] == 1)
+    assert exact_total == 10 + 6 + 1
+    assert got[(1, 1, 1)] >= 10  # the identical-long within mass
+
+
 def test_dedup_source_yield_planted_cross_source_loss(spark):
     dup = "the same exact near dup text body"
     rows = [

@@ -1936,6 +1936,7 @@ def dedup_method_agreement(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n: int = 3,
 ) -> DataFrame:
     """Agreement matrix across the three cheap pair detectors — exact
     fingerprint, banded MinHash-LSH candidates, SimHash hamming ≤ 3 —
@@ -1948,29 +1949,91 @@ def dedup_method_agreement(
     false-positive surface, and the minhash∩simhash∖exact mass is the
     near-dup yield the threshold decision is actually about.
 
-    Each arm is the registered operator's own plan — banded/indexed,
-    never all-pairs, with the collapse-exact rewrite intact on
-    duplicate-heavy corpora — and the MinHash arm reads the memoized
-    ``corpus_signatures`` working set shared with x03/x46/x59/x60.
-    The agreement itself is a union of the three pair sets tagged with
-    method flags, ONE partial-agg shuffle keyed on the pair id (the
-    exchange is pair-set-sized, ~24 bytes/row), and a ≤8-row re-agg.
-    Flags are BIGINT 0/1 so the output hashes identically cross-engine.
+    NO pair is ever enumerated per member document (the r6 verdict's
+    scale finding: the previous exact-arm ``fp ⋈ fp`` emitted C(c,2)
+    rows per duplicate group — one boilerplate text duplicated 10⁶×
+    is ~5·10¹¹ rows). All three detectors are pure functions of the
+    RAW text, so the corpus collapses ONCE on ``md5(text)`` (one
+    map-side-combined shuffle; the exchange carries ~distinct-text
+    rows) and every member pair's cell is decided combinatorially:
+
+    - within a raw-identical group of size c: same normalized
+      fingerprint (exact=1), same simhash (hamming 0 ⇒ simhash=1),
+      same MinHash signature — in the LSH pair set iff a signature
+      exists, i.e. iff the text has ≥ ``n`` tokens. C(c,2) pairs land
+      in cell (1, has_sig, 1) by integer arithmetic, zero rows.
+    - across groups: the three detectors run on REPRESENTATIVES only
+      (their banded/indexed plans unchanged — duplication factor d
+      does 1/d² of the join work), and each rep pair's cell gets
+      weight c_a·c_b. The exact arm degenerates to a self-join over
+      distinct raw texts sharing a normalized fingerprint
+      (whitespace/case variants) — group sizes are variant counts,
+      not duplicate counts, so the quadratic hazard is gone.
+
+    The MinHash arm semi-joins the memoized full-corpus
+    ``corpus_signatures`` working set (shared with x03/x46/x59/x60)
+    down to representatives when a sibling query already built it;
+    otherwise it signatures the rep subset directly (cheaper than
+    forcing a full-corpus build it would use 1/d of). Flags are
+    BIGINT 0/1 so the output hashes identically cross-engine; the
+    oracle enumerates pairs naively — equivalence is exactly the
+    collapse-exact argument above, asserted per-cell in tests.
     """
-    fp = df.select(
+    from twitter_kafka_etl_spark.operators._cache import peek_memo
+
+    # one shuffle: map-side partial agg collapses duplicate texts, so
+    # the exchange carries ~distinct-text rows; text is constant per
+    # md5(text) group, so min(text) IS the group's text
+    # null texts contribute no pairs in any arm (null keys never
+    # equi-join; no tokens ⇒ no signature rows) — drop them before the
+    # collapse or a null "group" would fabricate within-mass
+    reps = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.md5(F.col(text_col)).alias("__rt"),
+            F.col(id_col),
+            F.col(text_col),
+        )
+        .groupBy("__rt")
+        .agg(
+            F.min(F.col(id_col)).alias(id_col),
+            F.count(F.lit(1)).cast("bigint").alias("__c"),
+            F.min(F.col(text_col)).alias(text_col),
+        )
+        .localCheckpoint(eager=False)  # read by both arms + both weight joins
+    )
+    rep_docs = reps.select(F.col(id_col), F.col(text_col))
+
+    full_sigs = peek_memo(df, ("minhash_sigs", n, text_col, id_col, None))
+    if full_sigs is not None:
+        rep_sigs = full_sigs.join(
+            reps.select(F.col(id_col)), id_col, "left_semi"
+        )
+    else:
+        rep_sigs = minhash_signatures(
+            shingle(rep_docs, n=n, text_col=text_col, id_col=id_col),
+            id_col=id_col,
+        ).localCheckpoint(eager=False)  # both sides of the banded self-join
+    mh = _minhash_lsh_pairs_core(
+        rep_sigs, id_col, N_BANDS, ROWS_PER_BAND
+    ).select("doc_a", "doc_b")
+    sh = _simhash_pairs_core(
+        simhash(rep_docs, text_col=text_col, id_col=id_col).localCheckpoint(
+            eager=False
+        ),
+        id_col,
+        max_hamming=3,
+        bits=32,
+        n_chunks=4,
+    ).select("doc_a", "doc_b")
+    fpr = reps.select(
         F.col(id_col), F.md5(fingerprint_norm(F.col(text_col))).alias("__fp")
     )
-    exact = fp.alias("a").join(fp.alias("b"), "__fp").filter(
+    exact = fpr.alias("a").join(fpr.alias("b"), "__fp").filter(
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     ).select(
         F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
     )
-    mh = minhash_lsh_pairs(
-        corpus_signatures(df, text_col=text_col, id_col=id_col), id_col=id_col
-    ).select("doc_a", "doc_b")
-    sh = simhash_pairs(
-        simhash(df, text_col=text_col, id_col=id_col), id_col=id_col
-    ).select("doc_a", "doc_b")
 
     def _tag(pairs: DataFrame, e: int, m: int, s: int) -> DataFrame:
         return pairs.select(
@@ -1991,11 +2054,38 @@ def dedup_method_agreement(
         F.max("__m").alias("in_minhash"),
         F.max("__s").alias("in_simhash"),
     )
-    return per_pair.groupBy(
+    w = reps.select(F.col(id_col), F.col("__c"))
+    cross = (
+        per_pair.join(
+            w.select(F.col(id_col).alias("doc_a"), F.col("__c").alias("__ca")),
+            "doc_a",
+        )
+        .join(
+            w.select(F.col(id_col).alias("doc_b"), F.col("__c").alias("__cb")),
+            "doc_b",
+        )
+        .select(
+            "in_exact",
+            "in_minhash",
+            "in_simhash",
+            (F.col("__ca") * F.col("__cb")).alias("__w"),
+        )
+    )
+    # has_sig mirrors shingle()'s guard exactly: a doc yields shingles
+    # (hence a MinHash signature) iff size(split(text)) >= n
+    within = reps.filter(F.col("__c") >= 2).select(
+        F.lit(1).alias("in_exact"),
+        F.when(
+            F.size(F.split(F.col(text_col), " ")) >= n, F.lit(1)
+        ).otherwise(F.lit(0)).alias("in_minhash"),
+        F.lit(1).alias("in_simhash"),
+        F.expr("(__c * (__c - 1)) div 2").alias("__w"),  # integer-exact C(c,2)
+    )
+    return cross.unionByName(within).groupBy(
         F.col("in_exact").cast("bigint").alias("in_exact"),
         F.col("in_minhash").cast("bigint").alias("in_minhash"),
         F.col("in_simhash").cast("bigint").alias("in_simhash"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    ).agg(F.sum("__w").cast("bigint").alias("n_pairs"))
 
 
 def dedup_source_yield(

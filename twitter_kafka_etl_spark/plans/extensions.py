@@ -4090,8 +4090,11 @@ def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pair counts per membership combination — the method-calibration "
     "read before committing a 100 TB dedup stack; the exact-without-"
     "minhash cell exposes LSH's sub-shingle blind spot, simhash-only "
-    "sizes the bag-of-words false-positive surface; one pair-set-sized "
-    "partial-agg shuffle",
+    "sizes the bag-of-words false-positive surface; fully collapsed — "
+    "detectors run on distinct raw texts only, every member pair's "
+    "cell is derived combinatorially (within-group mass is C(c,2) "
+    "arithmetic, cross-group weights c_a*c_b), no per-member pair is "
+    "ever enumerated",
     f"""
     WITH {_SIG_CTE},
     bands AS (
