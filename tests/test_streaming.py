@@ -475,6 +475,39 @@ def test_qs12_bloom_crossover_path_matches_plain(spark, sf_dir, monkeypatch):
     assert side, "bloom side-file missing — crossover path never engaged"
 
 
+def test_qs14_bloom_crossover_path_matches_plain(spark, sf_dir, monkeypatch):
+    """Past the crossover, the bloom-probed novelty monitor must emit
+    exactly the plain anti-join's per-batch (n_sh, n_novel) curve, and
+    must maintain the bitmap side-file (misses skip the index scan,
+    hits are confirmed by the exact anti-join — counts stay exact)."""
+    import glob
+    import tempfile
+
+    from twitter_kafka_etl_spark.plans import REGISTRY
+
+    plain = {
+        (r.batch, r.n_sh, r.n_novel)
+        for r in REGISTRY["qs14_stream_novelty"].build(spark, sf_dir).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_QS14_BLOOM_CROSSOVER", "0")
+    bloomed = {
+        (r.batch, r.n_sh, r.n_novel)
+        for r in REGISTRY["qs14_stream_novelty"].build(spark, sf_dir).collect()
+    }
+    assert bloomed == plain and len(plain) > 0
+    # the crossover run left a rolled-forward bitmap side-file behind
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    side = glob.glob(
+        os.path.join(
+            tempfile.gettempdir(),
+            f"tkes_stream_qs14_{sf_name}",
+            f"run_{os.getpid()}",
+            "bloom.parquet",
+        )
+    )
+    assert side, "bloom side-file missing — crossover path never engaged"
+
+
 def test_qs13_stream_psi_equals_batch_psi(spark, sf_dir):
     """The accumulated micro-batch counts must fold into EXACTLY the
     batch psi_drift rows — the stream/batch equivalence the monitor's

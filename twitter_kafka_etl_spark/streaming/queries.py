@@ -284,6 +284,22 @@ def _run_to_sink(stream_df: DataFrame, work: str, partition_by=None) -> str:
     return out
 
 
+def _rows_in(path: str) -> int:
+    """Row count from parquet FOOTERS, driver-side — tracking an
+    accumulated index's size (the bloom-crossover decision in qs12 and
+    qs14) must not cost a Spark job per micro-batch."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root_, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(
+                    os.path.join(root_, f)
+                ).metadata.num_rows
+    return total
+
+
 def _state_partitions(df: DataFrame, big_rows: int = 500_000) -> int:
     """State-store parallelism sized to the staged volume: small harness
     inputs keep 8 partitions (per-partition-per-batch overhead dominates),
@@ -1075,20 +1091,6 @@ def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.environ.get("SPARK_GRAFT_QS12_BLOOM_CROSSOVER", "10000000")
     )
 
-    def _rows_in(path: str) -> int:
-        """Row count from parquet FOOTERS, driver-side — tracking the
-        index size must not cost a Spark job per micro-batch."""
-        import pyarrow.parquet as pq
-
-        total = 0
-        for root_, _dirs, files in os.walk(path):
-            for f in files:
-                if f.endswith(".parquet"):
-                    total += pq.ParquetFile(
-                        os.path.join(root_, f)
-                    ).metadata.num_rows
-        return total
-
     state = {"words": None, "m": 0}
     # Resume the accumulated bitmap from the durable side-file. In THIS
     # harness the branch never fires — _staged_input hands every call a
@@ -1337,10 +1339,13 @@ _register_qs13()
     "index (set-membership HISTORY at shingle granularity — qs12 keeps "
     "doc fingerprints, this keeps content hashes), novel hashes append "
     "to the index, and the per-batch (n_sh, n_novel) row is the "
-    "diminishing-returns curve a crawl publishes as it runs; batches "
-    "arrive in doc_id order so novelty-by-batch equals the batch "
-    "first-occurrence computation exactly; oracle form: min-batch per "
-    "shingle hash over id-range buckets",
+    "diminishing-returns curve a crawl publishes as it runs; past a "
+    "crossover index size a driver-held bloom bitmap pre-probes each "
+    "batch (misses skip the index scan, hits get an exact anti-join "
+    "confirm — qs12's pattern at shingle granularity, counts exact in "
+    "both modes); batches arrive in doc_id order so novelty-by-batch "
+    "equals the batch first-occurrence computation exactly; oracle "
+    "form: min-batch per shingle hash over id-range buckets",
     """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (
@@ -1389,9 +1394,53 @@ def qs14(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir, work = _staged_input(sf_dir, "qs14", "idrange4", write)
     index = os.path.join(work, "shindex")
     stats = os.path.join(work, "stats")
+    bloom_file = os.path.join(work, "bloom.parquet")
+
+    # Bloom pre-probe, qs12's crossover rule lifted one granularity
+    # deeper (r6 verdict item 3): while the accumulated shingle index
+    # is broadcast-sized, the plain per-batch anti-join is optimal and
+    # the probe's extra exchanges are pure fixed cost. Once the index
+    # outgrows ``crossover`` hashes (default 10M ≈ the ~160 MB
+    # broadcast ceiling at 16 B/hash; $SPARK_GRAFT_QS14_BLOOM_CROSSOVER
+    # overrides — tests force 0), the bitmap is bootstrapped ONCE from
+    # the index it replaces and carried driver-side across batches
+    # (≤ m/32 int64 words, KB–MB forever) with a durable parquet
+    # side-file for restart. Later batches consult the bitmap first:
+    # bloom misses are DEFINITE novel shingles and skip the index scan
+    # entirely; only hits (true repeats + one-sided false positives)
+    # go through the exact anti-join confirm, so the novelty counts
+    # stay exact in both modes. This caps the per-batch index-scan
+    # cost that previously grew linearly with crawl history.
+    import numpy as np
+    import pandas as pd
+
+    from twitter_kafka_etl_spark.operators import sketches as K
+
+    crossover = int(
+        os.environ.get("SPARK_GRAFT_QS14_BLOOM_CROSSOVER", "10000000")
+    )
+    state = {"words": None, "m": 0}
+    # restart hook, same contract as qs12: never fires in this harness
+    # (fresh per-PID run dir), exercised per run via the side-file test
+    if os.path.exists(bloom_file):
+        prev = pd.read_parquet(bloom_file)
+        if len(prev):
+            state["m"] = int(prev["m"].iloc[0])
+            state["words"] = np.zeros(
+                state["m"] // K.BLOOM_WORD, dtype=np.int64
+            )
+            state["words"][prev["word"].to_numpy()] = prev["bits"].to_numpy()
 
     def monitor(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+
+        def seen_hashes() -> DataFrame:
+            return (
+                s.read.parquet(index)
+                .filter(F.col("__b") != batch_id)
+                .select("sh_h")
+            )
+
         # batch label from the DATA (the id-range bucket every row of
         # this file shares), not the engine's batch counter — restart-
         # and replay-proof
@@ -1408,18 +1457,52 @@ def qs14(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-list reason as qs12 (the append extends the file source
         # the plan would re-list)
         sh = sh.localCheckpoint(eager=True)
+        use_bloom = os.path.exists(index) and _rows_in(index) > crossover
+        if use_bloom and state["words"] is None:
+            # crossover bootstrap: ~64 bits per current key = 4x growth
+            # headroom at <1% FP before a rebuild; one index scan, paid
+            # once, never again
+            m = max(K.BLOOM_M, 64 * _rows_in(index))
+            state["m"] = m + (-m) % K.BLOOM_WORD
+            state["words"] = np.zeros(
+                state["m"] // K.BLOOM_WORD, dtype=np.int64
+            )
+            boot = K.bloom_build(
+                seen_hashes(), "sh_h", m=state["m"]
+            ).toPandas()
+            state["words"][boot["word"].to_numpy()] |= boot["bits"].to_numpy()
         # own-batch partition excluded from the novelty read + per-batch
         # overwrite partitions below: idempotent under replay, same
         # reasoning as qs12's ingest (round-5 advice — the appends land
         # outside the checkpoint transaction)
-        if os.path.exists(index):
-            novel = sh.join(
-                s.read.parquet(index)
-                .filter(F.col("__b") != batch_id)
-                .select("sh_h"),
-                "sh_h",
-                "left_anti",
+        if use_bloom:
+            nz = np.flatnonzero(state["words"])
+            sketch = s.createDataFrame(
+                pd.DataFrame(
+                    {"word": nz.astype("int32"), "bits": state["words"][nz]}
+                ),
+                "word int, bits long",
             )
+            hits = K.bloom_probe(
+                sketch, sh.select("sh_h"), "sh_h", m=state["m"]
+            )
+            flagged = (
+                sh.join(hits, "sh_h", "left")
+                .withColumn(
+                    "__candidate", F.coalesce("bloom_hit", F.lit(False))
+                )
+                .drop("bloom_hit")
+            )
+            # split-then-union, not a conditional join: the anti-join's
+            # stream side must be the tiny candidate set so AQE
+            # broadcasts it and the index never shuffles (see qs12)
+            cand = flagged.filter(F.col("__candidate")).drop("__candidate")
+            miss = flagged.filter(~F.col("__candidate")).drop("__candidate")
+            novel = miss.unionByName(
+                cand.join(seen_hashes(), "sh_h", "left_anti")
+            )
+        elif os.path.exists(index):
+            novel = sh.join(seen_hashes(), "sh_h", "left_anti")
         else:
             novel = sh
         novel = novel.localCheckpoint(eager=True)
@@ -1443,6 +1526,24 @@ def qs14(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.select("sh_h").write.mode("overwrite").parquet(
             os.path.join(index, f"__b={batch_id}")
         )
+        if state["words"] is not None:
+            # roll the bitmap forward: OR this batch's novel hashes in
+            # (one small job over the pinned novel set), then rewrite
+            # the durable side-file driver-side
+            batch_bits = K.bloom_build(
+                novel.select("sh_h"), "sh_h", m=state["m"]
+            ).toPandas()
+            state["words"][batch_bits["word"].to_numpy()] |= batch_bits[
+                "bits"
+            ].to_numpy()
+            nz = np.flatnonzero(state["words"])
+            pd.DataFrame(
+                {
+                    "word": nz.astype("int32"),
+                    "bits": state["words"][nz],
+                    "m": np.full(len(nz), state["m"], dtype=np.int64),
+                }
+            ).to_parquet(bloom_file)
 
     stream = _read_stream(spark, in_dir, docs)
     q = foreach_batch_fanout(
