@@ -1450,6 +1450,36 @@ def test_memo_eviction_never_kills_checkpoint_backed_holder(spark, sf_dir):
     assert comp.count() == n  # held frame still alive after eviction
 
 
+def test_components_working_set_builds_once_across_consumers(spark, sf_dir):
+    """The five registered consumers of the components working set
+    (x25 assignment, x36 keepers, x89 size profile, x99 source yield,
+    x100 quality calibration) must share ONE build per (session,
+    corpus plan) — memo eviction churn or a plan-key change would
+    silently restore five rebuilds of the suite's most expensive
+    subtree (round-6 verdict item 7)."""
+    from twitter_kafka_etl_spark.operators import _cache
+    from twitter_kafka_etl_spark.plans import REGISTRY
+
+    # guarantee a cold start: drop every memo entry and cached block
+    with _cache._LOCK:
+        _cache._MEMO.clear()
+    spark.catalog.clearCache()
+    for rdd in dict(
+        spark.sparkContext._jsc.getPersistentRDDs()
+    ).values():
+        rdd.unpersist(True)
+    before = D.COMPONENTS_BUILDS["n"]
+    for name in (
+        "x25_dedup_components",
+        "x36_dedup_keepers",
+        "x89_cluster_size_profile",
+        "x99_dedup_source_yield",
+        "x100_quality_dedup_calibration",
+    ):
+        assert REGISTRY[name].build(spark, sf_dir).count() > 0
+    assert D.COMPONENTS_BUILDS["n"] - before == 1
+
+
 def test_packing_stats_fill_rate_exact(spark):
     from twitter_kafka_etl_spark.operators import curation as C
 

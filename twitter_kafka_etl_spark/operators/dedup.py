@@ -1746,6 +1746,11 @@ def segment_dedup_stats(
     )
 
 
+#: incremented on every actual components-working-set build (memo
+#: misses only) — see the counter note inside ``corpus_components``
+COMPONENTS_BUILDS = {"n": 0}
+
+
 def corpus_components(
     df: DataFrame,
     n: int = 3,
@@ -1764,6 +1769,12 @@ def corpus_components(
     from twitter_kafka_etl_spark.operators._cache import plan_memo
 
     def build() -> DataFrame:
+        # build counter, NOT a metric: tests assert the five registered
+        # consumers (x25/x36/x89/x99/x100) share ONE build per
+        # (session, corpus plan) so memo eviction churn or a key change
+        # can't silently restore five full rebuilds of the suite's most
+        # expensive subtree
+        COMPONENTS_BUILDS["n"] += 1
         # persist the pair graph: connected_components executes it at
         # least twice (edge-count probe + checkpoint/propagation)
         pairs = minhash_lsh_pairs(
