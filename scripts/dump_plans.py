@@ -190,6 +190,58 @@ SHOWCASE = [
      "x25/x36/x89/x99), the quality side is one projection chain, and "
      "the cross-signal join is int64-keyed carrying two columns — the "
      "only corpus-scale exchange feeding a 10-row agg."),
+    ("x86_mixture_temperature",
+     "Temperature-scaled mixture weights: per-source token counts from "
+     "ONE partial-agg pass; pow() evaluated once per source and "
+     "quantized to scaled BIGINT so the normalizing sum — the only "
+     "order-sensitive reduction — is exact integer arithmetic; output "
+     "is |sources| rows."),
+    ("x90_winnow_matches",
+     "Winnowing cross-match: window-min fingerprint selection keeps "
+     "~2/(w+1) of gram hashes (all narrow array expressions), then the "
+     "same inverted-index self-equi-join discipline as the shingle "
+     "pair joins — only documents sharing >=1 fingerprint ever "
+     "materialize, min_shared filters the pair aggregate."),
+    ("x91_cross_source_leakage",
+     "Cross-source leakage: winnow fingerprints reduced to distinct "
+     "(source, fp) rows BEFORE the self-join, so pair fan-out is "
+     "bounded by |sources|^2 per fingerprint — the re-sold/mirrored "
+     "crawl detector never pays per-document quadratics."),
+    ("x93_packing_stats",
+     "Packing yield: per-doc token counts (narrow projection), a "
+     "running-offset window per source, and one |sources|-row agg — "
+     "the fill-rate audit costs one scan and one keyed window, no "
+     "pairwise bin-packing simulation."),
+    ("x95_source_stylometry",
+     "Stylometry profile: explode tokens into ONE partial-agg shuffle "
+     "on (source, token) — the vocabulary-bounded exchange (rows <= "
+     "|sources| x |vocab| regardless of corpus size); every ratio is "
+     "int/int with exact BIGINT numerators."),
+    ("x97_embedding_separation",
+     "Class separation: DECIMAL-exact label centroids re-assembled "
+     "driver-free and broadcast; member cosines are narrow sequential "
+     "folds against the rounded centroid, quantized to scaled BIGINT "
+     "before the per-label mean; the centroid-vs-centroid pass is "
+     "|labels|^2 — never per-row pairs."),
+    ("x98_dedup_method_agreement",
+     "Method agreement matrix, fully collapsed (r7): the corpus "
+     "collapses once on md5(text) (map-side combine — the exchange "
+     "carries ~distinct-text rows), all three detectors run on "
+     "representatives only, within-group mass is C(c,2) integer "
+     "arithmetic and cross-group rep pairs carry c_a*c_b weights — no "
+     "per-member pair is ever enumerated, so a 10^6-fold duplicated "
+     "boilerplate text costs one row, not 5*10^11."),
+    ("x99_dedup_source_yield",
+     "Per-source dedup yield: reads the memoized components working "
+     "set (two int64s/doc, shared with x25/x36/x89/x100), two narrow "
+     "int64-keyed joins (labels, keeper source), one |sources|-row agg "
+     "— nothing carries text."),
+    ("x101_bootstrap_source_ci",
+     "Poisson-bootstrap CI: every replica lives in a WEIGHT column of "
+     "the same streaming aggregation as the plain mean (no resampled "
+     "data ever shuffles); replica means quantize to scaled BIGINT and "
+     "the second moment widens to DECIMAL(38,0) — exact under any "
+     "partitioning."),
 ]
 
 HEADER = """# PLANS — annotated physical plans (generated)
