@@ -86,6 +86,25 @@ def _reference_record(sf: float) -> dict[str, float] | None:
     return None
 
 
+def _flag_outliers(
+    timings: dict[str, float],
+    ref: dict[str, float],
+    factor: float = 1.5,
+    floor: float = 0.25,
+    cap: int = 15,
+) -> list[str]:
+    """Rows whose in-suite time exceeds ``factor`` x the recorded value
+    (plus an absolute ``floor`` so sub-second jitter never flags),
+    worst relative offenders first, capped at ``cap``."""
+    flagged = [
+        n
+        for n, t in timings.items()
+        if t > 0 and ref.get(n, 0) > 0 and t > factor * ref[n] + floor
+    ]
+    flagged.sort(key=lambda n: timings[n] / ref[n], reverse=True)
+    return flagged[:cap]
+
+
 def _rerun_outliers(
     timings: dict[str, float], sf: float, sf_dir: str
 ) -> dict[str, float]:
@@ -105,16 +124,9 @@ def _rerun_outliers(
     ref = _reference_record(sf)
     if not ref:
         return {}
-    flagged = [
-        n
-        for n, t in timings.items()
-        if t > 0 and ref.get(n, 0) > 0 and t > 1.5 * ref[n] + 0.25
-    ]
+    flagged = _flag_outliers(timings, ref)
     if not flagged:
         return {}
-    # worst relative offenders first; cap the rerun budget
-    flagged.sort(key=lambda n: timings[n] / ref[n], reverse=True)
-    flagged = flagged[:15]
     import subprocess
     import tempfile
 

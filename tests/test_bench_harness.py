@@ -1,0 +1,39 @@
+"""Pure-driver tests of the bench harness's record and outlier logic —
+no SparkSession; the expensive subprocess path is exercised by the
+smoke runs documented in README (SPARK_GRAFT_BENCH_ONLY)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def test_reference_record_matches_scale_factor():
+    rec = bench._reference_record(0.1)
+    assert rec and "x01_dedup_exact" in rec  # full names, sf0.1 file
+    assert bench._reference_record(99.0) is None
+
+
+def test_flag_outliers_rule():
+    ref = {"a": 1.0, "b": 2.0, "c": 0.05, "d": 4.0}
+    timings = {
+        "a": 1.8,   # > 1.5*1.0 + 0.25 → flagged
+        "b": 2.9,   # < 1.5*2.0 + 0.25 → not flagged
+        "c": 0.3,   # above 1.5x but inside the 0.25 absolute floor
+        "d": 40.0,  # worst ratio → first
+        "e": 9.9,   # no reference row → never flagged
+        "f": -1.0,  # errored query → never flagged
+    }
+    assert bench._flag_outliers(timings, ref) == ["d", "a"]
+
+
+def test_flag_outliers_cap():
+    ref = {f"q{i}": 1.0 for i in range(40)}
+    timings = {f"q{i}": 10.0 + i for i in range(40)}
+    flagged = bench._flag_outliers(timings, ref)
+    assert len(flagged) == 15
+    assert flagged[0] == "q39"  # worst relative offender leads
