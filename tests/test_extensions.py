@@ -89,11 +89,85 @@ def test_langid_marks_english_markers(spark):
     assert got == {1: "en", 2: "de", 3: "und"}
 
 
-def test_multimodal_real_decoders_are_stubs():
+def test_multimodal_codec_formats_remain_plug_points():
+    """Codec-bound formats stay declared plug-points; uncompressed
+    formats decode natively (see the real-decoder tests below)."""
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
-        M.decode_audio(b"RIFF")
+        M.decode_audio(b"RIFF")  # truncated RIFF, no WAVE tag
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(b"\xff\xfb\x90\x00mp3frame")
+
+
+def _ppm(width, height, pixels, comment=False):
+    hdr = b"P6\n" + (b"# a comment\n" if comment else b"") + (
+        b"%d %d\n255\n" % (width, height)
+    )
+    return hdr + bytes(pixels)
+
+
+def _wav(samples, rate=8000):
+    import io as _io
+    import wave as _wave
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        import struct
+
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_decode_netpbm_real():
+    # 2x1 RGB: black + white → mean 127.5; header comment handled
+    p = _ppm(2, 1, [0, 0, 0, 255, 255, 255], comment=True)
+    d = M.decode_image(p)
+    assert (d["width"], d["height"], d["n_channels"]) == (2, 1, 3)
+    assert abs(d["mean_value"] - 127.5) < 1e-9
+    # P5 graymap
+    g = M.decode_image(b"P5\n2 2\n255\n" + bytes([10, 20, 30, 40]))
+    assert (g["width"], g["height"], g["n_channels"]) == (2, 2, 1)
+    assert abs(g["mean_value"] - 25.0) < 1e-9
+
+
+def test_decode_wav_real():
+    d = M.decode_audio(_wav([0, 1000, -1000, 32767, 0, 0, 0, 0]))
+    assert d["n_channels"] == 1 and d["sample_rate"] == 8000
+    assert d["n_samples"] == 8 and d["duration_ms"] == 1
+    assert d["peak"] == 32767.0
+    expected_rms = (sum(s * s for s in [0, 1000, -1000, 32767, 0, 0, 0, 0]) / 8) ** 0.5
+    assert abs(d["rms"] - expected_rms) < 1e-9
+
+
+def test_media_features_mixed_batch_degrades_per_row(spark):
+    rows = [
+        (1, _ppm(2, 1, [0, 0, 0, 255, 255, 255])),
+        (2, _wav([100, -100])),
+        (3, b"neither image nor audio"),
+        (4, b"P6\n9999 9999\n255\ntoo short"),  # truncated raster
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in M.media_features(df).collect()}
+    assert got[1].media_type == "image/x-portable-pixmap"
+    assert (got[1].width, got[1].height, got[1].n_channels) == (2, 1, 3)
+    assert got[1].sample_rate is None
+    assert got[2].media_type == "audio/wav" and got[2].n_samples == 2
+    assert got[2].width is None
+    assert got[3].media_type == "unknown" and got[3].n_bytes == 23
+    assert got[4].media_type == "corrupt"
+
+
+def test_resize_netpbm_nearest_neighbor():
+    # 2x2 RGB, factor 2 → the top-left pixel survives
+    px = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12]
+    small = M.resize_netpbm(_ppm(2, 2, px), factor=2)
+    d = M.decode_netpbm(small)
+    assert (d["width"], d["height"]) == (1, 1)
+    assert abs(d["mean_value"] - 2.0) < 1e-9  # mean of (1,2,3)
 
 
 def test_multimodal_fake_decode_plumbing(spark):
