@@ -1066,3 +1066,64 @@ def test_feature_correlation_bounded_and_symmetric_counts(spark, rows):
     for r in got:
         assert r.n_docs == len(rows)
         assert -1.0 - 1e-9 <= r.pearson <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Multimodal real decoders (r7): pure-python properties, no Spark needed
+# ---------------------------------------------------------------------------
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+    gray=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_netpbm_decode_resize_roundtrip(w, h, seed, gray):
+    """decode_netpbm reads back exactly what a synthesized netpbm
+    payload encodes, and resize_netpbm's nearest-neighbor output is the
+    stride-subsampled raster — for ANY dimensions and pixel values."""
+    import numpy as np
+
+    from twitter_kafka_etl_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    ch = 1 if gray else 3
+    raster = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    magic = b"P5" if gray else b"P6"
+    payload = magic + b"\n# c\n%d %d\n255\n" % (w, h) + raster.tobytes()
+    d = M.decode_netpbm(payload)
+    assert (d["width"], d["height"], d["n_channels"]) == (w, h, ch)
+    assert abs(d["mean_value"] - float(raster.mean())) < 1e-9
+    small = M.resize_netpbm(payload, factor=2)
+    ds = M.decode_netpbm(small)
+    sub = raster[::2, ::2, :]
+    assert (ds["width"], ds["height"]) == (sub.shape[1], sub.shape[0])
+    assert abs(ds["mean_value"] - float(sub.mean())) < 1e-9
+
+
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=64),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_decode_matches_samples(samples, rate):
+    """decode_wav's metadata and amplitude stats equal the synthesized
+    PCM stream's ground truth for ANY sample values and rates."""
+    import io
+    import struct
+    import wave
+
+    from twitter_kafka_etl_spark.operators import multimodal as M
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    d = M.decode_wav(buf.getvalue())
+    assert d["n_samples"] == len(samples) and d["sample_rate"] == rate
+    assert d["peak"] == float(max(abs(s) for s in samples))
+    rms = (sum(s * s for s in samples) / len(samples)) ** 0.5
+    assert abs(d["rms"] - rms) < 1e-9
+    assert d["duration_ms"] == int(round(1000.0 * len(samples) / rate))
