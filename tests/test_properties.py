@@ -862,9 +862,16 @@ def test_winnow_match_collapse_is_identity(spark, sf_dir):
 _POOL = [
     " ".join(f"w{i}{j}" for j in range(6)) for i in range(4)
 ] + ["a b"]  # one sub-shingle text in the pool
+#: raw-distinct WHITESPACE/CASE variants that share a normalized
+#: fingerprint with pool texts — exercises the agreement matrix's
+#: cross-raw-group exact path (r7 collapse rewrite)
+_POOL_VARIANTS = _POOL + [_POOL[0].upper(), _POOL[1] + "  tail"]
 
 doc_lists = st.lists(
     st.sampled_from(_POOL), min_size=1, max_size=20
+)
+doc_lists_variants = st.lists(
+    st.sampled_from(_POOL_VARIANTS), min_size=1, max_size=20
 )
 
 
@@ -895,24 +902,32 @@ def test_dup_growth_curve_monotone_and_exact_at_full(spark, texts):
     assert full.n_excess == sum(c - 1 for c in cnt.values())
 
 
-@given(texts=doc_lists)
+@given(texts=doc_lists_variants)
 @settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_method_agreement_matches_set_algebra(spark, texts):
     """The matrix must equal the Python set algebra of the three pair
     sets the registered operators emit — the union/flag/agg plumbing
-    adds and loses nothing."""
+    (and the r7 collapse-to-representatives rewrite, including its
+    cross-raw-group exact path via the whitespace/case variants in the
+    pool) adds and loses nothing."""
+    import re
+
     from twitter_kafka_etl_spark.operators import dedup as D
 
     df = spark.createDataFrame(
         list(enumerate(texts)), "doc_id long, text string"
     )
+
+    def norm(t: str) -> str:  # fingerprint_norm's Python twin
+        return re.sub(r"\s+", " ", t.lower())
+
     ex = {
         (a, b)
         for i, ta in enumerate(texts)
         for j, tb in enumerate(texts)
         for a, b in [(i, j)]
-        if a < b and ta == tb  # pool texts are pre-normalized
+        if a < b and norm(ta) == norm(tb)
     }
     mh = {
         (r.doc_a, r.doc_b)
