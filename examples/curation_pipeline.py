@@ -87,6 +87,17 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     #     mean-word-length outlier is tokenizer-hostile content
     print("pre-flight: lowest type-token-ratio sources:")
     T.source_stylometry(docs).orderBy("ttr").show(3)
+    #     multimodal triage: opaque binary payloads classified in ONE
+    #     Arrow pass (netpbm/WAV decode natively; codec formats and
+    #     corrupt payloads degrade per-row, never failing the job) —
+    #     run before committing decode budget to a mixed-media crawl
+    from twitter_kafka_etl_spark.operators import multimodal as M
+
+    media = M.media_features(M.attach_binary(docs.limit(500)))
+    media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("bytes"),
+    ).show()
 
     # 1 — doc-level signals (parallel branches, joined on doc_id)
     signals = (
