@@ -32,72 +32,84 @@ def entry(spark: SparkSession) -> DataFrame:
     return topic_aggregates(enriched)
 
 
-# The five queries whose last driver verification is round 3 — they
-# overflowed round 6's 50-slot window and MUST front round 7's.
-_R3_STALE: frozenset[str] = frozenset(
-    {
-        "x42_curation_balance",
-        "x43_salted_join",
-        "x44_pii_redaction",
-        "x46_dedup_jaccard_estimate",
-        "x47_embedding_project",
-    }
-)
+# Queries whose Spark plan was rewritten in the named round AFTER their
+# last driver verification: the driver has never hashed the new plan, so
+# they jump the rotation queue until a driver check at-or-after the
+# rewrite round lands. Maintained by hand (one line per rewrite) — the
+# rest of the ordering is derived from the CORRECTNESS_r0*.json history
+# so a bookkeeping slip can no longer starve a query of re-verification.
+_REWRITTEN_IN: dict[str, int] = {
+    "x98_dedup_method_agreement": 7,  # collapse-on-md5 rewrite (r7)
+    "qs14_stream_novelty": 7,  # bloom pre-probe + exact confirm (r7)
+}
 
 
-def _rank(name: str) -> int:
+def _latest_green(history_dir: str | None = None) -> dict[str, int]:
+    """Latest round each query went green in the driver's correctness
+    files (``CORRECTNESS_r*.json``). Missing/never-checked → round 0.
+
+    A row counts as green when rows+schema match and hash_match is not
+    an explicit False (hash-less rows-only checks still count as that
+    round's verification — the driver records them for non-SQL ops).
+    """
+    import glob
+    import json
+    import re
+
+    base = history_dir or os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(base, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path, encoding="utf-8") as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("rows_match") is True
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if green:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _rotation_order(
+    names,
+    latest_green: dict[str, int],
+    rewritten_in: dict[str, int] | None = None,
+) -> list[str]:
     """Emission order for the driver's per-round correctness pass.
 
-    The driver file caps at exactly 50 entries in emission order.
-    Verification history: r1 = q01-q37 + x01-x13; r2 = q01-q22 +
-    x14-x35 + qs1-6; r3 = q23-q37 + x01-x13 + x36-x48 + qs1-9;
-    r4 = qs1-12 + x14-x26 + x45 + x48-x71; r5 = qs13-15 + x72-x84 +
-    q01-q25 + x27-x35; r6 = x85-x101 + qs16-17 + q26-q37 + x01-x13 +
-    x36-x41 (50/50 green each round).
+    The driver caps its file at exactly 50 entries in emission order,
+    so ordering IS the verification window. Rule (oldest debt first):
 
-    Round 7 adds no new queries (155 registered; the 50-slot window
-    sustains a ~3-round rotation at this suite size, so the suite is
-    deliberately frozen). The window fronts the five r3-verified
-    stragglers (x42-x44, x46-x47 — the round-6 verdict's item 1),
-    then the r4-verified block (qs1-12, x14-x26, x45, x48-x71 — 50
-    queries, now three rounds old). 5 + 50 = 55 overflows by five:
-    x67-x71 (last in sort order) slide to r8, where they front the
-    rotation ahead of the r5-verified set.
+    1. Queries rewritten since their last driver check (their recorded
+       green predates the plan now in the repo) — the driver must hash
+       the new plan before anything else re-verifies.
+    2. Everything else by latest-green round ascending (never-checked
+       sorts as round 0, i.e. first), tie-broken by name for a stable,
+       diffable window.
     """
-    if name in _R3_STALE:
-        return 0  # last green r3 — four rounds ago, front of the window
-    if (
-        name.startswith("qs")
-        and name[2:4].strip("_").isdigit()
-        and int(name[2:4].strip("_")) <= 12
-    ):
-        return 1  # qs1-12 — green r4
-    if name.startswith("x") and name[1:3].isdigit() and (
-        14 <= int(name[1:3]) <= 26
-        or name == "x45_embedding_quantize"
-        or 48 <= int(name[1:3]) <= 71
-    ):
-        return 1  # x14-x26, x45, x48-x71 — green r4 (x67-x71 → r8)
-    if (
-        name.startswith("q")
-        and not name.startswith("qs")
-        and name[1:3].isdigit()  # guard: a q-name outside the qNN scheme
-        and int(name[1:3]) <= 25  # must fall through, not raise
-    ):
-        return 2  # q01-q25 — green r5
-    if name.startswith("x") and name[1:3].isdigit() and (
-        27 <= int(name[1:3]) <= 35 or 72 <= int(name[1:3]) <= 84
-    ):
-        return 2  # x27-x35, x72-x84 — green r5
-    if name.startswith("qs") and name[2:4].strip("_").isdigit() and (
-        13 <= int(name[2:4].strip("_")) <= 15
-    ):
-        return 2  # qs13-15 — green r5
-    return 3  # q26-q37, x01-x13, x36-x41, x85-x101, qs16-17 — green r6
+    rewritten = rewritten_in if rewritten_in is not None else _REWRITTEN_IN
+
+    def key(name: str) -> tuple[int, int, str]:
+        green = latest_green.get(name, 0)
+        stale_rewrite = rewritten.get(name, 0) > green
+        return (0 if stale_rewrite else 1, green, name)
+
+    return sorted(names, key=key)
 
 
 def _ordered() -> list[str]:
-    return sorted(REGISTRY, key=lambda n: (_rank(n), n))
+    return _rotation_order(REGISTRY, _latest_green())
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
