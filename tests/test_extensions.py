@@ -90,14 +90,52 @@ def test_langid_marks_english_markers(spark):
 
 
 def test_multimodal_codec_formats_remain_plug_points():
-    """Codec-bound formats stay declared plug-points; uncompressed
+    """Codec-bound formats stay declared plug-points; stdlib-parseable
     formats decode natively (see the real-decoder tests below)."""
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG")
+        M.decode_image(b"\xff\xd8\xff\xe0jpegframe")  # JPEG SOI
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"RIFF")  # truncated RIFF, no WAVE tag
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"\xff\xfb\x90\x00mp3frame")
+
+
+def _png_gray(pixels, width, height, **kw):
+    import numpy as np
+
+    raster = np.asarray(pixels, dtype=np.uint8).reshape(height, width, 1)
+    from tests.test_properties import _encode_png
+
+    return _encode_png(raster, filters=[0], **kw)
+
+
+def test_decode_png_real_and_exotic_variants_stay_plug_points():
+    # 2x2 gray, filter None
+    d = M.decode_image(_png_gray([10, 20, 30, 40], 2, 2))
+    assert d["media"] == "image/png"
+    assert (d["width"], d["height"], d["n_channels"]) == (2, 2, 1)
+    assert abs(d["mean_value"] - 25.0) < 1e-9
+    # out-of-scope PNG variants raise rather than decode wrong
+    with pytest.raises(NotImplementedError):
+        M.decode_image(_png_gray([0, 0, 0, 0], 2, 2, bit_depth=16))
+    with pytest.raises(NotImplementedError):
+        M.decode_image(_png_gray([0, 0, 0, 0], 2, 2, color_type=3))
+    with pytest.raises(NotImplementedError):
+        M.decode_image(_png_gray([0, 0, 0, 0], 2, 2, interlace=1))
+    # corrupt pixel stream (valid signature/IHDR, short IDAT) → ValueError
+    import struct
+    import zlib as _z
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", _z.crc32(t + b))
+
+    bad = (M._PNG_SIG
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", _z.compress(b"\x00ab"))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        M.decode_image(bad)
 
 
 def _ppm(width, height, pixels, comment=False):
@@ -149,6 +187,9 @@ def test_media_features_mixed_batch_degrades_per_row(spark):
         (2, _wav([100, -100])),
         (3, b"neither image nor audio"),
         (4, b"P6\n9999 9999\n255\ntoo short"),  # truncated raster
+        (5, _png_gray([0, 255, 255, 0], 2, 2)),
+        (6, _png_gray([0, 0, 0, 0], 2, 2, bit_depth=16)),  # exotic variant
+        (7, None),  # null payload
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r.doc_id: r for r in M.media_features(df).collect()}
@@ -159,6 +200,12 @@ def test_media_features_mixed_batch_degrades_per_row(spark):
     assert got[2].width is None
     assert got[3].media_type == "unknown" and got[3].n_bytes == 23
     assert got[4].media_type == "corrupt"
+    assert got[5].media_type == "image/png"
+    assert (got[5].width, got[5].height, got[5].n_channels) == (2, 2, 1)
+    assert abs(got[5].mean_value - 127.5) < 1e-9
+    # recognized container, unsupported codec → unknown, not corrupt
+    assert got[6].media_type == "unknown"
+    assert got[7].media_type == "unknown" and got[7].n_bytes == 0
 
 
 def test_resize_netpbm_nearest_neighbor():

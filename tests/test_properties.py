@@ -1116,6 +1116,96 @@ def test_netpbm_decode_resize_roundtrip(w, h, seed, gray):
     assert abs(ds["mean_value"] - float(sub.mean())) < 1e-9
 
 
+def _encode_png(raster, filters, color_type=None, bit_depth=8, interlace=0,
+                split_idat=False):
+    """Test-side PNG encoder: forward-filters each scanline with the
+    given filter-type cycle (spec §9) and emits signature + IHDR + IDAT
+    (+ optionally split across two IDAT chunks) + IEND."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from twitter_kafka_etl_spark.operators import multimodal as M
+
+    h, w, ch = raster.shape
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}[ch] if color_type is None else color_type
+    rows = raster.reshape(h, w * ch).astype(np.int64)
+    body = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = rows[y]
+        left = np.zeros_like(cur)
+        left[ch:] = cur[:-ch]
+        upleft = np.zeros_like(prev)
+        upleft[ch:] = prev[:-ch]
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - (left + prev) // 2
+        else:
+            est = left + prev - upleft
+            pa = np.abs(est - left)
+            pb = np.abs(est - prev)
+            pc = np.abs(est - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left,
+                np.where(pb <= pc, prev, upleft),
+            )
+            filt = cur - pred
+        body += bytes([f]) + (filt % 256).astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, ct, 0, 0, interlace)
+    comp = zlib.compress(bytes(body))
+    if split_idat and len(comp) > 1:
+        mid = len(comp) // 2
+        idat = chunk(b"IDAT", comp[:mid]) + chunk(b"IDAT", comp[mid:])
+    else:
+        idat = chunk(b"IDAT", comp)
+    return M._PNG_SIG + chunk(b"IHDR", ihdr) + idat + chunk(b"IEND", b"")
+
+
+@given(
+    w=st.integers(1, 10),
+    h=st.integers(1, 10),
+    seed=st.integers(0, 2**31 - 1),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=6),
+    split=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_decode_roundtrip(w, h, seed, ch, filters, split):
+    """decode_png_raster reconstructs exactly the raster a synthesized
+    PNG encodes — for ANY dimensions, channel layout (gray / gray+alpha
+    / RGB / RGBA), per-scanline filter-type mix, and IDAT chunking."""
+    import numpy as np
+
+    from twitter_kafka_etl_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    raster = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    payload = _encode_png(raster, filters, split_idat=split)
+    got = M.decode_png_raster(payload)
+    assert got.shape == raster.shape
+    assert (got == raster).all()
+    d = M.decode_png(payload)
+    assert (d["width"], d["height"], d["n_channels"]) == (w, h, ch)
+    assert d["media"] == "image/png"
+    assert abs(d["mean_value"] - float(raster.mean())) < 1e-9
+
+
 @given(
     samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=64),
     rate=st.sampled_from([8000, 16000, 44100]),

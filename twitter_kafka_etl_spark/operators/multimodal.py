@@ -2,12 +2,13 @@
 
 The engine treats image/audio/video as ``binary`` columns with a typed
 metadata struct, processed by Arrow-batched ``mapInPandas`` — the decode
-kernels are pluggable. Decoding is REAL for the uncompressed formats the
-standard library + numpy can parse — PCM WAV (stdlib ``wave``) and
-netpbm P5/P6 images — and a declared plug-point
-(``NotImplementedError``) for codec-bound formats (PNG/JPEG/MP3/video
-containers), which need an external backend this container doesn't
-ship. The Spark-side plumbing — schema, batch iteration, partition
+kernels are pluggable. Decoding is REAL for the formats the standard
+library + numpy can parse — PCM WAV (stdlib ``wave``), netpbm P5/P6
+images, and non-interlaced 8-bit PNG (stdlib ``zlib`` inflate +
+scanline unfiltering) — and a declared plug-point
+(``NotImplementedError``) for the remaining codec-bound formats
+(JPEG/WebP/MP3/video containers, exotic PNG variants), which need an
+external backend this container doesn't ship. The Spark-side plumbing — schema, batch iteration, partition
 preservation — is identical either way and tested end-to-end with both
 the real decoders and the deterministic fake.
 
@@ -20,6 +21,7 @@ from __future__ import annotations
 
 import io
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -39,22 +41,22 @@ def attach_binary(df: DataFrame, text_col: str = "text", out: str = "payload") -
     )
 
 
-def decode_netpbm(payload: bytes) -> dict:
-    """Real netpbm decode (binary PGM ``P5`` / PPM ``P6``) — pure
-    header parse + one numpy view, no imaging library. Returns width,
-    height, channel count, and the mean pixel value (the cheap
-    brightness/degenerate-image QA signal)."""
+def _parse_netpbm_header(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a binary netpbm (P5/P6) header. Returns
+    ``(n_channels, width, height, maxval, raster_offset)``. The single
+    shared tokenizer for decode and resize — header tokens are magic,
+    width, height, maxval, whitespace-separated with ``#`` comments; the
+    raster starts after the single whitespace byte following maxval."""
     if payload[:2] not in (b"P5", b"P6"):
         raise ValueError("not a binary netpbm payload")
     n_channels = 3 if payload[:2] == b"P6" else 1
-    # header tokens: magic, width, height, maxval — whitespace-separated
-    # with '#' comments; the raster starts after the single whitespace
-    # byte following maxval
     tokens: list[int] = []
     i = 2
     while len(tokens) < 3:
         while i < len(payload) and payload[i : i + 1].isspace():
             i += 1
+        if i >= len(payload):
+            raise ValueError("truncated netpbm header")
         if payload[i : i + 1] == b"#":
             while i < len(payload) and payload[i] != 0x0A:
                 i += 1
@@ -66,10 +68,19 @@ def decode_netpbm(payload: bytes) -> dict:
         i = j
     i += 1  # the single whitespace byte before the raster
     width, height, maxval = tokens
+    return n_channels, width, height, maxval, i
+
+
+def decode_netpbm(payload: bytes) -> dict:
+    """Real netpbm decode (binary PGM ``P5`` / PPM ``P6``) — pure
+    header parse + one numpy view, no imaging library. Returns width,
+    height, channel count, and the mean pixel value (the cheap
+    brightness/degenerate-image QA signal)."""
+    n_channels, width, height, maxval, offset = _parse_netpbm_header(payload)
     dtype = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
     n_vals = width * height * n_channels
     raster = np.frombuffer(
-        payload, dtype=dtype, count=n_vals, offset=i
+        payload, dtype=dtype, count=n_vals, offset=offset
     ).reshape(height, width, n_channels)
     return {
         "media": "image/x-portable-pixmap" if n_channels == 3 else "image/x-portable-graymap",
@@ -77,6 +88,118 @@ def decode_netpbm(payload: bytes) -> dict:
         "height": height,
         "n_channels": n_channels,
         "mean_value": float(raster.mean()) if n_vals else 0.0,
+    }
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → channel count (palette excluded: needs PLTE expansion)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png_raster(payload: bytes) -> np.ndarray:
+    """Real PNG decode for non-interlaced 8-bit gray / gray+alpha / RGB /
+    RGBA — stdlib ``zlib`` inflate of the IDAT stream + per-scanline
+    unfiltering (None/Sub/Up/Average/Paeth), no imaging library. Returns
+    the reconstructed ``(height, width, channels)`` uint8 raster.
+
+    Out-of-scope PNG variants (16-bit, palette, interlaced) raise
+    ``NotImplementedError`` — they fall to the codec plug-point rather
+    than decoding wrong.
+    """
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    # walk chunks: 4-byte BE length, 4-byte type, data, 4-byte CRC
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + CRC
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _compression, _filter, interlace = ihdr[8:13]
+    if bit_depth != 8:
+        raise NotImplementedError(f"{bit_depth}-bit PNG not supported")
+    if color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {color_type} not supported")
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG not supported")
+    channels = _PNG_CHANNELS[color_type]
+    row_bytes = width * channels
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != height * (1 + row_bytes):
+        raise ValueError("PNG pixel data does not match dimensions")
+    raw = raw.reshape(height, 1 + row_bytes)
+    out = np.zeros((height, row_bytes), dtype=np.uint8)
+    prev = np.zeros(row_bytes, dtype=np.int64)
+    for y in range(height):
+        ftype = int(raw[y, 0])
+        out[y] = _unfilter_scanline(
+            ftype, raw[y, 1:].astype(np.int64), prev, channels
+        )
+        prev = out[y].astype(np.int64)
+    return out.reshape(height, width, channels)
+
+
+def _unfilter_scanline(
+    ftype: int, cur: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Reverse one PNG scanline filter (spec §9, filter types 0-4).
+    ``cur`` is the filtered scanline, ``prev`` the reconstructed prior
+    scanline (zeros for the first), both int64 of length width*bpp."""
+    if ftype == 0:  # None
+        return (cur % 256).astype(np.uint8)
+    if ftype == 2:  # Up
+        return ((cur + prev) % 256).astype(np.uint8)
+    w = cur.size // bpp
+    c = cur.reshape(w, bpp)
+    p = prev.reshape(w, bpp)
+    if ftype == 1:  # Sub: recon[x] = cur[x] + recon[x-1] → per-channel cumsum
+        return (np.cumsum(c, axis=0) % 256).astype(np.uint8).reshape(-1)
+    out = np.zeros((w, bpp), dtype=np.int64)
+    left = np.zeros(bpp, dtype=np.int64)
+    if ftype == 3:  # Average
+        for x in range(w):
+            out[x] = (c[x] + (left + p[x]) // 2) % 256
+            left = out[x]
+    elif ftype == 4:  # Paeth
+        upleft = np.zeros(bpp, dtype=np.int64)
+        for x in range(w):
+            est = left + p[x] - upleft
+            da = np.abs(est - left)
+            db = np.abs(est - p[x])
+            dc = np.abs(est - upleft)
+            pred = np.where(
+                (da <= db) & (da <= dc), left, np.where(db <= dc, p[x], upleft)
+            )
+            out[x] = (c[x] + pred) % 256
+            left = out[x]
+            upleft = p[x]
+    else:
+        raise ValueError(f"unknown PNG filter type {ftype}")
+    return (out % 256).astype(np.uint8).reshape(-1)
+
+
+def decode_png(payload: bytes) -> dict:
+    """Real PNG decode (non-interlaced 8-bit) — same QA-signal contract
+    as :func:`decode_netpbm`: dimensions, channel count, mean pixel."""
+    raster = decode_png_raster(payload)
+    return {
+        "media": "image/png",
+        "width": int(raster.shape[1]),
+        "height": int(raster.shape[0]),
+        "n_channels": int(raster.shape[2]),
+        "mean_value": float(raster.mean()) if raster.size else 0.0,
     }
 
 
@@ -110,14 +233,19 @@ def decode_wav(payload: bytes) -> dict:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Image decode: REAL for uncompressed netpbm (P5/P6); codec-bound
-    formats (PNG/JPEG/WebP/...) are the declared plug-point — swap in an
-    imaging backend here, the mapInPandas plumbing is already wired."""
+    """Image decode: REAL for uncompressed netpbm (P5/P6) and
+    non-interlaced 8-bit PNG (stdlib zlib + scanline unfiltering);
+    remaining codec-bound formats (JPEG/WebP/16-bit or palette PNG/...)
+    are the declared plug-point — swap in an imaging backend here, the
+    mapInPandas plumbing is already wired."""
     if payload[:2] in (b"P5", b"P6"):
         return decode_netpbm(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "compressed image formats need an imaging backend (e.g. Pillow); "
-        "netpbm (P5/P6) decodes natively — plug a codec in here"
+        "JPEG/WebP and exotic PNG variants need an imaging backend "
+        "(e.g. Pillow); netpbm (P5/P6) and 8-bit non-interlaced PNG "
+        "decode natively — plug a codec in here"
     )
 
 
@@ -192,22 +320,30 @@ def media_features(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
     """REAL multimodal feature extraction in one Arrow-batched
-    mapInPandas pass: netpbm images and PCM WAV audio decode natively
-    (dimensions / mean pixel value; rate / duration / peak / RMS);
-    payloads neither can parse emit byte-level features under
-    media_type 'unknown' — a 100 TB pass must degrade per-row, never
-    die on one corrupt file. Output is metadata-only; the payload
+    mapInPandas pass: netpbm + 8-bit PNG images and PCM WAV audio decode
+    natively (dimensions / mean pixel value; rate / duration / peak /
+    RMS); payloads none of those can parse emit byte-level features
+    under media_type 'unknown' — a 100 TB pass must degrade per-row,
+    never die on one corrupt file. Output is metadata-only; the payload
     never crosses a shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for did, p in zip(pdf[id_col], pdf[payload_col]):
-                p = bytes(p) if p is not None else b""
-                row = {"doc_id": int(did), "n_bytes": len(p), **_MEDIA_NULLS}
+                # even id/payload coercion degrades per-row: a null id or
+                # a non-bytes payload cell must not fail the Arrow pass
+                row = dict(_MEDIA_NULLS)
                 try:
-                    if p[:2] in (b"P5", b"P6"):
-                        d = decode_netpbm(p)
+                    p = bytes(p) if p is not None else b""
+                    row.update(doc_id=int(did), n_bytes=len(p))
+                except Exception:  # noqa: BLE001 — degrade, never die
+                    row.update(doc_id=-1, n_bytes=0, media_type="corrupt")
+                    rows.append(row)
+                    continue
+                try:
+                    if p[:2] in (b"P5", b"P6") or p[:8] == _PNG_SIG:
+                        d = decode_image(p)
                         row.update(
                             media_type=d["media"], width=d["width"],
                             height=d["height"], n_channels=d["n_channels"],
@@ -224,6 +360,10 @@ def media_features(
                         )
                     else:
                         row["media_type"] = "unknown"
+                except NotImplementedError:
+                    # recognized container, unsupported codec (16-bit or
+                    # palette PNG, non-PCM WAV, ...) — not corrupt data
+                    row["media_type"] = "unknown"
                 except Exception:  # noqa: BLE001 — degrade, never die
                     row["media_type"] = "corrupt"
                 rows.append(row)
@@ -254,27 +394,10 @@ def resize_netpbm(payload: bytes, factor: int = 2) -> bytes:
     subsampling by ``factor`` on the decoded raster, re-emitted as the
     same binary format. Runs per payload inside the resize_payload-style
     mapInPandas pass — no imaging library needed."""
-    meta = decode_netpbm(payload)
-    n_channels, w, h = meta["n_channels"], meta["width"], meta["height"]
-    # re-locate the raster offset exactly as decode_netpbm does
-    tokens, i = [], 2
-    while len(tokens) < 3:
-        while payload[i : i + 1].isspace():
-            i += 1
-        if payload[i : i + 1] == b"#":
-            while payload[i] != 0x0A:
-                i += 1
-            continue
-        j = i
-        while j < len(payload) and not payload[j : j + 1].isspace():
-            j += 1
-        tokens.append(int(payload[i:j]))
-        i = j
-    i += 1
-    maxval = tokens[2]
+    n_channels, w, h, maxval, offset = _parse_netpbm_header(payload)
     dtype = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
     raster = np.frombuffer(
-        payload, dtype=dtype, count=w * h * n_channels, offset=i
+        payload, dtype=dtype, count=w * h * n_channels, offset=offset
     ).reshape(h, w, n_channels)
     small = raster[::factor, ::factor, :]
     header = (
