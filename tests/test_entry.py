@@ -84,7 +84,9 @@ def test_r8_window_contents():
     window = names[:50]
     assert set(window[:2]) == {"qs14_stream_novelty",
                                "x98_dedup_method_agreement"}
-    assert set(window[2:7]) == {
+    # never-checked queries (r8's x102) sort ahead of the r4-stale five
+    assert set(window[2:8]) == {
+        "x102_pair_collapsed_form",
         "x67_prototype_prune", "x68_dsir_selection", "x69_langid_eval",
         "x70_unigram_nll", "x71_bpe_pair_stats",
     }

@@ -45,6 +45,57 @@ def test_simhash_near_duplicate_has_small_hamming(spark):
     assert len(pairs) == 1 and pairs[0].hamming <= 8
 
 
+def test_collapsed_pair_form_expands_to_member_pairs(spark):
+    """expand=False emits (rep_a, rep_b, c_a, c_b[, hamming]) whose
+    expansion through the membership table set-equals the expand=True
+    member pairs, and whose implied mass (C(c,2) within, c_a*c_b cross)
+    counts them exactly — both LSH families, on a duplicate-heavy
+    corpus with exact AND near duplicates."""
+    base = " ".join("w%d" % i for i in range(100))
+    near = base.replace("w99", "zz")
+    far = " ".join("q%d" % i for i in range(50))
+    rows = [(1, base), (2, near), (3, far), (4, base), (5, base),
+            (6, near), (7, far)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def mass(collapsed_rows):
+        return sum(
+            r.c_a * (r.c_a - 1) // 2 if r.rep_a == r.rep_b else r.c_a * r.c_b
+            for r in collapsed_rows
+        )
+
+    sigs = D.minhash_signatures(D.shingle(df))
+    expanded = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(sigs).collect()}
+    collapsed = D.minhash_lsh_pairs(sigs, expand=False)
+    membership = D.minhash_signature_groups(sigs)
+    redone = {
+        (r.doc_a, r.doc_b)
+        for r in D.expand_collapsed_pairs(collapsed, membership).collect()
+    }
+    crows = collapsed.collect()
+    assert expanded and redone == expanded
+    assert mass(crows) == len(expanded)
+    # the collapsed table is strictly smaller than the pair set here
+    assert len(crows) < len(expanded)
+
+    sh = D.simhash(df)
+    exp = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.simhash_pairs(sh, max_hamming=8, n_chunks=16).collect()
+    }
+    col = D.simhash_pairs(sh, max_hamming=8, n_chunks=16, expand=False)
+    mem = D.simhash_groups(sh)
+    red = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.expand_collapsed_pairs(
+            col, mem, extra_cols=("hamming",)
+        ).collect()
+    }
+    srows = col.collect()
+    assert exp and red == exp
+    assert mass(srows) == len(exp)
+
+
 def test_jaccard_identical_docs_is_one(spark):
     t = "a b c d e f g h"
     df = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])

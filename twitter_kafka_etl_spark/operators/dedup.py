@@ -276,12 +276,116 @@ def _minhash_lsh_pairs_core(
     )
 
 
+def _collapsed_pair_form(
+    rep_pairs: DataFrame,
+    groups: DataFrame,
+    extra_cols: tuple[str, ...] = (),
+    within_extra: dict | None = None,
+) -> DataFrame:
+    """Assemble the collapsed pair form from representative-level pairs
+    and the (``__sig``-keyed) ``groups`` table (rep_id, c).
+
+    Cross-group rows join each rep's group size; within-group rows are
+    one per group of ≥2 members (``rep_a == rep_b``), with
+    ``within_extra`` supplying the carried metric columns (e.g. hamming
+    0 — identical signatures). Group sizes ride along as BIGINT so the
+    implied pair mass (``c_a·c_b`` cross, ``C(c_a,2)`` within) is plain
+    integer arithmetic downstream."""
+    ga = groups.select(F.col("rep_id").alias("doc_a"), F.col("c").alias("c_a"))
+    gb = groups.select(F.col("rep_id").alias("doc_b"), F.col("c").alias("c_b"))
+    cross = (
+        rep_pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            F.col("doc_a").alias("rep_a"),
+            F.col("doc_b").alias("rep_b"),
+            F.col("c_a").cast("bigint").alias("c_a"),
+            F.col("c_b").cast("bigint").alias("c_b"),
+            *[F.col(c) for c in extra_cols],
+        )
+    )
+    within = groups.filter(F.col("c") >= 2).select(
+        F.col("rep_id").alias("rep_a"),
+        F.col("rep_id").alias("rep_b"),
+        F.col("c").cast("bigint").alias("c_a"),
+        F.col("c").cast("bigint").alias("c_b"),
+        *[(within_extra or {})[c].alias(c) for c in extra_cols],
+    )
+    return cross.unionByName(within)
+
+
+def expand_collapsed_pairs(
+    collapsed: DataFrame,
+    membership: DataFrame,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Reconstruct member-level pairs from a collapsed pair table
+    (``expand=False`` output of :func:`minhash_lsh_pairs` /
+    :func:`simhash_pairs`) and a ``(m_id, rep_id)`` membership table
+    (:func:`minhash_signature_groups` / :func:`simhash_groups`).
+
+    Exactly inverts the collapse — ``expand_collapsed_pairs(collapsed,
+    membership)`` set-equals the ``expand=True`` output (test-asserted).
+    Two equi-joins per arm; the quadratic blow-up happens only here, by
+    explicit choice, never inside the banded join."""
+    cross = collapsed.filter(F.col("rep_a") != F.col("rep_b"))
+    within = collapsed.filter(F.col("rep_a") == F.col("rep_b"))
+    ma = membership.select(F.col("rep_id").alias("rep_a"), F.col("m_id").alias("id_a"))
+    mb = membership.select(F.col("rep_id").alias("rep_b"), F.col("m_id").alias("id_b"))
+    cross_x = (
+        cross.join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            *[F.col(c) for c in extra_cols],
+        )
+    )
+    w2 = membership.select(F.col("rep_id").alias("rep_a"), F.col("m_id").alias("id_b"))
+    within_x = (
+        within.join(ma, "rep_a")
+        .join(w2, "rep_a")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            *[F.col(c) for c in extra_cols],
+        )
+    )
+    return cross_x.unionByName(within_x)
+
+
+def minhash_signature_groups(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Membership table ``(m_id, rep_id)`` of the full-signature
+    equality groups :func:`minhash_lsh_pairs` collapses on — the
+    companion input to :func:`expand_collapsed_pairs`."""
+    mh_cols = [f"mh{i}" for i in range(n_bands * rows_per_band)]
+    key = F.concat_ws("_", *[F.col(c).cast("string") for c in mh_cols])
+    members = signatures.select(F.col(id_col).alias("m_id"), key.alias("__sig"))
+    reps = members.groupBy("__sig").agg(F.min("m_id").alias("rep_id"))
+    return members.join(reps, "__sig").select("m_id", "rep_id")
+
+
+def simhash_groups(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Membership table ``(m_id, rep_id)`` of the simhash-equality
+    groups :func:`simhash_pairs` collapses on."""
+    members = sig_df.select(F.col(id_col).alias("m_id"), F.col("simhash"))
+    reps = members.groupBy("simhash").agg(F.min("m_id").alias("rep_id"))
+    return members.join(reps, "simhash").select("m_id", "rep_id")
+
+
 def minhash_lsh_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     n_bands: int = N_BANDS,
     rows_per_band: int = ROWS_PER_BAND,
     collapse_exact: bool | None = None,
+    expand: bool = True,
 ) -> DataFrame:
     """Banded LSH: equal band-signature → candidate pair.
 
@@ -298,7 +402,36 @@ def minhash_lsh_pairs(
     either way — the banded join just runs on distinct signatures.
     ``None`` (default) probes the signature duplication factor and
     collapses only when it pays (see ``_auto_collapse``).
+
+    ``expand=False`` returns the COLLAPSED pair form instead of member
+    pairs: one row per representative pair ``(rep_a, rep_b, c_a, c_b)``
+    where ``c_*`` are the signature-group sizes — cross-group rows
+    (``rep_a < rep_b``) stand for ``c_a·c_b`` member pairs, within-group
+    rows (``rep_a == rep_b``, groups of ≥2) for ``C(c_a, 2)``. On a
+    duplicate-heavy corpus the expanded pair set is quadratic in the
+    duplication factor while the collapsed form is near-linear in
+    distinct texts (the x98 lesson, SURVEY §6) — at 100 TB this is the
+    form a consumer should join against, exploding only where needed
+    (``expand_collapsed_pairs`` reconstructs the member pairs exactly;
+    equivalence is test-asserted).
     """
+    if not expand:
+        signatures = signatures.localCheckpoint(eager=False)
+        mh_cols = [f"mh{i}" for i in range(n_bands * rows_per_band)]
+        key = F.concat_ws("_", *[F.col(c).cast("string") for c in mh_cols])
+        members = signatures.select(
+            F.col(id_col).alias("m_id"), key.alias("__sig")
+        )
+        groups = members.groupBy("__sig").agg(
+            F.min("m_id").alias("rep_id"), F.count("*").alias("c")
+        )
+        rep_sigs = signatures.join(
+            groups.select(F.col("rep_id").alias(id_col)), id_col, "left_semi"
+        )
+        rep_pairs = _minhash_lsh_pairs_core(
+            rep_sigs, id_col, n_bands, rows_per_band
+        )
+        return _collapsed_pair_form(rep_pairs, groups)
     checkpointed = False
     if collapse_exact is None:
         # Materialize the signature table once (k int64s per doc — tiny
@@ -455,6 +588,7 @@ def simhash_pairs(
     bits: int = 32,
     n_chunks: int = 4,
     collapse_exact: bool | None = None,
+    expand: bool = True,
 ) -> DataFrame:
     """Near-dup pairs: hamming(simhash) <= k via chunk banding.
 
@@ -481,12 +615,33 @@ def simhash_pairs(
     asserted in tests; measured 3× at a 10-fold-replicated sf1).
     ``None`` (default) probes the signature duplication factor and
     collapses only when it pays (see ``_auto_collapse``).
+
+    ``expand=False`` returns the COLLAPSED pair form ``(rep_a, rep_b,
+    c_a, c_b, hamming)`` — see :func:`minhash_lsh_pairs` for the
+    row conventions and the 100 TB rationale; within-group rows carry
+    hamming 0 (identical signatures).
     """
     if max_hamming > n_chunks - 1:
         raise ValueError(
             f"pigeonhole banding is complete only for max_hamming <= "
             f"n_chunks - 1; got max_hamming={max_hamming}, n_chunks={n_chunks} "
             f"— raise n_chunks to at least max_hamming + 1"
+        )
+    if not expand:
+        sig_df = sig_df.localCheckpoint(eager=False)
+        members = sig_df.select(F.col(id_col).alias("m_id"), F.col("simhash"))
+        groups = members.groupBy("simhash").agg(
+            F.min("m_id").alias("rep_id"), F.count("*").alias("c")
+        )
+        rep_sigs = groups.select(F.col("rep_id").alias(id_col), "simhash")
+        rep_pairs = _simhash_pairs_core(
+            rep_sigs, id_col, max_hamming, bits, n_chunks
+        )
+        return _collapsed_pair_form(
+            rep_pairs,
+            groups,
+            extra_cols=("hamming",),
+            within_extra={"hamming": F.lit(0).cast("bigint")},
         )
     if collapse_exact is None:
         # materialize once so the probe and both join sides read the tiny

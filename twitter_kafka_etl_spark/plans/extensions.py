@@ -4330,3 +4330,112 @@ def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x101(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.bootstrap_source_ci(_docs(spark, sf_dir))
+
+
+# collapsed-pair-form twins run on a duplicate-heavy corpus (documents
+# unioned with an id-shifted copy — every text duplicated), reading from
+# the `dupdocs` CTE instead of the raw table; rep-level bands/chunks run
+# on the per-group representative signatures only.
+_DUP_SIG_CTE = _SIG_CTE.replace("FROM documents", "FROM dupdocs")
+_DUP_SIMHASH_CTE = _SIMHASH_CTE.replace("FROM documents", "FROM dupdocs")
+_REP_BAND_BRANCHES = _BAND_BRANCHES.replace("FROM sigs", "FROM rep_sigs")
+_MH_ALL = ", ".join(f"mh{i}" for i in range(D.N_BANDS * D.ROWS_PER_BAND))
+
+
+@_register(
+    "x102_pair_collapsed_form",
+    "collapsed candidate-pair form (expand=False) over a duplicate-heavy "
+    "corpus: banded joins run on per-signature-group representatives "
+    "only; output is (method, rep_a, rep_b, c_a, c_b, implied_pairs) "
+    "where within-group rows (rep_a=rep_b) stand for C(c,2) member "
+    "pairs and cross rows for c_a*c_b — the x98 collapse discipline as "
+    "a public variant of the minhash-LSH and simhash pair surfaces "
+    "(dedup.minhash_lsh_pairs/simhash_pairs expand=False; "
+    "expand_collapsed_pairs inverts it exactly, test-asserted)",
+    f"""
+    WITH dupdocs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ),
+    {_DUP_SIG_CTE},
+    {_DUP_SIMHASH_CTE},
+    mh_key AS (
+      SELECT doc_id, concat_ws('_', {_MH_ALL}) AS fullsig FROM sigs
+    ),
+    mh_groups AS (
+      SELECT fullsig, min(doc_id) AS rep_id, COUNT(*) AS c
+      FROM mh_key GROUP BY fullsig
+    ),
+    rep_sigs AS (
+      SELECT s.* FROM sigs s JOIN mh_groups g ON s.doc_id = g.rep_id
+    ),
+    bands AS (
+    {_REP_BAND_BRANCHES}
+    ),
+    mh_pairs AS (
+      SELECT DISTINCT a.doc_id AS rep_a, b.doc_id AS rep_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    mh_coll AS (
+      SELECT 'minhash' AS method, rep_a, rep_b, ga.c AS c_a, gb.c AS c_b
+      FROM mh_pairs
+      JOIN mh_groups ga ON ga.rep_id = rep_a
+      JOIN mh_groups gb ON gb.rep_id = rep_b
+      UNION ALL
+      SELECT 'minhash', rep_id, rep_id, c, c FROM mh_groups WHERE c >= 2
+    ),
+    sh_groups AS (
+      SELECT simhash, min(doc_id) AS rep_id, COUNT(*) AS c
+      FROM sim GROUP BY simhash
+    ),
+    chunks AS (
+      SELECT rep_id AS doc_id, simhash,
+             (simhash >> 0) & 255 AS c0, (simhash >> 8) & 255 AS c1,
+             (simhash >> 16) & 255 AS c2, (simhash >> 24) & 255 AS c3
+      FROM sh_groups
+    ),
+    sh_pairs AS (
+      SELECT DISTINCT a.doc_id AS rep_a, b.doc_id AS rep_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM chunks a JOIN chunks b
+        ON a.doc_id < b.doc_id
+       AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+    ),
+    sh_coll AS (
+      SELECT 'simhash' AS method, rep_a, rep_b, ga.c AS c_a, gb.c AS c_b
+      FROM sh_pairs
+      JOIN sh_groups ga ON ga.rep_id = rep_a
+      JOIN sh_groups gb ON gb.rep_id = rep_b
+      WHERE bit_count(xor(sa, sb)) <= 3
+      UNION ALL
+      SELECT 'simhash', rep_id, rep_id, c, c FROM sh_groups WHERE c >= 2
+    ),
+    un AS (SELECT * FROM mh_coll UNION ALL SELECT * FROM sh_coll)
+    SELECT method, CAST(rep_a AS BIGINT) AS rep_a,
+           CAST(rep_b AS BIGINT) AS rep_b,
+           CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+           CAST(CASE WHEN rep_a = rep_b THEN c_a * (c_a - 1) // 2
+                     ELSE c_a * c_b END AS BIGINT) AS implied_pairs
+    FROM un
+    """,
+    tags=("dedup", "extension"),
+)
+def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = docs.unionByName(
+        docs.withColumn("doc_id", (F.col("doc_id") + F.lit(1000000)).cast("long"))
+    )
+    mh = D.minhash_lsh_pairs(D.corpus_signatures(dup), expand=False).select(
+        F.lit("minhash").alias("method"), "rep_a", "rep_b", "c_a", "c_b"
+    )
+    sh = D.simhash_pairs(D.simhash(dup), expand=False).select(
+        F.lit("simhash").alias("method"), "rep_a", "rep_b", "c_a", "c_b"
+    )
+    both = mh.unionByName(sh)
+    implied = F.when(
+        F.col("rep_a") == F.col("rep_b"),
+        F.col("c_a") * (F.col("c_a") - 1) / F.lit(2),
+    ).otherwise(F.col("c_a") * F.col("c_b"))
+    return both.withColumn("implied_pairs", implied.cast("bigint"))
