@@ -1457,20 +1457,32 @@ def qs14(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-list reason as qs12 (the append extends the file source
         # the plan would re-list)
         sh = sh.localCheckpoint(eager=True)
-        use_bloom = os.path.exists(index) and _rows_in(index) > crossover
-        if use_bloom and state["words"] is None:
-            # crossover bootstrap: ~64 bits per current key = 4x growth
-            # headroom at <1% FP before a rebuild; one index scan, paid
-            # once, never again
-            m = max(K.BLOOM_M, 64 * _rows_in(index))
-            state["m"] = m + (-m) % K.BLOOM_WORD
-            state["words"] = np.zeros(
-                state["m"] // K.BLOOM_WORD, dtype=np.int64
-            )
-            boot = K.bloom_build(
-                seen_hashes(), "sh_h", m=state["m"]
-            ).toPandas()
-            state["words"][boot["word"].to_numpy()] |= boot["bits"].to_numpy()
+        # once the bitmap exists it is authoritative — recounting the
+        # growing index's parquet footers every micro-batch would
+        # reintroduce the per-batch linear-in-history cost the bloom
+        # exists to cap (r7 advice), so the footer walk runs only
+        # pre-crossover, and its one result feeds both the decision and
+        # the bootstrap sizing
+        if state["words"] is not None:
+            use_bloom = True
+        else:
+            n_index = _rows_in(index) if os.path.exists(index) else 0
+            use_bloom = n_index > crossover
+            if use_bloom:
+                # crossover bootstrap: ~64 bits per current key = 4x
+                # growth headroom at <1% FP before a rebuild; one index
+                # scan, paid once, never again
+                m = max(K.BLOOM_M, 64 * n_index)
+                state["m"] = m + (-m) % K.BLOOM_WORD
+                state["words"] = np.zeros(
+                    state["m"] // K.BLOOM_WORD, dtype=np.int64
+                )
+                boot = K.bloom_build(
+                    seen_hashes(), "sh_h", m=state["m"]
+                ).toPandas()
+                state["words"][boot["word"].to_numpy()] |= boot[
+                    "bits"
+                ].to_numpy()
         # own-batch partition excluded from the novelty read + per-batch
         # overwrite partitions below: idempotent under replay, same
         # reasoning as qs12's ingest (round-5 advice — the appends land
@@ -1523,13 +1535,17 @@ def qs14(spark: SparkSession, sf_dir: str) -> DataFrame:
         row.write.mode("overwrite").parquet(
             os.path.join(stats, f"__b={batch_id}")
         )
-        novel.select("sh_h").write.mode("overwrite").parquet(
-            os.path.join(index, f"__b={batch_id}")
-        )
         if state["words"] is not None:
             # roll the bitmap forward: OR this batch's novel hashes in
             # (one small job over the pinned novel set), then rewrite
-            # the durable side-file driver-side
+            # the durable side-file driver-side — BEFORE the index
+            # append (r7 advice): the bitmap's one-sided error must stay
+            # "bit set but hash absent" (a false positive the exact
+            # confirm absorbs), never "hash in the index but bit clear"
+            # (a false miss that breaks 'bloom miss = definitely
+            # novel'). Writing the side-file first means a crash between
+            # the two commits leaves extra bits, not missing ones, and a
+            # replayed batch re-ORs idempotently.
             batch_bits = K.bloom_build(
                 novel.select("sh_h"), "sh_h", m=state["m"]
             ).toPandas()
@@ -1544,6 +1560,9 @@ def qs14(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "m": np.full(len(nz), state["m"], dtype=np.int64),
                 }
             ).to_parquet(bloom_file)
+        novel.select("sh_h").write.mode("overwrite").parquet(
+            os.path.join(index, f"__b={batch_id}")
+        )
 
     stream = _read_stream(spark, in_dir, docs)
     q = foreach_batch_fanout(
