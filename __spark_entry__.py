@@ -40,7 +40,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # so a bookkeeping slip can no longer starve a query of re-verification.
 _REWRITTEN_IN: dict[str, int] = {
     "x98_dedup_method_agreement": 7,  # collapse-on-md5 rewrite (r7)
-    "qs14_stream_novelty": 7,  # bloom pre-probe + exact confirm (r7)
+    # r7 bloom pre-probe + exact confirm; r8 side-file-before-append
+    # ordering + footer-walk short-circuit
+    "qs14_stream_novelty": 8,
 }
 
 
