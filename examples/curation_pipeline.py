@@ -88,7 +88,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("pre-flight: lowest type-token-ratio sources:")
     T.source_stylometry(docs).orderBy("ttr").show(3)
     #     multimodal triage: opaque binary payloads classified in ONE
-    #     Arrow pass (netpbm/WAV decode natively; codec formats and
+    #     Arrow pass (netpbm/PNG/WAV decode natively; codec formats and
     #     corrupt payloads degrade per-row, never failing the job) —
     #     run before committing decode budget to a mixed-media crawl
     from twitter_kafka_etl_spark.operators import multimodal as M

@@ -1204,6 +1204,11 @@ def test_png_decode_roundtrip(w, h, seed, ch, filters, split):
     assert (d["width"], d["height"], d["n_channels"]) == (w, h, ch)
     assert d["media"] == "image/png"
     assert abs(d["mean_value"] - float(raster.mean())) < 1e-9
+    # the engine's own writer round-trips, and resize is exactly the
+    # stride-subsampled raster re-encoded
+    assert (M.decode_png_raster(M.encode_png(raster)) == raster).all()
+    small = M.decode_png_raster(M.resize_png(payload, factor=2))
+    assert (small == raster[::2, ::2, :]).all()
 
 
 @given(

@@ -203,6 +203,46 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
+def encode_png(raster: np.ndarray) -> bytes:
+    """Minimal standards-conformant PNG writer for an 8-bit
+    ``(height, width, channels)`` uint8 raster (1/2/3/4 channels →
+    gray / gray+alpha / RGB / RGBA): filter type None on every
+    scanline, one zlib-compressed IDAT. The emit side of the resize
+    path — any PNG reader (including :func:`decode_png_raster`)
+    round-trips it exactly."""
+    import struct
+
+    h, w, ch = raster.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    rows = np.ascontiguousarray(raster.astype(np.uint8)).reshape(h, w * ch)
+    body = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(body))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_png(payload: bytes, factor: int = 2) -> bytes:
+    """REAL image resize for PNG payloads: nearest-neighbor subsampling
+    by ``factor`` on the decoded raster, re-emitted as PNG — the
+    :func:`resize_netpbm` contract for the compressed format a real
+    crawl actually carries. Pure zlib+numpy, no imaging library."""
+    small = decode_png_raster(payload)[::factor, ::factor, :]
+    return encode_png(small)
+
+
 def decode_wav(payload: bytes) -> dict:
     """Real PCM WAV decode — stdlib ``wave`` reader + one numpy view.
     Returns channel/rate/duration metadata plus peak and RMS amplitude
