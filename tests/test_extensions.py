@@ -96,6 +96,56 @@ def test_collapsed_pair_form_expands_to_member_pairs(spark):
     assert mass(srows) == len(exp)
 
 
+def test_collapsed_form_jaccard_containment(spark):
+    """expand=False on the shingle-set metrics: collapsed rows expand
+    through text_fingerprint_groups to exactly the member pairs, values
+    included, and the implied mass counts them."""
+    base = " ".join("w%d" % i for i in range(40))
+    near = base.replace("w39", "zz")  # high jaccard with base
+    quote = " ".join("w%d" % i for i in range(10))  # contained in base
+    far = " ".join("q%d" % i for i in range(30))
+    rows = [(1, base), (2, near), (3, quote), (4, far),
+            (5, base), (6, base), (7, quote)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    membership = D.text_fingerprint_groups(df)
+
+    def mass(collapsed_rows):
+        return sum(
+            r.c_a * (r.c_a - 1) // 2 if r.rep_a == r.rep_b else r.c_a * r.c_b
+            for r in collapsed_rows
+        )
+
+    exp_j = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in D.ngram_jaccard_pairs(df, threshold=0.2).collect()
+    }
+    col_j = D.ngram_jaccard_pairs(df, threshold=0.2, expand=False)
+    red_j = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in D.expand_collapsed_pairs(
+            col_j, membership, extra_cols=("jaccard",)
+        ).collect()
+    }
+    jrows = col_j.collect()
+    assert exp_j and red_j == exp_j and mass(jrows) == len(exp_j)
+
+    exp_c = {
+        (r.doc_a, r.doc_b, r.common, round(r.containment, 9))
+        for r in D.containment_pairs(df, threshold=0.6).collect()
+    }
+    col_c = D.containment_pairs(df, threshold=0.6, expand=False)
+    red_c = {
+        (r.doc_a, r.doc_b, r.common, round(r.containment, 9))
+        for r in D.expand_collapsed_pairs(
+            col_c, membership, extra_cols=("common", "containment")
+        ).collect()
+    }
+    crows = col_c.collect()
+    assert exp_c and red_c == exp_c and mass(crows) == len(exp_c)
+    # the quote is contained in base: that cross pair must be present
+    assert any(r.rep_a == 1 and r.rep_b == 3 for r in crows)
+
+
 def test_jaccard_identical_docs_is_one(spark):
     t = "a b c d e f g h"
     df = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])

@@ -845,6 +845,7 @@ def containment_pairs(
     df_cap: int | None = JACCARD_DF_CAP,
     collapse_exact: bool | None = None,
     shingled: DataFrame | None = None,
+    expand: bool = True,
 ) -> DataFrame:
     """Asymmetric near-dup pairs by shingle-set CONTAINMENT,
     max(|A∩B|/|A|, |A∩B|/|B|) — the quote/boilerplate-inclusion screen
@@ -868,7 +869,9 @@ def containment_pairs(
     the Jaccard join's candidate set; only the final projection
     differs, so scale behavior is identical. Output: (doc_a, doc_b,
     common, containment, jaccard) — jaccard carried so consumers can
-    see exactly which pairs only containment finds.
+    see exactly which pairs only containment finds. ``expand=False``
+    returns the collapsed form (rep_a, rep_b, c_a, c_b, common,
+    containment, jaccard) — see :func:`ngram_jaccard_pairs`.
     """
 
     def core(
@@ -892,7 +895,9 @@ def containment_pairs(
             .select("doc_a", "doc_b", "common", "containment", "jaccard")
         )
 
-    if collapse_exact is None:
+    if not expand:
+        collapse_exact = True
+    elif collapse_exact is None:
         collapse_exact = _auto_collapse(df, F.md5(F.col(text_col)))
     if not collapse_exact:
         return core(df, shingled)
@@ -912,6 +917,7 @@ def containment_pairs(
         ],
         within_filter=lambda eff, nsh: (eff / nsh) >= F.lit(threshold),
         df_cap=df_cap,
+        expand=expand,
     )
 
 
@@ -1017,6 +1023,7 @@ def ngram_jaccard_pairs(
     collapse_exact: bool | None = None,
     persist: bool = True,
     shingled: DataFrame | None = None,
+    expand: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard over an inverted-index join.
 
@@ -1059,8 +1066,16 @@ def ngram_jaccard_pairs(
     table by one semi-join (a precomputed table must never bypass the
     collapse — the bypass ran the pair join on the duplicated corpus,
     d² the work, 9.7 s → 118 s on the 10×-replicated sf1).
+
+    ``expand=False`` returns the COLLAPSED pair form ``(rep_a, rep_b,
+    c_a, c_b, jaccard)`` — see :func:`minhash_lsh_pairs` for the row
+    conventions; membership for :func:`expand_collapsed_pairs` comes
+    from :func:`text_fingerprint_groups`. The collapse machinery always
+    runs in this mode (its group tables ARE the output's c columns).
     """
-    if collapse_exact is None:
+    if not expand:
+        collapse_exact = True
+    elif collapse_exact is None:
         collapse_exact = _auto_collapse(df, F.md5(F.col(text_col)))
     if not collapse_exact:
         return _jaccard_pairs_core(
@@ -1085,7 +1100,23 @@ def ngram_jaccard_pairs(
         within_filter=lambda eff, nsh: (eff / (nsh + nsh - eff))
         >= F.lit(threshold),
         df_cap=df_cap,
+        expand=expand,
     )
+
+
+def text_fingerprint_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Membership table ``(m_id, rep_id)`` of the md5(text) equality
+    groups the shingle-set pair metrics collapse on — the companion
+    input to :func:`expand_collapsed_pairs` for
+    :func:`ngram_jaccard_pairs` / :func:`containment_pairs`
+    ``expand=False`` output."""
+    members = df.select(
+        F.col(id_col).alias("m_id"), F.md5(F.col(text_col)).alias("fp")
+    )
+    reps = members.groupBy("fp").agg(F.min("m_id").alias("rep_id"))
+    return members.join(reps, "fp").select("m_id", "rep_id")
 
 
 def _collapse_expand_pairs(
@@ -1100,6 +1131,7 @@ def _collapse_expand_pairs(
     within_values,
     within_filter,
     df_cap: int | None,
+    expand: bool = True,
 ) -> DataFrame:
     """Collapse-to-representatives / expand-to-members rewrite shared by
     the shingle-set pair metrics (Jaccard, containment).
@@ -1132,7 +1164,13 @@ def _collapse_expand_pairs(
     sizes, NOT 1.0); ``within_filter(eff, nsh)`` is the metric's
     threshold test over those columns. Groups whose shingles are all
     hot (eff = 0) are excluded — the naive capped join materializes no
-    pair for them; zero-shingle groups likewise."""
+    pair for them; zero-shingle groups likewise.
+
+    ``expand=False`` returns the COLLAPSED pair form ``(rep_a, rep_b,
+    c_a, c_b, *value_cols)`` instead of fanning out to members — same
+    row conventions as :func:`minhash_lsh_pairs`; membership for
+    :func:`expand_collapsed_pairs` comes from
+    :func:`text_fingerprint_groups`."""
     members = df.select(
         F.col(id_col).alias("m_id"), F.md5(F.col(text_col)).alias("fp")
     )
@@ -1198,25 +1236,6 @@ def _collapse_expand_pairs(
 
             hot = hot.persist(StorageLevel.MEMORY_AND_DISK)
     rep_pairs = rep_pairs_fn(rep_docs, rep_hashed, hot)
-    # attach the two groups' fingerprints, then fan out to members
-    fp_of = reps.select(F.col("rep_id"), F.col("fp"))
-    cross = (
-        rep_pairs.join(
-            fp_of.select(F.col("rep_id").alias("doc_a"), F.col("fp").alias("fp_a")),
-            "doc_a",
-        )
-        .join(
-            fp_of.select(F.col("rep_id").alias("doc_b"), F.col("fp").alias("fp_b")),
-            "doc_b",
-        )
-        .join(members.select(F.col("m_id").alias("id_a"), F.col("fp").alias("fp_a")), "fp_a")
-        .join(members.select(F.col("m_id").alias("id_b"), F.col("fp").alias("fp_b")), "fp_b")
-        .select(
-            F.least("id_a", "id_b").alias("doc_a"),
-            F.greatest("id_a", "id_b").alias("doc_b"),
-            *[F.col(c) for c in value_cols],
-        )
-    )
     # within-group pairs: identical texts — per-group values from the
     # group's shingle count and (under a df_cap) its hot-shingle count
     if rep_hashed is not None:
@@ -1251,6 +1270,58 @@ def _collapse_expand_pairs(
     # docs; eff = 0 groups share nothing post-cap → no pair there
     eff = (F.col("__nsh") - F.col("__nhot")).cast("bigint")
     nsh = F.col("__nsh").cast("bigint")
+    if not expand:
+        sizes = reps.join(
+            members.groupBy("fp").agg(F.count(F.lit(1)).alias("__c")), "fp"
+        )
+        sa = sizes.select(
+            F.col("rep_id").alias("doc_a"), F.col("__c").alias("c_a")
+        )
+        sb = sizes.select(
+            F.col("rep_id").alias("doc_b"), F.col("__c").alias("c_b")
+        )
+        cross_c = (
+            rep_pairs.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select(
+                F.col("doc_a").alias("rep_a"),
+                F.col("doc_b").alias("rep_b"),
+                F.col("c_a").cast("bigint").alias("c_a"),
+                F.col("c_b").cast("bigint").alias("c_b"),
+                *[F.col(c) for c in value_cols],
+            )
+        )
+        within_c = (
+            gsz.join(sizes, F.col("__wfp") == F.col("fp"))
+            .filter((F.col("__c") >= 2) & (eff > 0) & within_filter(eff, nsh))
+            .select(
+                F.col("rep_id").alias("rep_a"),
+                F.col("rep_id").alias("rep_b"),
+                F.col("__c").cast("bigint").alias("c_a"),
+                F.col("__c").cast("bigint").alias("c_b"),
+                *within_values(eff, nsh),
+            )
+        )
+        return cross_c.unionByName(within_c)
+    # attach the two groups' fingerprints, then fan out to members
+    fp_of = reps.select(F.col("rep_id"), F.col("fp"))
+    cross = (
+        rep_pairs.join(
+            fp_of.select(F.col("rep_id").alias("doc_a"), F.col("fp").alias("fp_a")),
+            "doc_a",
+        )
+        .join(
+            fp_of.select(F.col("rep_id").alias("doc_b"), F.col("fp").alias("fp_b")),
+            "doc_b",
+        )
+        .join(members.select(F.col("m_id").alias("id_a"), F.col("fp").alias("fp_a")), "fp_a")
+        .join(members.select(F.col("m_id").alias("id_b"), F.col("fp").alias("fp_b")), "fp_b")
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            *[F.col(c) for c in value_cols],
+        )
+    )
     m1, m2 = members.alias("m1"), members.alias("m2")
     within = (
         m1.join(
