@@ -70,6 +70,8 @@ def _latest_green(history_dir: str | None = None) -> dict[str, int]:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            continue  # valid JSON but not a correctness map — skip it
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue

@@ -237,6 +237,22 @@ def test_decode_png_real_and_exotic_variants_stay_plug_points():
            + chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         M.decode_image(bad)
+    # decompression bomb: IHDR claiming ~10 GB of pixels over a tiny
+    # IDAT must be rejected BEFORE inflating (degrade-per-row, not OOM)
+    bomb = (M._PNG_SIG
+            + chunk(b"IHDR",
+                    struct.pack(">IIBBBBB", 100_000, 100_000, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", _z.compress(b"\x00" * 1000))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="decode bound"):
+        M.decode_image(bomb)
+    # over-production: stream inflates past what the dimensions promise
+    over = (M._PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", _z.compress(b"\x00" * 100))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        M.decode_image(over)
 
 
 def _ppm(width, height, pixels, comment=False):

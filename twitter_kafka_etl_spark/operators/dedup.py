@@ -355,6 +355,26 @@ def expand_collapsed_pairs(
     return cross_x.unionByName(within_x)
 
 
+def _minhash_sig_key(n_bands: int, rows_per_band: int) -> Column:
+    """The full-signature string key the exact-collapse machinery
+    groups on — ONE construction site, so group membership, the
+    collapse paths, and the duplication probe can never diverge (a
+    divergent key would silently break ``expand_collapsed_pairs``'s
+    exact-inversion guarantee)."""
+    mh_cols = [f"mh{i}" for i in range(n_bands * rows_per_band)]
+    return F.concat_ws("_", *[F.col(c).cast("string") for c in mh_cols])
+
+
+def _minhash_members(
+    signatures: DataFrame, id_col: str, n_bands: int, rows_per_band: int
+) -> DataFrame:
+    """(m_id, __sig) projection under the shared signature key."""
+    return signatures.select(
+        F.col(id_col).alias("m_id"),
+        _minhash_sig_key(n_bands, rows_per_band).alias("__sig"),
+    )
+
+
 def minhash_signature_groups(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -364,9 +384,7 @@ def minhash_signature_groups(
     """Membership table ``(m_id, rep_id)`` of the full-signature
     equality groups :func:`minhash_lsh_pairs` collapses on — the
     companion input to :func:`expand_collapsed_pairs`."""
-    mh_cols = [f"mh{i}" for i in range(n_bands * rows_per_band)]
-    key = F.concat_ws("_", *[F.col(c).cast("string") for c in mh_cols])
-    members = signatures.select(F.col(id_col).alias("m_id"), key.alias("__sig"))
+    members = _minhash_members(signatures, id_col, n_bands, rows_per_band)
     reps = members.groupBy("__sig").agg(F.min("m_id").alias("rep_id"))
     return members.join(reps, "__sig").select("m_id", "rep_id")
 
@@ -417,11 +435,7 @@ def minhash_lsh_pairs(
     """
     if not expand:
         signatures = signatures.localCheckpoint(eager=False)
-        mh_cols = [f"mh{i}" for i in range(n_bands * rows_per_band)]
-        key = F.concat_ws("_", *[F.col(c).cast("string") for c in mh_cols])
-        members = signatures.select(
-            F.col(id_col).alias("m_id"), key.alias("__sig")
-        )
+        members = _minhash_members(signatures, id_col, n_bands, rows_per_band)
         groups = members.groupBy("__sig").agg(
             F.min("m_id").alias("rep_id"), F.count("*").alias("c")
         )
@@ -448,9 +462,8 @@ def minhash_lsh_pairs(
         # corpora should drop spent handles (see bench.py run_one).
         signatures = signatures.localCheckpoint(eager=False)
         checkpointed = True
-        mh_all = [f"mh{i}" for i in range(n_bands * rows_per_band)]
         collapse_exact = _auto_collapse(
-            signatures, F.concat_ws("_", *[F.col(c).cast("string") for c in mh_all])
+            signatures, _minhash_sig_key(n_bands, rows_per_band)
         )
     if not collapse_exact:
         return _minhash_lsh_pairs_core(signatures, id_col, n_bands, rows_per_band)
@@ -462,9 +475,7 @@ def minhash_lsh_pairs(
     # the reused-exchange-defeating cache node.
     if not checkpointed:
         signatures = signatures.persist()
-    mh_cols = [f"mh{i}" for i in range(n_bands * rows_per_band)]
-    key = F.concat_ws("_", *[F.col(c).cast("string") for c in mh_cols])
-    members = signatures.select(F.col(id_col).alias("m_id"), key.alias("__sig"))
+    members = _minhash_members(signatures, id_col, n_bands, rows_per_band)
     reps = members.groupBy("__sig").agg(F.min("m_id").alias("rep_id"))
     rep_sigs = signatures.join(
         reps.select(F.col("rep_id").alias(id_col)), id_col, "left_semi"
@@ -1213,6 +1224,13 @@ def _collapse_expand_pairs(
             from pyspark import StorageLevel
 
             rep_hashed = rep_hashed.persist(StorageLevel.MEMORY_AND_DISK)
+    # per-fingerprint group sizes: ONE aggregation shared by the df_cap
+    # hot-set weighting and the collapsed form's c_a/c_b columns
+    gcnt = (
+        members.groupBy("fp").agg(F.count(F.lit(1)).alias("__g"))
+        if (df_cap is not None or not expand)
+        else None
+    )
     hot = None
     if df_cap is not None:
         # full-corpus df = Σ group sizes over groups containing the
@@ -1220,7 +1238,6 @@ def _collapse_expand_pairs(
         # is tiny (stopword shingles) and feeds two consumers; the
         # (rep_id → group size) weight table is |reps| rows, so the
         # join against the long hashed table broadcasts under AQE.
-        gcnt = members.groupBy("fp").agg(F.count(F.lit(1)).alias("__g"))
         weights = reps.select(F.col("rep_id").alias(id_col), "fp").join(
             gcnt, "fp"
         )
@@ -1271,14 +1288,12 @@ def _collapse_expand_pairs(
     eff = (F.col("__nsh") - F.col("__nhot")).cast("bigint")
     nsh = F.col("__nsh").cast("bigint")
     if not expand:
-        sizes = reps.join(
-            members.groupBy("fp").agg(F.count(F.lit(1)).alias("__c")), "fp"
-        )
+        sizes = reps.join(gcnt, "fp")
         sa = sizes.select(
-            F.col("rep_id").alias("doc_a"), F.col("__c").alias("c_a")
+            F.col("rep_id").alias("doc_a"), F.col("__g").alias("c_a")
         )
         sb = sizes.select(
-            F.col("rep_id").alias("doc_b"), F.col("__c").alias("c_b")
+            F.col("rep_id").alias("doc_b"), F.col("__g").alias("c_b")
         )
         cross_c = (
             rep_pairs.join(sa, "doc_a")
@@ -1293,12 +1308,12 @@ def _collapse_expand_pairs(
         )
         within_c = (
             gsz.join(sizes, F.col("__wfp") == F.col("fp"))
-            .filter((F.col("__c") >= 2) & (eff > 0) & within_filter(eff, nsh))
+            .filter((F.col("__g") >= 2) & (eff > 0) & within_filter(eff, nsh))
             .select(
                 F.col("rep_id").alias("rep_a"),
                 F.col("rep_id").alias("rep_b"),
-                F.col("__c").cast("bigint").alias("c_a"),
-                F.col("__c").cast("bigint").alias("c_b"),
+                F.col("__g").cast("bigint").alias("c_a"),
+                F.col("__g").cast("bigint").alias("c_b"),
                 *within_values(eff, nsh),
             )
         )

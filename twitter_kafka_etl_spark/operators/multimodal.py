@@ -94,6 +94,10 @@ def decode_netpbm(payload: bytes) -> dict:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: PNG color type → channel count (palette excluded: needs PLTE expansion)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: per-payload raster allocation bound (filter bytes included): 128 MiB
+#: covers a 4096x4096 RGBA frame twice over; anything claiming more in
+#: its IHDR is treated as corrupt rather than risking an executor OOM
+_PNG_MAX_PIXEL_BYTES = 128 << 20
 
 
 def decode_png_raster(payload: bytes) -> np.ndarray:
@@ -136,9 +140,25 @@ def decode_png_raster(payload: bytes) -> np.ndarray:
         raise NotImplementedError("interlaced (Adam7) PNG not supported")
     channels = _PNG_CHANNELS[color_type]
     row_bytes = width * channels
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if raw.size != height * (1 + row_bytes):
+    expected = height * (1 + row_bytes)
+    # bound the inflate by the dimensions BEFORE allocating: a bomb
+    # payload (tiny IDAT claiming huge dimensions, or a stream inflating
+    # past what the IHDR promises) must degrade per-row like any other
+    # corrupt file, not OOM the Arrow worker
+    if expected > _PNG_MAX_PIXEL_BYTES:
+        raise ValueError(
+            f"PNG dimensions {width}x{height}x{channels} exceed the "
+            f"{_PNG_MAX_PIXEL_BYTES >> 20} MiB decode bound"
+        )
+    d = zlib.decompressobj()
+    data = d.decompress(b"".join(idat), expected)
+    if (
+        len(data) != expected
+        or d.unconsumed_tail
+        or d.decompress(b"", 1)  # pending output past the expected size
+    ):
         raise ValueError("PNG pixel data does not match dimensions")
+    raw = np.frombuffer(data, dtype=np.uint8)
     raw = raw.reshape(height, 1 + row_bytes)
     out = np.zeros((height, row_bytes), dtype=np.uint8)
     prev = np.zeros(row_bytes, dtype=np.int64)
@@ -372,13 +392,19 @@ def media_features(
             rows = []
             for did, p in zip(pdf[id_col], pdf[payload_col]):
                 # even id/payload coercion degrades per-row: a null id or
-                # a non-bytes payload cell must not fail the Arrow pass
+                # a non-bytes payload cell must not fail the Arrow pass —
+                # and a bad payload must not discard a good id (or vice
+                # versa), so the two coerce independently
                 row = dict(_MEDIA_NULLS)
                 try:
-                    p = bytes(p) if p is not None else b""
-                    row.update(doc_id=int(did), n_bytes=len(p))
+                    row["doc_id"] = int(did)
                 except Exception:  # noqa: BLE001 — degrade, never die
-                    row.update(doc_id=-1, n_bytes=0, media_type="corrupt")
+                    row["doc_id"] = -1  # sentinel: id itself unreadable
+                try:
+                    p = bytes(p) if p is not None else b""
+                    row["n_bytes"] = len(p)
+                except Exception:  # noqa: BLE001 — degrade, never die
+                    row.update(n_bytes=0, media_type="corrupt")
                     rows.append(row)
                     continue
                 try:

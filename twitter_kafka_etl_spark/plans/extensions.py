@@ -4434,8 +4434,11 @@ def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("simhash").alias("method"), "rep_a", "rep_b", "c_a", "c_b"
     )
     both = mh.unionByName(sh)
+    # integer DIV, not float /: C(c,2) must stay exact past 2^53 for
+    # the boilerplate-duplicated-millions-of-times groups the collapsed
+    # form exists for (and to match the oracle's integer //)
     implied = F.when(
         F.col("rep_a") == F.col("rep_b"),
-        F.col("c_a") * (F.col("c_a") - 1) / F.lit(2),
+        F.expr("c_a * (c_a - 1) DIV 2"),
     ).otherwise(F.col("c_a") * F.col("c_b"))
     return both.withColumn("implied_pairs", implied.cast("bigint"))
