@@ -210,19 +210,33 @@ def _png_gray(pixels, width, height, **kw):
     return _encode_png(raster, filters=[0], **kw)
 
 
+def _bmp_rgb(pixels):
+    import numpy as np
+
+    from tests.test_properties import _encode_bmp
+
+    return _encode_bmp(np.asarray(pixels, dtype=np.uint8))
+
+
 def test_decode_png_real_and_exotic_variants_stay_plug_points():
     # 2x2 gray, filter None
     d = M.decode_image(_png_gray([10, 20, 30, 40], 2, 2))
     assert d["media"] == "image/png"
     assert (d["width"], d["height"], d["n_channels"]) == (2, 2, 1)
     assert abs(d["mean_value"] - 25.0) < 1e-9
+    # 16-bit samples decode (r8)
+    d16 = M.decode_image(_png_gray([1, 2, 3, 4], 2, 2, bit_depth=16))
+    assert d16["media"] == "image/png" and abs(d16["mean_value"] - 2.5) < 1e-9
     # out-of-scope PNG variants raise rather than decode wrong
     with pytest.raises(NotImplementedError):
-        M.decode_image(_png_gray([0, 0, 0, 0], 2, 2, bit_depth=16))
-    with pytest.raises(NotImplementedError):
-        M.decode_image(_png_gray([0, 0, 0, 0], 2, 2, color_type=3))
-    with pytest.raises(NotImplementedError):
         M.decode_image(_png_gray([0, 0, 0, 0], 2, 2, interlace=1))
+    with pytest.raises(NotImplementedError):  # sub-byte palette
+        M.decode_image(
+            _png_gray([0, 0, 0, 0], 2, 2, color_type=3, bit_depth=4)
+        )
+    # palette claiming PLTE but not carrying one is corrupt, not a codec
+    with pytest.raises(ValueError):
+        M.decode_image(_png_gray([0, 0, 0, 0], 2, 2, color_type=3))
     # corrupt pixel stream (valid signature/IHDR, short IDAT) → ValueError
     import struct
     import zlib as _z
@@ -305,8 +319,9 @@ def test_media_features_mixed_batch_degrades_per_row(spark):
         (3, b"neither image nor audio"),
         (4, b"P6\n9999 9999\n255\ntoo short"),  # truncated raster
         (5, _png_gray([0, 255, 255, 0], 2, 2)),
-        (6, _png_gray([0, 0, 0, 0], 2, 2, bit_depth=16)),  # exotic variant
+        (6, _png_gray([0, 0, 0, 0], 2, 2, interlace=1)),  # exotic variant
         (7, None),  # null payload
+        (8, _bmp_rgb([[[10, 20, 30], [40, 50, 60]]])),  # 1x2 24-bit BMP
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r.doc_id: r for r in M.media_features(df).collect()}
@@ -323,6 +338,9 @@ def test_media_features_mixed_batch_degrades_per_row(spark):
     # recognized container, unsupported codec → unknown, not corrupt
     assert got[6].media_type == "unknown"
     assert got[7].media_type == "unknown" and got[7].n_bytes == 0
+    assert got[8].media_type == "image/bmp"
+    assert (got[8].width, got[8].height, got[8].n_channels) == (2, 1, 3)
+    assert abs(got[8].mean_value - 35.0) < 1e-9
 
 
 def test_resize_netpbm_nearest_neighbor():

@@ -1116,11 +1116,15 @@ def test_netpbm_decode_resize_roundtrip(w, h, seed, gray):
     assert abs(ds["mean_value"] - float(sub.mean())) < 1e-9
 
 
-def _encode_png(raster, filters, color_type=None, bit_depth=8, interlace=0,
-                split_idat=False):
+def _encode_png(raster, filters, color_type=None, bit_depth=None,
+                interlace=0, split_idat=False, palette=None, trns=None):
     """Test-side PNG encoder: forward-filters each scanline with the
-    given filter-type cycle (spec §9) and emits signature + IHDR + IDAT
-    (+ optionally split across two IDAT chunks) + IEND."""
+    given filter-type cycle (spec §9 — filters operate on BYTES with a
+    bpp-byte left offset, which also covers 16-bit samples) and emits
+    signature + IHDR [+ PLTE [+ tRNS]] + IDAT (+ optionally split
+    across two IDAT chunks) + IEND. For palette images pass an
+    ``(h, w, 1)`` index raster, ``color_type=3`` and ``palette`` as an
+    ``(n, 3)`` array."""
     import struct
     import zlib
 
@@ -1130,16 +1134,23 @@ def _encode_png(raster, filters, color_type=None, bit_depth=8, interlace=0,
 
     h, w, ch = raster.shape
     ct = {1: 0, 2: 4, 3: 2, 4: 6}[ch] if color_type is None else color_type
-    rows = raster.reshape(h, w * ch).astype(np.int64)
+    if bit_depth is None:
+        bit_depth = 16 if raster.dtype.itemsize == 2 else 8
+    bps = 2 if bit_depth == 16 else 1
+    arr = raster.astype(">u2") if bps == 2 else raster.astype(np.uint8)
+    rows = np.frombuffer(arr.tobytes(), dtype=np.uint8).reshape(
+        h, w * ch * bps
+    ).astype(np.int64)
+    bpp = ch * bps
     body = bytearray()
-    prev = np.zeros(w * ch, dtype=np.int64)
+    prev = np.zeros(w * bpp, dtype=np.int64)
     for y in range(h):
         f = filters[y % len(filters)]
         cur = rows[y]
         left = np.zeros_like(cur)
-        left[ch:] = cur[:-ch]
+        left[bpp:] = cur[:-bpp]
         upleft = np.zeros_like(prev)
-        upleft[ch:] = prev[:-ch]
+        upleft[bpp:] = prev[:-bpp]
         if f == 0:
             filt = cur
         elif f == 1:
@@ -1168,13 +1179,18 @@ def _encode_png(raster, filters, color_type=None, bit_depth=8, interlace=0,
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, ct, 0, 0, interlace)
+    out = M._PNG_SIG + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
     comp = zlib.compress(bytes(body))
     if split_idat and len(comp) > 1:
         mid = len(comp) // 2
         idat = chunk(b"IDAT", comp[:mid]) + chunk(b"IDAT", comp[mid:])
     else:
         idat = chunk(b"IDAT", comp)
-    return M._PNG_SIG + chunk(b"IHDR", ihdr) + idat + chunk(b"IEND", b"")
+    return out + idat + chunk(b"IEND", b"")
 
 
 @given(
@@ -1182,23 +1198,26 @@ def _encode_png(raster, filters, color_type=None, bit_depth=8, interlace=0,
     h=st.integers(1, 10),
     seed=st.integers(0, 2**31 - 1),
     ch=st.sampled_from([1, 2, 3, 4]),
+    depth=st.sampled_from([8, 16]),
     filters=st.lists(st.integers(0, 4), min_size=1, max_size=6),
     split=st.booleans(),
 )
 @settings(max_examples=60, deadline=None)
-def test_png_decode_roundtrip(w, h, seed, ch, filters, split):
+def test_png_decode_roundtrip(w, h, seed, ch, depth, filters, split):
     """decode_png_raster reconstructs exactly the raster a synthesized
     PNG encodes — for ANY dimensions, channel layout (gray / gray+alpha
-    / RGB / RGBA), per-scanline filter-type mix, and IDAT chunking."""
+    / RGB / RGBA), 8- or 16-bit samples, per-scanline filter-type mix,
+    and IDAT chunking."""
     import numpy as np
 
     from twitter_kafka_etl_spark.operators import multimodal as M
 
     rng = np.random.default_rng(seed)
-    raster = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    dtype = np.uint8 if depth == 8 else np.uint16
+    raster = rng.integers(0, 1 << depth, size=(h, w, ch)).astype(dtype)
     payload = _encode_png(raster, filters, split_idat=split)
     got = M.decode_png_raster(payload)
-    assert got.shape == raster.shape
+    assert got.shape == raster.shape and got.dtype == raster.dtype
     assert (got == raster).all()
     d = M.decode_png(payload)
     assert (d["width"], d["height"], d["n_channels"]) == (w, h, ch)
@@ -1209,6 +1228,126 @@ def test_png_decode_roundtrip(w, h, seed, ch, filters, split):
     assert (M.decode_png_raster(M.encode_png(raster)) == raster).all()
     small = M.decode_png_raster(M.resize_png(payload, factor=2))
     assert (small == raster[::2, ::2, :]).all()
+
+
+@given(
+    w=st.integers(1, 8),
+    h=st.integers(1, 8),
+    seed=st.integers(0, 2**31 - 1),
+    n_pal=st.integers(1, 256),
+    use_trns=st.booleans(),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=4),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_palette_decode(w, h, seed, n_pal, use_trns, filters):
+    """8-bit palette PNGs expand through PLTE (and tRNS alpha) to
+    exactly the palette-mapped RGB(A) raster."""
+    import numpy as np
+
+    from twitter_kafka_etl_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(n_pal, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_pal, size=(h, w, 1), dtype=np.uint8)
+    trns = bytes(rng.integers(0, 256, size=rng.integers(0, n_pal + 1),
+                              dtype=np.uint8)) if use_trns else None
+    payload = _encode_png(idx, filters, color_type=3, bit_depth=8,
+                          palette=pal, trns=trns)
+    got = M.decode_png_raster(payload)
+    expect = pal[idx[:, :, 0]]
+    if trns is not None:
+        alpha = np.full(n_pal, 255, dtype=np.uint8)
+        alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+        expect = np.dstack([expect, alpha[idx[:, :, 0]]])
+    assert got.shape == expect.shape
+    assert (got == expect).all()
+
+
+def _encode_bmp(raster, top_down=False):
+    """Test-side BMP writer: BITMAPINFOHEADER, BI_RGB, 24/32-bit,
+    RGB(A) in → BGR(A) rows padded to 4 bytes, bottom-up by default."""
+    import struct
+
+    import numpy as np
+
+    h, w, ch = raster.shape
+    order = [2, 1, 0] + ([3] if ch == 4 else [])
+    bgr = raster[:, :, order]
+    if not top_down:
+        bgr = bgr[::-1]
+    stride = ((8 * ch * w + 31) // 32) * 4
+    rows = b"".join(
+        bgr[y].tobytes() + b"\x00" * (stride - w * ch) for y in range(h)
+    )
+    data_off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(rows), 0, 0, data_off)
+        + struct.pack(
+            "<IiiHHIIiiII",
+            40, w, (-h if top_down else h), 1, 8 * ch, 0,
+            len(rows), 2835, 2835, 0, 0,
+        )
+    )
+    return header + rows
+
+
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    seed=st.integers(0, 2**31 - 1),
+    alpha=st.booleans(),
+    top_down=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_decode_roundtrip(w, h, seed, alpha, top_down):
+    """decode_bmp_raster reconstructs exactly the raster a synthesized
+    BMP encodes — row padding, bottom-up/top-down, 24/32-bit."""
+    import numpy as np
+
+    from twitter_kafka_etl_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    ch = 4 if alpha else 3
+    raster = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    payload = _encode_bmp(raster, top_down=top_down)
+    got = M.decode_bmp_raster(payload)
+    assert got.shape == raster.shape
+    assert (got == raster).all()
+    d = M.decode_image(payload)
+    assert d["media"] == "image/bmp"
+    assert (d["width"], d["height"], d["n_channels"]) == (w, h, ch)
+    assert abs(d["mean_value"] - float(raster.mean())) < 1e-9
+
+
+@given(
+    samples=st.lists(
+        st.integers(-(1 << 23), (1 << 23) - 1), min_size=1, max_size=48
+    ),
+    rate=st.sampled_from([8000, 44100]),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_24bit_decode(samples, rate):
+    """24-bit PCM WAV (3-byte little-endian signed samples) decodes to
+    the exact peak/RMS of the synthesized stream."""
+    import io
+    import wave
+
+    from twitter_kafka_etl_spark.operators import multimodal as M
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(3)
+        wv.setframerate(rate)
+        wv.writeframes(
+            b"".join(s.to_bytes(3, "little", signed=True) for s in samples)
+        )
+    d = M.decode_wav(buf.getvalue())
+    assert d["n_samples"] == len(samples) and d["sample_rate"] == rate
+    assert d["peak"] == float(max(abs(s) for s in samples))
+    rms = (sum(s * s for s in samples) / len(samples)) ** 0.5
+    assert abs(d["rms"] - rms) < 1e-6
 
 
 @given(

@@ -3,12 +3,13 @@
 The engine treats image/audio/video as ``binary`` columns with a typed
 metadata struct, processed by Arrow-batched ``mapInPandas`` — the decode
 kernels are pluggable. Decoding is REAL for the formats the standard
-library + numpy can parse — PCM WAV (stdlib ``wave``), netpbm P5/P6
-images, and non-interlaced 8-bit PNG (stdlib ``zlib`` inflate +
-scanline unfiltering) — and a declared plug-point
-(``NotImplementedError``) for the remaining codec-bound formats
-(JPEG/WebP/MP3/video containers, exotic PNG variants), which need an
-external backend this container doesn't ship. The Spark-side plumbing — schema, batch iteration, partition
+library + numpy can parse — PCM WAV (stdlib ``wave``; 8/16/24/32-bit),
+netpbm P5/P6 images, non-interlaced 8/16-bit and 8-bit-palette PNG
+(stdlib ``zlib`` inflate + scanline unfiltering), and uncompressed
+24/32-bit BMP — and a declared plug-point (``NotImplementedError``)
+for the remaining codec-bound formats (JPEG/WebP/MP3/video containers,
+interlaced or sub-byte PNG, RLE BMP), which need an external backend
+this container doesn't ship. The Spark-side plumbing — schema, batch iteration, partition
 preservation — is identical either way and tested end-to-end with both
 the real decoders and the deterministic fake.
 
@@ -101,19 +102,22 @@ _PNG_MAX_PIXEL_BYTES = 128 << 20
 
 
 def decode_png_raster(payload: bytes) -> np.ndarray:
-    """Real PNG decode for non-interlaced 8-bit gray / gray+alpha / RGB /
-    RGBA — stdlib ``zlib`` inflate of the IDAT stream + per-scanline
-    unfiltering (None/Sub/Up/Average/Paeth), no imaging library. Returns
-    the reconstructed ``(height, width, channels)`` uint8 raster.
+    """Real PNG decode for non-interlaced 8/16-bit gray / gray+alpha /
+    RGB / RGBA and 8-bit palette (PLTE, with optional tRNS alpha) —
+    stdlib ``zlib`` inflate of the IDAT stream + per-scanline
+    unfiltering (None/Sub/Up/Average/Paeth), no imaging library.
+    Returns the reconstructed ``(height, width, channels)`` raster:
+    uint8, or uint16 for 16-bit samples; palette images come back
+    expanded to RGB (RGBA when tRNS is present).
 
-    Out-of-scope PNG variants (16-bit, palette, interlaced) raise
+    Out-of-scope PNG variants (sub-byte bit depths, interlaced) raise
     ``NotImplementedError`` — they fall to the codec plug-point rather
     than decoding wrong.
     """
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     # walk chunks: 4-byte BE length, 4-byte type, data, 4-byte CRC
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte, trns = 8, None, [], None, None
     while pos + 8 <= len(payload):
         length = int.from_bytes(payload[pos : pos + 4], "big")
         ctype = payload[pos + 4 : pos + 8]
@@ -124,6 +128,10 @@ def decode_png_raster(payload: bytes) -> np.ndarray:
             ihdr = data
         elif ctype == b"IDAT":
             idat.append(data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IEND":
             break
         pos += 12 + length  # length + type + data + CRC
@@ -132,14 +140,24 @@ def decode_png_raster(payload: bytes) -> np.ndarray:
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, _compression, _filter, interlace = ihdr[8:13]
-    if bit_depth != 8:
-        raise NotImplementedError(f"{bit_depth}-bit PNG not supported")
-    if color_type not in _PNG_CHANNELS:
-        raise NotImplementedError(f"PNG color type {color_type} not supported")
     if interlace != 0:
         raise NotImplementedError("interlaced (Adam7) PNG not supported")
-    channels = _PNG_CHANNELS[color_type]
-    row_bytes = width * channels
+    if color_type == 3:
+        if bit_depth != 8:
+            raise NotImplementedError(
+                f"{bit_depth}-bit palette PNG not supported"
+            )
+        if plte is None or len(plte) % 3 or not len(plte):
+            raise ValueError("palette PNG missing or invalid PLTE")
+        channels, bps = 1, 1
+    elif color_type in _PNG_CHANNELS:
+        if bit_depth not in (8, 16):
+            raise NotImplementedError(f"{bit_depth}-bit PNG not supported")
+        channels, bps = _PNG_CHANNELS[color_type], bit_depth // 8
+    else:
+        raise NotImplementedError(f"PNG color type {color_type} not supported")
+    bpp = channels * bps  # the filter unit is BYTES per pixel (spec §9)
+    row_bytes = width * bpp
     expected = height * (1 + row_bytes)
     # bound the inflate by the dimensions BEFORE allocating: a bomb
     # payload (tiny IDAT claiming huge dimensions, or a stream inflating
@@ -165,9 +183,24 @@ def decode_png_raster(payload: bytes) -> np.ndarray:
     for y in range(height):
         ftype = int(raw[y, 0])
         out[y] = _unfilter_scanline(
-            ftype, raw[y, 1:].astype(np.int64), prev, channels
+            ftype, raw[y, 1:].astype(np.int64), prev, bpp
         )
         prev = out[y].astype(np.int64)
+    if color_type == 3:
+        idx = out.reshape(height, width)
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if idx.size and int(idx.max()) >= len(pal):
+            raise ValueError("palette index out of range")
+        rgb = pal[idx]  # (h, w, 3)
+        if trns is not None:
+            alpha = np.full(len(pal), 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    if bps == 2:
+        return (
+            out.view(">u2").astype(np.uint16).reshape(height, width, channels)
+        )
     return out.reshape(height, width, channels)
 
 
@@ -211,8 +244,10 @@ def _unfilter_scanline(
 
 
 def decode_png(payload: bytes) -> dict:
-    """Real PNG decode (non-interlaced 8-bit) — same QA-signal contract
-    as :func:`decode_netpbm`: dimensions, channel count, mean pixel."""
+    """Real PNG decode (non-interlaced 8/16-bit + 8-bit palette) — same
+    QA-signal contract as :func:`decode_netpbm`: dimensions, channel
+    count, mean pixel (palette images report their expanded RGB(A)
+    channel count and mean)."""
     raster = decode_png_raster(payload)
     return {
         "media": "image/png",
@@ -223,19 +258,87 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
+def decode_bmp_raster(payload: bytes) -> np.ndarray:
+    """Real BMP decode for uncompressed (BI_RGB) 24/32-bit DIBs with a
+    BITMAPINFOHEADER(-or-later) header — pure header parse + one numpy
+    view, no imaging library. Handles 4-byte row padding, bottom-up and
+    top-down storage, and returns an RGB(A) ``(height, width,
+    channels)`` uint8 raster (BGR(A) channel order swapped).
+
+    Out-of-scope variants (BITMAPCOREHEADER, palette/16-bit pixels, RLE
+    or bitfield compression) raise ``NotImplementedError``."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bitcount = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0:
+        raise NotImplementedError(
+            f"BMP compression {compression} not supported"
+        )
+    if bitcount not in (24, 32):
+        raise NotImplementedError(f"{bitcount}-bit BMP not supported")
+    if width <= 0 or height == 0:
+        raise ValueError("bad BMP dimensions")
+    top_down = height < 0
+    h = abs(height)
+    ch = bitcount // 8
+    stride = ((bitcount * width + 31) // 32) * 4  # rows pad to 4 bytes
+    need = stride * h
+    if need > _PNG_MAX_PIXEL_BYTES:  # same per-payload allocation bound
+        raise ValueError(
+            f"BMP dimensions {width}x{h}x{ch} exceed the "
+            f"{_PNG_MAX_PIXEL_BYTES >> 20} MiB decode bound"
+        )
+    if len(payload) < data_off + need:
+        raise ValueError("BMP pixel data does not match dimensions")
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=need, offset=data_off
+    ).reshape(h, stride)
+    px = raw[:, : width * ch].reshape(h, width, ch)
+    if not top_down:
+        px = px[::-1]
+    order = [2, 1, 0] + ([3] if ch == 4 else [])
+    return np.ascontiguousarray(px[:, :, order])
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Real BMP decode — same QA-signal contract as
+    :func:`decode_netpbm`: dimensions, channel count, mean pixel."""
+    raster = decode_bmp_raster(payload)
+    return {
+        "media": "image/bmp",
+        "width": int(raster.shape[1]),
+        "height": int(raster.shape[0]),
+        "n_channels": int(raster.shape[2]),
+        "mean_value": float(raster.mean()) if raster.size else 0.0,
+    }
+
+
 def encode_png(raster: np.ndarray) -> bytes:
-    """Minimal standards-conformant PNG writer for an 8-bit
-    ``(height, width, channels)`` uint8 raster (1/2/3/4 channels →
-    gray / gray+alpha / RGB / RGBA): filter type None on every
-    scanline, one zlib-compressed IDAT. The emit side of the resize
-    path — any PNG reader (including :func:`decode_png_raster`)
-    round-trips it exactly."""
+    """Minimal standards-conformant PNG writer for an
+    ``(height, width, channels)`` raster (1/2/3/4 channels → gray /
+    gray+alpha / RGB / RGBA; uint8 → 8-bit, uint16/2-byte dtypes →
+    16-bit big-endian samples): filter type None on every scanline, one
+    zlib-compressed IDAT. The emit side of the resize path — any PNG
+    reader (including :func:`decode_png_raster`) round-trips it
+    exactly."""
     import struct
 
     h, w, ch = raster.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    rows = np.ascontiguousarray(raster.astype(np.uint8)).reshape(h, w * ch)
-    body = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    bit_depth = 16 if raster.dtype.itemsize == 2 else 8
+    arr = np.ascontiguousarray(
+        raster.astype(">u2") if bit_depth == 16 else raster.astype(np.uint8)
+    )
+    body = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -245,7 +348,7 @@ def encode_png(raster: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -273,14 +376,22 @@ def decode_wav(payload: bytes) -> dict:
         rate = w.getframerate()
         n_frames = w.getnframes()
         raw = w.readframes(n_frames)
-    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(width)
-    if dtype is None:
-        raise NotImplementedError(
-            f"{8 * width}-bit PCM needs a real audio backend"
+    if width == 3:  # 24-bit PCM: little-endian signed, no native dtype
+        b = np.frombuffer(raw, dtype=np.uint8)
+        b = b.reshape(-1, 3).astype(np.int64)
+        x = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        x = np.where(x >= 1 << 23, x - (1 << 24), x).astype(np.float64)
+    else:
+        dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(
+            width
         )
-    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
-    if width == 1:  # 8-bit WAV is unsigned, centered at 128
-        x = x - 128.0
+        if dtype is None:
+            raise NotImplementedError(
+                f"{8 * width}-bit PCM needs a real audio backend"
+            )
+        x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        if width == 1:  # 8-bit WAV is unsigned, centered at 128
+            x = x - 128.0
     return {
         "media": "audio/wav",
         "n_channels": n_channels,
@@ -293,19 +404,22 @@ def decode_wav(payload: bytes) -> dict:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Image decode: REAL for uncompressed netpbm (P5/P6) and
-    non-interlaced 8-bit PNG (stdlib zlib + scanline unfiltering);
-    remaining codec-bound formats (JPEG/WebP/16-bit or palette PNG/...)
-    are the declared plug-point — swap in an imaging backend here, the
-    mapInPandas plumbing is already wired."""
+    """Image decode: REAL for uncompressed netpbm (P5/P6),
+    non-interlaced 8/16-bit + 8-bit-palette PNG (stdlib zlib + scanline
+    unfiltering), and uncompressed 24/32-bit BMP; remaining codec-bound
+    formats (JPEG/WebP/interlaced PNG/...) are the declared plug-point
+    — swap in an imaging backend here, the mapInPandas plumbing is
+    already wired."""
     if payload[:2] in (b"P5", b"P6"):
         return decode_netpbm(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "JPEG/WebP and exotic PNG variants need an imaging backend "
-        "(e.g. Pillow); netpbm (P5/P6) and 8-bit non-interlaced PNG "
-        "decode natively — plug a codec in here"
+        "JPEG/WebP and exotic PNG/BMP variants need an imaging backend "
+        "(e.g. Pillow); netpbm (P5/P6), 8/16-bit non-interlaced PNG, "
+        "and uncompressed BMP decode natively — plug a codec in here"
     )
 
 
@@ -408,7 +522,10 @@ def media_features(
                     rows.append(row)
                     continue
                 try:
-                    if p[:2] in (b"P5", b"P6") or p[:8] == _PNG_SIG:
+                    if (
+                        p[:2] in (b"P5", b"P6", b"BM")
+                        or p[:8] == _PNG_SIG
+                    ):
                         d = decode_image(p)
                         row.update(
                             media_type=d["media"], width=d["width"],
