@@ -506,26 +506,27 @@ def test_qs14_bloom_crossover_path_matches_plain(spark, sf_dir, monkeypatch):
         )
     )
     assert side, "bloom side-file missing — crossover path never engaged"
-    # invariant the side-file-before-index-append ordering guarantees:
-    # every hash in the landed index is set in the durable bitmap (the
+    # invariant the side-file-before-index-append ordering guarantees,
+    # loaded through the RESTART seam itself (_restore_bloom_sidefile):
+    # every hash in the landed index is set in the restored bitmap (the
     # bitmap may carry EXTRA bits — one-sided error the exact confirm
     # absorbs — but never miss one, or a restart would undercount
     # repeats as novel)
-    import numpy as np
-    import pandas as pd
-
     from twitter_kafka_etl_spark.operators import sketches as K
+    from twitter_kafka_etl_spark.streaming.queries import (
+        _restore_bloom_sidefile,
+    )
 
-    side_pdf = pd.read_parquet(side[0])
-    m = int(side_pdf["m"].iloc[0])
-    words = np.zeros(m // K.BLOOM_WORD, dtype=np.int64)
-    words[side_pdf["word"].to_numpy()] = side_pdf["bits"].to_numpy()
+    m, words = _restore_bloom_sidefile(side[0])
+    assert m > 0 and words is not None and words.any()
     idx = spark.read.parquet(
         os.path.join(os.path.dirname(side[0]), "shindex")
     ).select("sh_h")
     ib = K.bloom_build(idx, "sh_h", m=m).toPandas()
     missing = ib["bits"].to_numpy() & ~words[ib["word"].to_numpy()]
-    assert not missing.any(), "index hash absent from the durable bitmap"
+    assert not missing.any(), "index hash absent from the restored bitmap"
+    # the no-side-file path restores to the cold-start state
+    assert _restore_bloom_sidefile(side[0] + ".absent") == (0, None)
 
 
 def test_qs13_stream_psi_equals_batch_psi(spark, sf_dir):

@@ -1332,6 +1332,30 @@ _register_qs13()
 # QS14 — streaming novelty monitor (shingle-level history, qs12's pattern
 # one granularity deeper)
 # ---------------------------------------------------------------------------
+def _restore_bloom_sidefile(bloom_file: str):
+    """Load qs14's durable bloom bitmap from its parquet side-file:
+    ``(m, words)`` with ``words`` a dense int64 array, or ``(0, None)``
+    when no usable side-file exists. The restart seam of the novelty
+    monitor — written before every index append, so the restored bitmap
+    is always a superset of the landed index's hashes (extra bits are
+    absorbed by the exact confirm; missing bits would break 'bloom miss
+    = definitely novel')."""
+    import numpy as np
+    import pandas as pd
+
+    from twitter_kafka_etl_spark.operators import sketches as K
+
+    if not os.path.exists(bloom_file):
+        return 0, None
+    prev = pd.read_parquet(bloom_file)
+    if not len(prev):
+        return 0, None
+    m = int(prev["m"].iloc[0])
+    words = np.zeros(m // K.BLOOM_WORD, dtype=np.int64)
+    words[prev["word"].to_numpy()] = prev["bits"].to_numpy()
+    return m, words
+
+
 @_register(
     "qs14_stream_novelty",
     "streaming marginal-novelty monitor: each arriving batch's distinct "
@@ -1419,17 +1443,13 @@ def qs14(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossover = int(
         os.environ.get("SPARK_GRAFT_QS14_BLOOM_CROSSOVER", "10000000")
     )
-    state = {"words": None, "m": 0}
     # restart hook, same contract as qs12: never fires in this harness
-    # (fresh per-PID run dir), exercised per run via the side-file test
-    if os.path.exists(bloom_file):
-        prev = pd.read_parquet(bloom_file)
-        if len(prev):
-            state["m"] = int(prev["m"].iloc[0])
-            state["words"] = np.zeros(
-                state["m"] // K.BLOOM_WORD, dtype=np.int64
-            )
-            state["words"][prev["word"].to_numpy()] = prev["bits"].to_numpy()
+    # (fresh per-PID run dir); the restore logic itself is unit-tested
+    # against a real side-file (tests/test_streaming.py) and the
+    # side-file-before-index-append write order guarantees the restored
+    # bitmap is a superset of the index's hashes
+    m0, words0 = _restore_bloom_sidefile(bloom_file)
+    state = {"words": words0, "m": m0}
 
     def monitor(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
