@@ -43,6 +43,8 @@ _REWRITTEN_IN: dict[str, int] = {
     # r7 bloom pre-probe + exact confirm; r8 side-file-before-append
     # ordering + footer-walk short-circuit
     "qs14_stream_novelty": 8,
+    # r8: bloom side-file now written before the index/corpus appends
+    "qs12_stream_incremental_dedup": 8,
 }
 
 

@@ -82,17 +82,19 @@ def test_r8_window_contents():
     its rotation seniority."""
     names = list(entry_mod.queries())
     window = names[:50]
-    assert set(window[:2]) == {"qs14_stream_novelty",
-                               "x98_dedup_method_agreement"}
+    # rewritten-since-check first (latest-green ascending within)
+    assert set(window[:3]) == {"qs14_stream_novelty",
+                               "x98_dedup_method_agreement",
+                               "qs12_stream_incremental_dedup"}
     # never-checked queries (r8's x102) sort ahead of the r4-stale five
-    assert set(window[2:8]) == {
+    assert set(window[3:9]) == {
         "x102_pair_collapsed_form",
         "x67_prototype_prune", "x68_dsir_selection", "x69_langid_eval",
         "x70_unigram_nll", "x71_bpe_pair_stats",
     }
     latest = entry_mod._latest_green()
     # everything else in the window is the oldest remaining cohort
-    window_rounds = [latest.get(n, 0) for n in window[7:]]
+    window_rounds = [latest.get(n, 0) for n in window[9:]]
     tail_rounds = [latest.get(n, 0) for n in names[50:]]
     assert window_rounds and max(window_rounds) <= min(tail_rounds)
 

@@ -473,6 +473,21 @@ def test_qs12_bloom_crossover_path_matches_plain(spark, sf_dir, monkeypatch):
         )
     )
     assert side, "bloom side-file missing — crossover path never engaged"
+    # restored-bitmap ⊇ landed-index invariant, through the restart seam
+    # (side-file written BEFORE the index/corpus appends — see qs14)
+    from twitter_kafka_etl_spark.operators import sketches as K
+    from twitter_kafka_etl_spark.streaming.queries import (
+        _restore_bloom_sidefile,
+    )
+
+    m, words = _restore_bloom_sidefile(side[0])
+    assert m > 0 and words is not None
+    idx = spark.read.parquet(
+        os.path.join(os.path.dirname(side[0]), "index")
+    ).select("fp")
+    ib = K.bloom_build(idx, "fp", m=m).toPandas()
+    missing = ib["bits"].to_numpy() & ~words[ib["word"].to_numpy()]
+    assert not missing.any(), "index print absent from the restored bitmap"
 
 
 def test_qs14_bloom_crossover_path_matches_plain(spark, sf_dir, monkeypatch):

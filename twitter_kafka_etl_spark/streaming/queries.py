@@ -1097,17 +1097,12 @@ def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
     # freshly wiped per-PID run dir (availableNow determinism) — it is
     # the restart hook for the production pattern the query models,
     # where an ingest job resumes its own long-lived work dir. The
-    # side-file's existence and contents are still exercised per run
-    # (test_qs12_bloom_crossover_path_matches_plain asserts the rolled-
-    # forward bitmap lands on disk).
-    if os.path.exists(bloom_file):
-        prev = pd.read_parquet(bloom_file)
-        if len(prev):  # an all-zero bitmap writes no rows — nothing to resume
-            state["m"] = int(prev["m"].iloc[0])
-            state["words"] = np.zeros(
-                state["m"] // K.BLOOM_WORD, dtype=np.int64
-            )
-            state["words"][prev["word"].to_numpy()] = prev["bits"].to_numpy()
+    # restore seam itself is unit-tested (see _restore_bloom_sidefile;
+    # the side-file-before-append write order makes the restored bitmap
+    # a superset of the landed index).
+    m0, words0 = _restore_bloom_sidefile(bloom_file)
+    if words0 is not None:
+        state["m"], state["words"] = m0, words0
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
@@ -1206,17 +1201,16 @@ def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (observed: index complete, corpus stuck at batch 0). The
         # checkpoint cuts lineage, freezing the rows before any write.
         novel = novel.localCheckpoint(eager=True)
-        novel.select("doc_id", "fp").write.mode("overwrite").parquet(
-            os.path.join(index, f"__b={batch_id}")
-        )
-        novel.select("doc_id", "text", "fp").write.mode("overwrite").parquet(
-            os.path.join(corpus, f"__b={batch_id}")
-        )
         if state["words"] is not None:
             # roll the bitmap forward: OR this batch's novel prints in
             # (one small job over the pinned novel set), then rewrite
             # the durable side-file driver-side — no Spark
-            # read-modify-write cycle
+            # read-modify-write cycle. BEFORE the index/corpus appends
+            # (same reasoning as qs14): a crash between the commits must
+            # leave the bitmap with extra bits (false positives the
+            # exact confirm absorbs), never missing ones (a false
+            # 'definitely novel' would re-admit an indexed fingerprint
+            # into the corpus after restart).
             batch_bits = K.bloom_build(
                 novel.select("fp"), "fp", m=state["m"]
             ).toPandas()
@@ -1231,6 +1225,12 @@ def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "m": np.full(len(nz), state["m"], dtype=np.int64),
                 }
             ).to_parquet(bloom_file)
+        novel.select("doc_id", "fp").write.mode("overwrite").parquet(
+            os.path.join(index, f"__b={batch_id}")
+        )
+        novel.select("doc_id", "text", "fp").write.mode("overwrite").parquet(
+            os.path.join(corpus, f"__b={batch_id}")
+        )
 
     stream = _read_stream(spark, in_dir, docs)
     q = foreach_batch_fanout(
