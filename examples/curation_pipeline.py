@@ -169,6 +169,26 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     print(f"containment pass: {quotes.count()} quote-inclusion pairs flagged")
 
+    # 3a-bis — sizing the pass WITHOUT materializing member pairs: the
+    #      collapsed form (expand=False) keeps one row per
+    #      representative pair with group sizes, so total pair mass is
+    #      integer arithmetic over a near-linear table — on a 100 TB
+    #      duplicate-heavy corpus the expanded pair set is quadratic in
+    #      the duplication factor and must never be built just to count
+    coll = D.minhash_lsh_pairs(D.corpus_signatures(kept), expand=False)
+    mass = coll.agg(
+        F.sum(
+            F.when(
+                F.col("rep_a") == F.col("rep_b"),
+                F.expr("c_a * (c_a - 1) DIV 2"),
+            ).otherwise(F.col("c_a") * F.col("c_b"))
+        ).alias("pair_mass")
+    ).first()[0]
+    print(
+        f"collapsed pair audit: {coll.count()} rep rows stand for "
+        f"{mass or 0} member pairs"
+    )
+
     # 3a' — how much chunk-level duplication survives document-level
     #       dedup (the substring-dedup signal, 8-token segments), plus
     #       the guarantee-backed winnowing matcher for shared runs
