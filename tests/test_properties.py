@@ -1263,6 +1263,64 @@ def test_png_palette_decode(w, h, seed, n_pal, use_trns, filters):
     assert (got == expect).all()
 
 
+_collapse_corpus = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # base text family
+        st.integers(0, 2),  # mutation (0 = exact copy of the family)
+        st.integers(1, 3),  # multiplicity — exact-duplicate group size
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(spec=_collapse_corpus)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_collapsed_pair_form_equivalence_property(spark, spec):
+    """For ANY corpus shape — arbitrary mixes of exact-duplicate groups
+    and near-duplicates — the collapsed pair form expands through the
+    membership table to exactly the expanded member pairs, and its
+    implied mass counts them (the exact-inversion contract of
+    expand=False, on the simhash family that shares
+    _collapsed_pair_form/expand_collapsed_pairs with minhash)."""
+    from twitter_kafka_etl_spark.operators import dedup as D
+
+    bases = [
+        " ".join(f"w{f}_{i}" for i in range(30)) for f in range(3)
+    ]
+    rows, next_id = [], 0
+    for fam, mut, mult in spec:
+        text = bases[fam]
+        if mut:
+            text = text.replace(f"w{fam}_{mut}", f"zz{mut}")
+        for _ in range(mult):
+            rows.append((next_id, text))
+            next_id += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = D.simhash(df)
+    expanded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.simhash_pairs(sig, max_hamming=8, n_chunks=16).collect()
+    }
+    collapsed = D.simhash_pairs(
+        sig, max_hamming=8, n_chunks=16, expand=False
+    )
+    crows = collapsed.collect()
+    redone = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.expand_collapsed_pairs(
+            collapsed, D.simhash_groups(sig), extra_cols=("hamming",)
+        ).collect()
+    }
+    assert redone == expanded
+    mass = sum(
+        r.c_a * (r.c_a - 1) // 2 if r.rep_a == r.rep_b else r.c_a * r.c_b
+        for r in crows
+    )
+    assert mass == len(expanded)
+
+
 def _encode_bmp(raster, top_down=False):
     """Test-side BMP writer: BITMAPINFOHEADER, BI_RGB, 24/32-bit,
     RGB(A) in → BGR(A) rows padded to 4 bytes, bottom-up by default."""
