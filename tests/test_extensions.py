@@ -199,6 +199,22 @@ def test_multimodal_codec_formats_remain_plug_points():
         M.decode_audio(b"RIFF")  # truncated RIFF, no WAVE tag
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"\xff\xfb\x90\x00mp3frame")
+    # LZW-compressed TIFF stays a plug-point (compression tag != 1)
+    import numpy as np
+
+    from tests.test_properties import _encode_tiff
+
+    lzw = bytearray(
+        _encode_tiff(np.zeros((1, 1, 1), dtype=np.uint8))
+    )
+    # patch compression tag value (type SHORT, inline): find tag 259
+    n = int.from_bytes(lzw[8:10], "little")
+    for i in range(n):
+        e = 10 + 12 * i
+        if int.from_bytes(lzw[e : e + 2], "little") == 259:
+            lzw[e + 8 : e + 10] = (5).to_bytes(2, "little")  # LZW
+    with pytest.raises(NotImplementedError):
+        M.decode_image(bytes(lzw))
 
 
 def _png_gray(pixels, width, height, **kw):

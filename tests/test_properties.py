@@ -1378,6 +1378,107 @@ def test_bmp_decode_roundtrip(w, h, seed, alpha, top_down):
     assert abs(d["mean_value"] - float(raster.mean())) < 1e-9
 
 
+def _encode_tiff(raster, order="little", n_strips=1):
+    """Test-side TIFF writer: uncompressed chunky 8-bit samples, the
+    raster split across ``n_strips`` strips, either byte order, all
+    tag values stored out-of-line past the IFD."""
+    import numpy as np
+
+    h, w, ch = raster.shape
+    data = np.ascontiguousarray(raster.astype(np.uint8)).tobytes()
+    rows_per_strip = max(1, (h + n_strips - 1) // n_strips)
+    strips = []
+    y = 0
+    while y < h:
+        rows = min(rows_per_strip, h - y)
+        strips.append(data[y * w * ch : (y + rows) * w * ch])
+        y += rows
+
+    def b(v, n):
+        return int(v).to_bytes(n, order)
+
+    magic = b"II*\x00" if order == "little" else b"MM\x00*"
+    # layout: header(8) | IFD | tag-value area | strip data
+    entries = []  # (tag, type, count, values)
+    entries.append((256, 4, 1, [w]))
+    entries.append((257, 4, 1, [h]))
+    entries.append((258, 3, ch, [8] * ch))
+    entries.append((259, 3, 1, [1]))
+    entries.append((262, 3, 1, [1 if ch == 1 else 2]))
+    entries.append((273, 4, len(strips), None))  # offsets patched below
+    entries.append((277, 3, 1, [ch]))
+    entries.append((278, 4, 1, [rows_per_strip]))
+    entries.append((279, 4, len(strips), [len(s) for s in strips]))
+    entries.sort()
+    sizes = {1: 1, 3: 2, 4: 4}
+    ifd_off = 8
+    ifd_len = 2 + 12 * len(entries) + 4
+    # assign the out-of-line value area, then the strip area
+    val_off = ifd_off + ifd_len
+    packed_vals = []
+    cursor = val_off
+    for tag, typ, cnt, vals in entries:
+        total = sizes[typ] * cnt
+        if total > 4:
+            packed_vals.append((tag, cursor))
+            cursor += total
+        else:
+            packed_vals.append((tag, None))
+    strip_area = cursor
+    strip_offsets = []
+    c = strip_area
+    for s in strips:
+        strip_offsets.append(c)
+        c += len(s)
+    out = bytearray(magic + b(ifd_off, 4))
+    out += b(len(entries), 2)
+    val_bytes = bytearray()
+    for (tag, typ, cnt, vals), (_, off) in zip(entries, packed_vals):
+        if tag == 273:
+            vals = strip_offsets
+        enc = b"".join(b(v, sizes[typ]) for v in vals)
+        out += b(tag, 2) + b(typ, 2) + b(cnt, 4)
+        if off is None:
+            out += enc + b"\x00" * (4 - len(enc))
+        else:
+            out += b(off, 4)
+            val_bytes += enc
+    out += b(0, 4)  # next-IFD pointer
+    out += val_bytes
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    seed=st.integers(0, 2**31 - 1),
+    ch=st.sampled_from([1, 3, 4]),
+    order=st.sampled_from(["little", "big"]),
+    n_strips=st.integers(1, 4),
+)
+@settings(max_examples=40, deadline=None)
+def test_tiff_decode_roundtrip(w, h, seed, ch, order, n_strips):
+    """decode_tiff_raster reconstructs exactly the raster a synthesized
+    uncompressed TIFF encodes — both byte orders, gray/RGB/RGBA, any
+    strip split."""
+    import numpy as np
+
+    from twitter_kafka_etl_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    raster = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    payload = _encode_tiff(raster, order=order, n_strips=n_strips)
+    got = M.decode_tiff_raster(payload)
+    assert got.shape == raster.shape
+    assert (got == raster).all()
+    d = M.decode_image(payload)
+    assert d["media"] == "image/tiff"
+    assert (d["width"], d["height"], d["n_channels"]) == (w, h, ch)
+    assert abs(d["mean_value"] - float(raster.mean())) < 1e-9
+
+
 @given(
     samples=st.lists(
         st.integers(-(1 << 23), (1 << 23) - 1), min_size=1, max_size=48

@@ -309,6 +309,106 @@ def decode_bmp_raster(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(px[:, :, order])
 
 
+def _tiff_tags(payload: bytes, order: str) -> dict[int, list[int]]:
+    """Walk the first IFD of a TIFF payload and return {tag: values}
+    for the integer-typed tags (BYTE/SHORT/LONG). Values whose encoded
+    size exceeds 4 bytes live at an offset; inline values are packed
+    into the 4-byte field."""
+    sizes = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+    ifd_off = int.from_bytes(payload[4:8], order)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    n = int.from_bytes(payload[ifd_off : ifd_off + 2], order)
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        if e + 12 > len(payload):
+            raise ValueError("truncated TIFF IFD entry")
+        tag = int.from_bytes(payload[e : e + 2], order)
+        typ = int.from_bytes(payload[e + 2 : e + 4], order)
+        cnt = int.from_bytes(payload[e + 4 : e + 8], order)
+        if typ not in sizes:
+            continue  # rationals etc. — not needed for the raster walk
+        total = sizes[typ] * cnt
+        if total <= 4:
+            base = e + 8
+        else:
+            base = int.from_bytes(payload[e + 8 : e + 12], order)
+            if base + total > len(payload):
+                raise ValueError("TIFF tag data out of bounds")
+        tags[tag] = [
+            int.from_bytes(
+                payload[base + j * sizes[typ] : base + (j + 1) * sizes[typ]],
+                order,
+            )
+            for j in range(cnt)
+        ]
+    return tags
+
+
+def decode_tiff_raster(payload: bytes) -> np.ndarray:
+    """Real TIFF decode for uncompressed (compression=1), chunky-planar,
+    8-bit-per-sample gray / RGB / RGBA baseline TIFFs, both byte orders
+    — IFD walk + strip concatenation + one numpy view, no imaging
+    library. Returns the ``(height, width, channels)`` uint8 raster.
+
+    Out-of-scope variants (LZW/JPEG/packbits compression, planar
+    config 2, sub/super-byte sample depths, tiles) raise
+    ``NotImplementedError``."""
+    if payload[:4] == b"II*\x00":
+        order = "little"
+    elif payload[:4] == b"MM\x00*":
+        order = "big"
+    else:
+        raise ValueError("not a TIFF payload")
+    t = _tiff_tags(payload, order)
+    if 322 in t or 323 in t:
+        raise NotImplementedError("tiled TIFF not supported")
+    comp = t.get(259, [1])[0]
+    if comp != 1:
+        raise NotImplementedError(f"TIFF compression {comp} not supported")
+    if t.get(284, [1])[0] != 1:
+        raise NotImplementedError("planar TIFF (separate planes) not supported")
+    if 256 not in t or 257 not in t or 273 not in t:
+        raise ValueError("TIFF missing width/height/strip offsets")
+    width, height = t[256][0], t[257][0]
+    ch = t.get(277, [1])[0]
+    bits = t.get(258, [8] * ch)
+    if ch not in (1, 3, 4) or any(b != 8 for b in bits):
+        raise NotImplementedError(
+            f"TIFF with {ch} samples x {bits} bits not supported"
+        )
+    if width <= 0 or height <= 0 or width * height * ch > _PNG_MAX_PIXEL_BYTES:
+        raise ValueError("bad TIFF dimensions")
+    offsets = t[273]
+    counts = t.get(279)
+    if counts is None:
+        rows_per_strip = t.get(278, [height])[0]
+        counts = [
+            min(rows_per_strip, height - i * rows_per_strip) * width * ch
+            for i in range(len(offsets))
+        ]
+    data = b"".join(
+        payload[o : o + c] for o, c in zip(offsets, counts, strict=True)
+    )
+    if len(data) != width * height * ch:
+        raise ValueError("TIFF strip data does not match dimensions")
+    return np.frombuffer(data, dtype=np.uint8).reshape(height, width, ch)
+
+
+def decode_tiff(payload: bytes) -> dict:
+    """Real TIFF decode — same QA-signal contract as
+    :func:`decode_netpbm`: dimensions, channel count, mean pixel."""
+    raster = decode_tiff_raster(payload)
+    return {
+        "media": "image/tiff",
+        "width": int(raster.shape[1]),
+        "height": int(raster.shape[0]),
+        "n_channels": int(raster.shape[2]),
+        "mean_value": float(raster.mean()) if raster.size else 0.0,
+    }
+
+
 def decode_bmp(payload: bytes) -> dict:
     """Real BMP decode — same QA-signal contract as
     :func:`decode_netpbm`: dimensions, channel count, mean pixel."""
@@ -416,10 +516,13 @@ def decode_image(payload: bytes) -> dict:
         return decode_png(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(payload)
     raise NotImplementedError(
-        "JPEG/WebP and exotic PNG/BMP variants need an imaging backend "
-        "(e.g. Pillow); netpbm (P5/P6), 8/16-bit non-interlaced PNG, "
-        "and uncompressed BMP decode natively — plug a codec in here"
+        "JPEG/WebP and exotic PNG/BMP/TIFF variants need an imaging "
+        "backend (e.g. Pillow); netpbm (P5/P6), 8/16-bit non-interlaced "
+        "PNG, uncompressed BMP, and uncompressed baseline TIFF decode "
+        "natively — plug a codec in here"
     )
 
 
@@ -525,6 +628,7 @@ def media_features(
                     if (
                         p[:2] in (b"P5", b"P6", b"BM")
                         or p[:8] == _PNG_SIG
+                        or p[:4] in (b"II*\x00", b"MM\x00*")
                     ):
                         d = decode_image(p)
                         row.update(
