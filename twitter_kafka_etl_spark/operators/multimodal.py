@@ -5,11 +5,12 @@ metadata struct, processed by Arrow-batched ``mapInPandas`` — the decode
 kernels are pluggable. Decoding is REAL for the formats the standard
 library + numpy can parse — PCM WAV (stdlib ``wave``; 8/16/24/32-bit),
 netpbm P5/P6 images, non-interlaced 8/16-bit and 8-bit-palette PNG
-(stdlib ``zlib`` inflate + scanline unfiltering), and uncompressed
-24/32-bit BMP — and a declared plug-point (``NotImplementedError``)
-for the remaining codec-bound formats (JPEG/WebP/MP3/video containers,
-interlaced or sub-byte PNG, RLE BMP), which need an external backend
-this container doesn't ship. The Spark-side plumbing — schema, batch iteration, partition
+(stdlib ``zlib`` inflate + scanline unfiltering), uncompressed
+24/32-bit BMP, and uncompressed baseline TIFF (both byte orders) — and
+a declared plug-point (``NotImplementedError``) for the remaining
+codec-bound formats (JPEG/WebP/MP3/video containers, interlaced or
+sub-byte PNG, RLE BMP, LZW TIFF), which need an external backend this
+container doesn't ship. The Spark-side plumbing — schema, batch iteration, partition
 preservation — is identical either way and tested end-to-end with both
 the real decoders and the deterministic fake.
 
