@@ -45,6 +45,14 @@ _REWRITTEN_IN: dict[str, int] = {
     "qs14_stream_novelty": 8,
     # r8: bloom side-file now written before the index/corpus appends
     "qs12_stream_incremental_dedup": 8,
+    # r8 collapsed-pair-form refactor (expand=False) restructured the
+    # shared internals of the four pair families after their last
+    # driver checks (r6/r6/r6/r5); r9 adds the expand/collapse_exact
+    # conflict guard on the same entry points
+    "x03_dedup_minhash_lsh_pairs": 9,
+    "x05_dedup_simhash_pairs": 9,
+    "x06_dedup_ngram_jaccard": 9,
+    "x77_containment_pairs": 9,
 }
 
 

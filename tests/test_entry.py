@@ -76,27 +76,62 @@ def test_rotation_order_from_synthetic_history(tmp_path):
                      "b_refreshed", "f_rowsonly"]
 
 
-def test_r8_window_contents():
-    """The live r8 window fronts the two r7 rewrites then the r4-stale
-    five, per VERDICT r7 item 1; nothing in the window is younger than
-    its rotation seniority."""
+def test_r8_window_as_historical_fact(tmp_path):
+    """The rotation rule, fed ONLY the frozen r01-r07 history plus the
+    r8-era ``_REWRITTEN_IN`` map, predicts the exact 50-query set the
+    driver verified in round 8 (CORRECTNESS_r08.json). Every input is a
+    tracked, immutable file — unlike the r8-era live-window test this
+    replaced, nothing here changes when later rounds land."""
+    import json
+    import shutil
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    union: set[str] = set()
+    for r in range(1, 9):
+        path = os.path.join(root, f"CORRECTNESS_r0{r}.json")
+        union |= set(json.load(open(path, encoding="utf-8")))
+        if r < 8:  # the window the r8 driver saw derives from r01-r07
+            shutil.copy(path, tmp_path)
+    latest = entry_mod._latest_green(str(tmp_path))
+    order = entry_mod._rotation_order(
+        sorted(union),
+        latest,
+        rewritten_in={  # _REWRITTEN_IN as committed at the r8 driver run
+            "x98_dedup_method_agreement": 7,
+            "qs14_stream_novelty": 8,
+            "qs12_stream_incremental_dedup": 8,
+        },
+    )
+    with open(os.path.join(root, "CORRECTNESS_r08.json"),
+              encoding="utf-8") as fh:
+        r8_checked = set(json.load(fh))
+    assert set(order[:50]) == r8_checked
+    # rewritten-since-check fronted; never-checked (x102) next
+    assert order[:3] == ["qs14_stream_novelty",
+                         "x98_dedup_method_agreement",
+                         "qs12_stream_incremental_dedup"]
+    assert order[3] == "x102_pair_collapsed_form"
+
+
+def test_live_window_fronts_oldest_debt():
+    """Live invariants of the emission order that hold every round by
+    construction of the rule (no snapshot of a particular round):
+    stale rewrites first, then latest-green ascending."""
     names = list(entry_mod.queries())
-    window = names[:50]
-    # rewritten-since-check first (latest-green ascending within)
-    assert set(window[:3]) == {"qs14_stream_novelty",
-                               "x98_dedup_method_agreement",
-                               "qs12_stream_incremental_dedup"}
-    # never-checked queries (r8's x102) sort ahead of the r4-stale five
-    assert set(window[3:9]) == {
-        "x102_pair_collapsed_form",
-        "x67_prototype_prune", "x68_dsir_selection", "x69_langid_eval",
-        "x70_unigram_nll", "x71_bpe_pair_stats",
-    }
     latest = entry_mod._latest_green()
-    # everything else in the window is the oldest remaining cohort
-    window_rounds = [latest.get(n, 0) for n in window[9:]]
-    tail_rounds = [latest.get(n, 0) for n in names[50:]]
-    assert window_rounds and max(window_rounds) <= min(tail_rounds)
+    rewritten = entry_mod._REWRITTEN_IN
+    stale = {n for n in names
+             if rewritten.get(n, 0) > latest.get(n, 0)}
+    k = len(stale)
+    assert set(names[:k]) == stale
+    rest_rounds = [latest.get(n, 0) for n in names[k:]]
+    assert rest_rounds == sorted(rest_rounds)
+    # the 50-slot window therefore never holds a query younger than the tail
+    window, tail = names[:50], names[50:]
+    if tail:
+        assert max(latest.get(n, 0) for n in window[k:]) <= min(
+            latest.get(n, 0) for n in tail
+        )
 
 
 def test_end_to_end_example(spark, sf_dir, tmp_path):

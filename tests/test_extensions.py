@@ -146,6 +146,25 @@ def test_collapsed_form_jaccard_containment(spark):
     assert any(r.rep_a == 1 and r.rep_b == 3 for r in crows)
 
 
+def test_expand_false_rejects_explicit_collapse_false(spark):
+    """expand=False implies the collapse path unconditionally; a caller
+    explicitly passing collapse_exact=False must get a loud error, not
+    a silently discarded argument (r8 advice)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], ["doc_id", "text"]
+    )
+    sigs = D.minhash_signatures(D.shingle(df))
+    sh = D.simhash(df)
+    for call in (
+        lambda: D.minhash_lsh_pairs(sigs, expand=False, collapse_exact=False),
+        lambda: D.simhash_pairs(sh, expand=False, collapse_exact=False),
+        lambda: D.ngram_jaccard_pairs(df, expand=False, collapse_exact=False),
+        lambda: D.containment_pairs(df, expand=False, collapse_exact=False),
+    ):
+        with pytest.raises(ValueError, match="collapse_exact"):
+            call()
+
+
 def test_jaccard_identical_docs_is_one(spark):
     t = "a b c d e f g h"
     df = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])

@@ -1263,6 +1263,34 @@ def test_png_palette_decode(w, h, seed, n_pal, use_trns, filters):
     assert (got == expect).all()
 
 
+def test_png_zero_dimension_rejected_before_inflate():
+    """A height=0 (or width=0) IHDR used to make the inflate bound 0,
+    which zlib treats as UNLIMITED — a tiny IDAT bomb inflated fully
+    before the length check. Zero dimensions must be rejected up front,
+    before any IDAT byte is decompressed (r8 advice)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from twitter_kafka_etl_spark.operators import multimodal as M
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d))
+        )
+
+    bomb = chunk(b"IDAT", zlib.compress(b"\x00" * (8 << 20)))
+    for w, h in ((5, 0), (0, 5), (0, 0)):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        payload = (
+            M._PNG_SIG + chunk(b"IHDR", ihdr) + bomb + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="dimensions"):
+            M.decode_png_raster(payload)
+
+
 _collapse_corpus = st.lists(
     st.tuples(
         st.integers(0, 2),  # base text family

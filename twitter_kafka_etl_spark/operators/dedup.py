@@ -375,6 +375,20 @@ def _minhash_members(
     )
 
 
+def _check_expand_collapse(expand: bool, collapse_exact: bool | None) -> None:
+    """``expand=False`` always runs the collapse-to-representatives path
+    (the collapsed output's ``c_*`` columns ARE its group sizes), so an
+    explicit ``collapse_exact=False`` contradicts it. Fail loudly
+    instead of silently discarding the caller's argument."""
+    if not expand and collapse_exact is False:
+        raise ValueError(
+            "expand=False always runs the collapse path (the collapsed "
+            "pair form's c_a/c_b columns are its signature-group sizes);"
+            " combining it with collapse_exact=False is contradictory — "
+            "drop one of the two arguments"
+        )
+
+
 def minhash_signature_groups(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -431,8 +445,11 @@ def minhash_lsh_pairs(
     distinct texts (the x98 lesson, SURVEY §6) — at 100 TB this is the
     form a consumer should join against, exploding only where needed
     (``expand_collapsed_pairs`` reconstructs the member pairs exactly;
-    equivalence is test-asserted).
+    equivalence is test-asserted). ``expand=False`` implies the
+    collapse path unconditionally — combining it with an explicit
+    ``collapse_exact=False`` raises ``ValueError``.
     """
+    _check_expand_collapse(expand, collapse_exact)
     if not expand:
         signatures = signatures.localCheckpoint(eager=False)
         members = _minhash_members(signatures, id_col, n_bands, rows_per_band)
@@ -630,7 +647,9 @@ def simhash_pairs(
     ``expand=False`` returns the COLLAPSED pair form ``(rep_a, rep_b,
     c_a, c_b, hamming)`` — see :func:`minhash_lsh_pairs` for the
     row conventions and the 100 TB rationale; within-group rows carry
-    hamming 0 (identical signatures).
+    hamming 0 (identical signatures). ``expand=False`` implies the
+    collapse path unconditionally — combining it with an explicit
+    ``collapse_exact=False`` raises ``ValueError``.
     """
     if max_hamming > n_chunks - 1:
         raise ValueError(
@@ -638,6 +657,7 @@ def simhash_pairs(
             f"n_chunks - 1; got max_hamming={max_hamming}, n_chunks={n_chunks} "
             f"— raise n_chunks to at least max_hamming + 1"
         )
+    _check_expand_collapse(expand, collapse_exact)
     if not expand:
         sig_df = sig_df.localCheckpoint(eager=False)
         members = sig_df.select(F.col(id_col).alias("m_id"), F.col("simhash"))
@@ -906,6 +926,7 @@ def containment_pairs(
             .select("doc_a", "doc_b", "common", "containment", "jaccard")
         )
 
+    _check_expand_collapse(expand, collapse_exact)
     if not expand:
         collapse_exact = True
     elif collapse_exact is None:
@@ -1084,6 +1105,7 @@ def ngram_jaccard_pairs(
     from :func:`text_fingerprint_groups`. The collapse machinery always
     runs in this mode (its group tables ARE the output's c columns).
     """
+    _check_expand_collapse(expand, collapse_exact)
     if not expand:
         collapse_exact = True
     elif collapse_exact is None:

@@ -157,6 +157,11 @@ def decode_png_raster(payload: bytes) -> np.ndarray:
         channels, bps = _PNG_CHANNELS[color_type], bit_depth // 8
     else:
         raise NotImplementedError(f"PNG color type {color_type} not supported")
+    if width <= 0 or height <= 0:
+        # a zero dimension is not just degenerate: expected becomes 0
+        # below and zlib treats max_length=0 as UNLIMITED, so a tiny
+        # IDAT bomb would inflate fully before the length check
+        raise ValueError("bad PNG dimensions (zero width or height)")
     bpp = channels * bps  # the filter unit is BYTES per pixel (spec §9)
     row_bytes = width * bpp
     expected = height * (1 + row_bytes)
@@ -220,28 +225,32 @@ def _unfilter_scanline(
     p = prev.reshape(w, bpp)
     if ftype == 1:  # Sub: recon[x] = cur[x] + recon[x-1] → per-channel cumsum
         return (np.cumsum(c, axis=0) % 256).astype(np.uint8).reshape(-1)
-    out = np.zeros((w, bpp), dtype=np.int64)
-    left = np.zeros(bpp, dtype=np.int64)
-    if ftype == 3:  # Average
-        for x in range(w):
-            out[x] = (c[x] + (left + p[x]) // 2) % 256
-            left = out[x]
+    # Average/Paeth carry a left-pixel dependency, so the scan is
+    # inherently sequential in x — run it over plain Python ints (one
+    # flat list pass, ~10× the per-pixel-numpy version this replaced;
+    # these two filters still decode slower than None/Sub/Up, which stay
+    # fully vectorized)
+    n = cur.size
+    cl = cur.tolist()
+    pl = prev.tolist()
+    res = [0] * n
+    if ftype == 3:  # Average: recon = cur + floor((left + up) / 2)
+        for i in range(n):
+            a = res[i - bpp] if i >= bpp else 0
+            res[i] = (cl[i] + ((a + pl[i]) >> 1)) & 255
     elif ftype == 4:  # Paeth
-        upleft = np.zeros(bpp, dtype=np.int64)
-        for x in range(w):
-            est = left + p[x] - upleft
-            da = np.abs(est - left)
-            db = np.abs(est - p[x])
-            dc = np.abs(est - upleft)
-            pred = np.where(
-                (da <= db) & (da <= dc), left, np.where(db <= dc, p[x], upleft)
-            )
-            out[x] = (c[x] + pred) % 256
-            left = out[x]
-            upleft = p[x]
+        for i in range(n):
+            a = res[i - bpp] if i >= bpp else 0  # left
+            b = pl[i]  # up
+            cc = pl[i - bpp] if i >= bpp else 0  # upper-left
+            pa = abs(b - cc)
+            pb = abs(a - cc)
+            pc = abs(a + b - 2 * cc)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            res[i] = (cl[i] + pred) & 255
     else:
         raise ValueError(f"unknown PNG filter type {ftype}")
-    return (out % 256).astype(np.uint8).reshape(-1)
+    return np.array(res, dtype=np.uint8)
 
 
 def decode_png(payload: bytes) -> dict:
