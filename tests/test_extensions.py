@@ -165,6 +165,34 @@ def test_expand_false_rejects_explicit_collapse_false(spark):
             call()
 
 
+def test_x103_fixture_exercises_real_decoders_and_degrade_paths(spark, sf_dir):
+    """The x103 CORRECTNESS query must actually route through the real
+    netpbm and WAV kernels (both image formats, audio) AND the two
+    degrade paths (unrecognized container, truncated raster)."""
+    from twitter_kafka_etl_spark.plans import REGISTRY
+
+    rows = REGISTRY["x103_media_decode"].build(spark, sf_dir).collect()
+    assert len(rows) == 18
+    hist = {}
+    for r in rows:
+        hist[r.media_type] = hist.get(r.media_type, 0) + 1
+    assert hist == {
+        "image/x-portable-graymap": 4,
+        "image/x-portable-pixmap": 4,
+        "audio/wav": 8,
+        "unknown": 1,
+        "corrupt": 1,
+    }
+    by_type = {r.media_type: r for r in rows}
+    corrupt = by_type["corrupt"]
+    # the truncated image keeps its byte count but decodes nothing
+    assert corrupt.n_bytes == 13 and corrupt.width == -1
+    wav = by_type["audio/wav"]
+    assert wav.sample_rate > 0 and wav.peak_i > 0 and wav.width == -1
+    img = by_type["image/x-portable-pixmap"]
+    assert img.n_channels == 3 and img.mean_q6 > 0 and img.sample_rate == -1
+
+
 def test_jaccard_identical_docs_is_one(spark):
     t = "a b c d e f g h"
     df = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])

@@ -686,6 +686,61 @@ def media_features(
     return df.mapInPandas(run, schema=MEDIA_FEATURE_SCHEMA)
 
 
+def media_fixture_payloads() -> list[tuple[int, str]]:
+    """Deterministic cross-engine media fixture: tiny netpbm images
+    (P5 gray / P6 RGB), canonical mono 16-bit PCM WAV clips, one
+    unrecognized payload, and one truncated (corrupt) netpbm, as
+    ``(doc_id, hex)`` rows. Shared by the x103 Spark query (which
+    decodes the bytes with the REAL :func:`decode_netpbm` /
+    :func:`decode_wav` kernels) and its DuckDB oracle (which re-parses
+    the SAME hex literals with pure byte arithmetic) — the two engines
+    meet only at the byte level, so a decoder bug cannot cancel out.
+
+    Layout constraints that keep the SQL twin to fixed-offset math:
+    single-digit image dimensions (the netpbm header is then always the
+    11 bytes ``P5\\n{w} {h}\\n255\\n``) and the canonical 44-byte RIFF
+    header. Durations are generated to never land on an exact .5 ms
+    (Python banker-rounds, SQL rounds half-away)."""
+    rows: list[tuple[int, str]] = []
+    did = 0
+    for i in range(8):
+        w = 2 + (i * 3) % 7  # 2..8: single digit, varies per row
+        h = 1 + (i * 5) % 8  # 1..8
+        ch = 3 if i % 2 else 1
+        magic = b"P6" if ch == 3 else b"P5"
+        raster = bytes((i * 37 + k * 11) % 256 for k in range(w * h * ch))
+        payload = magic + b"\n%d %d\n255\n" % (w, h) + raster
+        rows.append((did, payload.hex()))
+        did += 1
+    for i in range(8):
+        # offset the rate cycle by one so no (n, rate) pairing lands on
+        # an exact .5 ms (e.g. 8 samples at 16 kHz)
+        rate = (8000, 11025, 16000, 22050)[(i + 1) % 4]
+        n = 6 + i  # 6..13 samples
+        # exact .5 ms would round differently in the two engines
+        assert (2000 * n) % (2 * rate) != rate, (n, rate)
+        samples = [(((i * 31 + k * 17) * 97) % 4096) - 2048 for k in range(n)]
+        data = b"".join((s & 0xFFFF).to_bytes(2, "little") for s in samples)
+        hdr = (
+            b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little")      # PCM
+            + (1).to_bytes(2, "little")      # mono
+            + rate.to_bytes(4, "little")
+            + (rate * 2).to_bytes(4, "little")  # byte rate
+            + (2).to_bytes(2, "little")      # block align
+            + (16).to_bytes(2, "little")     # bits per sample
+            + b"data" + len(data).to_bytes(4, "little")
+        )
+        rows.append((did, (hdr + data).hex()))
+        did += 1
+    # degrade path: unrecognized container → 'unknown'; a netpbm whose
+    # header promises more raster than the payload carries → 'corrupt'
+    rows.append((did, b"\xde\xad\xbe\xef\x00\x01".hex()))
+    rows.append((did + 1, (b"P5\n9 9\n255\n" + b"\x01\x02").hex()))
+    return rows
+
+
 def resize_netpbm(payload: bytes, factor: int = 2) -> bytes:
     """REAL image resize for netpbm payloads: nearest-neighbor
     subsampling by ``factor`` on the decoded raster, re-emitted as the

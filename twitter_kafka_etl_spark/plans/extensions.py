@@ -4442,3 +4442,155 @@ def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("c_a * (c_a - 1) DIV 2"),
     ).otherwise(F.col("c_a") * F.col("c_b"))
     return both.withColumn("implied_pairs", implied.cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# x103 — REAL media decode, oracle-gated (the r8 decoders' CORRECTNESS row)
+# ---------------------------------------------------------------------------
+# A deterministic fixture of raw media bytes (multimodal.
+# media_fixture_payloads: netpbm P5/P6 images, canonical 16-bit PCM WAV,
+# one unrecognized payload, one truncated image) is shared as hex
+# literals between the two engines. Spark decodes the bytes with the
+# REAL decode_netpbm / decode_wav kernels inside the media_features
+# mapInPandas pass; DuckDB re-parses the SAME bytes with pure
+# fixed-offset byte arithmetic (the single-digit-dimension netpbm
+# header is always 11 bytes; the RIFF header is the canonical 44).
+# PNG/BMP/TIFF stay property-tested only — their oracle would need
+# zlib inflate / scanline unfiltering, which DuckDB SQL cannot express.
+# Floats are quantized to scaled BIGINT (×1e6, round) and NULL
+# not-applicable fields coalesce to -1 on both sides, per the driver's
+# dtype-exact hashing contract.
+_MEDIA_FIXTURE_VALUES = ",\n      ".join(
+    f"({did}, '{hx}')" for did, hx in M.media_fixture_payloads()
+)
+
+def _hxb(off: str | int) -> str:
+    """DuckDB expression: unsigned byte of blob-hex ``hx`` at offset."""
+    if isinstance(off, int):
+        return f"CAST('0x' || substr(hx, {2 * off + 1}, 2) AS BIGINT)"
+    return f"CAST('0x' || substr(hx, 2 * ({off}) + 1, 2) AS BIGINT)"
+
+
+_MEDIA_ORACLE = f"""
+    WITH payload_rows(did, hx) AS (VALUES
+      {_MEDIA_FIXTURE_VALUES}),
+    -- VALUES literals type as INT32; the engine's doc_id is BIGINT
+    payloads AS (SELECT CAST(did AS BIGINT) AS doc_id, hx FROM payload_rows),
+    -- netpbm: header is the fixed 11 bytes 'P5\\n{{w}} {{h}}\\n255\\n'
+    imgh AS (
+      SELECT doc_id, hx,
+             CAST(length(hx) // 2 AS BIGINT) AS n_bytes,
+             CASE WHEN substr(hx, 1, 4) = '5036' THEN 3 ELSE 1 END AS ch,
+             {_hxb(3)} - 48 AS w,
+             {_hxb(5)} - 48 AS h
+      FROM payloads WHERE substr(hx, 1, 4) IN ('5035', '5036')
+    ),
+    imgok AS (SELECT * FROM imgh WHERE n_bytes >= 11 + w * h * ch),
+    imgpix AS (
+      SELECT doc_id, hx, unnest(range(0, w * h * ch)) AS k FROM imgok
+    ),
+    imgmean AS (
+      SELECT doc_id, AVG({_hxb('11 + k')}) AS meanv
+      FROM imgpix GROUP BY doc_id
+    ),
+    -- WAV: canonical 44-byte RIFF/WAVE header, mono 16-bit PCM
+    wavh AS (
+      SELECT doc_id, hx,
+             CAST(length(hx) // 2 AS BIGINT) AS n_bytes,
+             {_hxb(22)} + 256 * {_hxb(23)} AS ch,
+             {_hxb(24)} + 256 * {_hxb(25)}
+               + 65536 * {_hxb(26)} + 16777216 * {_hxb(27)} AS rate,
+             {_hxb(40)} + 256 * {_hxb(41)}
+               + 65536 * {_hxb(42)} + 16777216 * {_hxb(43)} AS dsize
+      FROM payloads
+      WHERE substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645'
+    ),
+    wavsmp AS (
+      SELECT doc_id, hx, unnest(range(0, dsize // 2)) AS k FROM wavh
+    ),
+    wavval AS (
+      SELECT doc_id,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+      FROM (SELECT doc_id,
+                   {_hxb('44 + 2 * k')} + 256 * {_hxb('45 + 2 * k')} AS u
+            FROM wavsmp)
+    ),
+    wavagg AS (
+      SELECT doc_id, MAX(ABS(v)) AS peak,
+             SQRT(AVG(CAST(v * v AS DOUBLE))) AS rms
+      FROM wavval GROUP BY doc_id
+    ),
+    neg AS (SELECT CAST(-1 AS BIGINT) AS na)
+    SELECT i.doc_id,
+           CASE WHEN i.ch = 3 THEN 'image/x-portable-pixmap'
+                ELSE 'image/x-portable-graymap' END AS media_type,
+           i.n_bytes,
+           CAST(i.w AS BIGINT) AS width,
+           CAST(i.h AS BIGINT) AS height,
+           CAST(i.ch AS BIGINT) AS n_channels,
+           CAST(ROUND(m.meanv * 1000000) AS BIGINT) AS mean_q6,
+           na AS sample_rate, na AS n_samples, na AS duration_ms,
+           na AS peak_i, na AS rms_q6
+    FROM imgok i JOIN imgmean m USING (doc_id) CROSS JOIN neg
+    UNION ALL
+    SELECT w.doc_id, 'audio/wav', w.n_bytes, na, na,
+           CAST(w.ch AS BIGINT),
+           na,
+           CAST(w.rate AS BIGINT),
+           CAST(w.dsize // 2 AS BIGINT),
+           CAST(ROUND(1000.0 * (w.dsize // 2) / w.rate) AS BIGINT),
+           CAST(a.peak AS BIGINT),
+           CAST(ROUND(a.rms * 1000000) AS BIGINT)
+    FROM wavh w JOIN wavagg a USING (doc_id) CROSS JOIN neg
+    UNION ALL
+    SELECT doc_id, 'corrupt', n_bytes, na, na, na, na, na, na, na, na, na
+    FROM imgh CROSS JOIN neg WHERE n_bytes < 11 + w * h * ch
+    UNION ALL
+    SELECT doc_id, 'unknown', CAST(length(hx) // 2 AS BIGINT),
+           na, na, na, na, na, na, na, na, na
+    FROM payloads CROSS JOIN neg
+    WHERE substr(hx, 1, 4) NOT IN ('5035', '5036')
+      AND NOT (substr(hx, 1, 8) = '52494646'
+               AND substr(hx, 17, 8) = '57415645')
+"""
+
+
+@_register(
+    "x103_media_decode",
+    "REAL media decode oracle-gated end-to-end: hex-literal fixture "
+    "payloads decoded by the engine's native netpbm/WAV kernels inside "
+    "the media_features Arrow mapInPandas pass vs a DuckDB twin that "
+    "re-parses the same bytes with fixed-offset byte arithmetic; "
+    "unknown/truncated payloads exercise the degrade-per-row path "
+    "(PNG/BMP/TIFF remain property-tested: zlib is not SQL-expressible)",
+    _MEDIA_ORACLE,
+    tags=("multimodal", "udf", "extension"),
+)
+def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The fixture is a bounded literal list (18 tiny payloads), not
+    # data: at corpus scale the payload column comes off parquet and
+    # feeds the same media_features pass (x15's plumbing).
+    rows = [
+        (did, bytes.fromhex(hx)) for did, hx in M.media_fixture_payloads()
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    feats = M.media_features(df)
+    neg = F.lit(-1).cast("long")
+
+    def q6(col: str) -> F.Column:
+        return F.round(F.col(col) * 1000000).cast("long")
+
+    return feats.select(
+        "doc_id",
+        "media_type",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.coalesce(F.col("width").cast("long"), neg).alias("width"),
+        F.coalesce(F.col("height").cast("long"), neg).alias("height"),
+        F.coalesce(F.col("n_channels").cast("long"), neg).alias("n_channels"),
+        F.coalesce(q6("mean_value"), neg).alias("mean_q6"),
+        F.coalesce(F.col("sample_rate").cast("long"), neg).alias("sample_rate"),
+        F.coalesce(F.col("n_samples").cast("long"), neg).alias("n_samples"),
+        F.coalesce(F.col("duration_ms").cast("long"), neg).alias("duration_ms"),
+        F.coalesce(F.col("peak").cast("long"), neg).alias("peak_i"),
+        F.coalesce(q6("rms"), neg).alias("rms_q6"),
+    )
