@@ -287,9 +287,18 @@ def main() -> None:
         # reflects the operator, not the JIT profile the suite left
         # behind. (One-JVM-per-query would isolate perfectly but costs
         # ~10s startup x 90 queries.)
-        return ((2, name) if name.startswith("qs")
-                else (0, name) if name.startswith("x")
-                else (1, name))
+        #
+        # Within the extension group, x102 runs LAST: it alone executes
+        # four distinct pair-plan families (both LSH shapes x expanded/
+        # collapsed on a doubled corpus) and was measured to inflate
+        # whatever pair query runs after it ~3x via interpreter
+        # megamorphism (r8: x03 20.8s after x102 vs ~7s isolated). At
+        # the group boundary its tail lands on the codegen'd batch
+        # q-block instead of a sibling HOF query.
+        late = name == "x102_pair_collapsed_form"
+        return ((2, False, name) if name.startswith("qs")
+                else (0, late, name) if name.startswith("x")
+                else (1, False, name))
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     # $SPARK_GRAFT_BENCH_ONLY: comma-separated query names (full names
