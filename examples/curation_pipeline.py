@@ -175,7 +175,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     #      integer arithmetic over a near-linear table — on a 100 TB
     #      duplicate-heavy corpus the expanded pair set is quadratic in
     #      the duplication factor and must never be built just to count
-    coll = D.minhash_lsh_pairs(D.corpus_signatures(kept), expand=False)
+    csigs = D.corpus_signatures(kept)
+    coll = D.minhash_lsh_pairs(csigs, expand=False)
     mass = coll.agg(
         F.sum(
             F.when(
@@ -187,6 +188,22 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(
         f"collapsed pair audit: {coll.count()} rep rows stand for "
         f"{mass or 0} member pairs"
+    )
+
+    # 3a-ter — the DECISION from the collapsed table directly: cluster
+    #      the representative graph, let members inherit their rep's
+    #      component through the membership join, then apply the same
+    #      best-quality keeper rule — the full dedup decision with no
+    #      member pair ever materialized (set-identical to the expanded
+    #      path; asserted in tests/test_extensions.py)
+    cmem = D.minhash_signature_groups(csigs)
+    ccomps = D.collapsed_components(coll, cmem)
+    ckeep = C.select_keepers(
+        kept.select("doc_id", "quality_score"), ccomps
+    ).filter(F.col("keep"))
+    print(
+        f"collapsed-path decision: {ckeep.count()} keepers chosen "
+        "without expanding member pairs"
     )
 
     # 3a' — how much chunk-level duplication survives document-level

@@ -146,6 +146,49 @@ def test_collapsed_form_jaccard_containment(spark):
     assert any(r.rep_a == 1 and r.rep_b == 3 for r in crows)
 
 
+def test_collapsed_components_match_expanded_path(spark):
+    """collapsed_components over the expand=False table + membership
+    must produce the exact (doc_id, component_id) assignment — and
+    therefore the exact keeper set — of connected_components over the
+    expanded member pairs, on a corpus with exact dups, near dups, and
+    isolated docs."""
+    from twitter_kafka_etl_spark.operators import curation as C
+
+    base = " ".join("w%d" % i for i in range(100))
+    near = base.replace("w99", "zz")
+    far = " ".join("q%d" % i for i in range(50))
+    alt = " ".join("r%d" % i for i in range(60))
+    texts = [base, near, far, base, base, near, far, alt, alt]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    scored = df.select(
+        "doc_id", (F.col("doc_id") % 3).cast("double").alias("quality_score")
+    )
+    sigs = D.minhash_signatures(D.shingle(df))
+
+    pairs = D.minhash_lsh_pairs(sigs)
+    comps = D.connected_components(pairs, nodes=df)
+    exp_assign = {(r.doc_id, r.component_id) for r in comps.collect()}
+    exp_keep = {
+        r.doc_id
+        for r in C.select_keepers(scored, comps).filter(F.col("keep")).collect()
+    }
+
+    coll = D.minhash_lsh_pairs(sigs, expand=False)
+    mem = D.minhash_signature_groups(sigs)
+    ccomps = D.collapsed_components(coll, mem)
+    col_assign = {(r.doc_id, r.component_id) for r in ccomps.collect()}
+    assert col_assign == exp_assign
+    col_keep = {
+        r.doc_id
+        for r in C.select_keepers(scored, ccomps)
+        .filter(F.col("keep"))
+        .collect()
+    }
+    assert col_keep == exp_keep and col_keep
+
+
 def test_expand_false_rejects_explicit_collapse_false(spark):
     """expand=False implies the collapse path unconditionally; a caller
     explicitly passing collapse_exact=False must get a loud error, not

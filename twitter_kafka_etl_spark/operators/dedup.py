@@ -1529,6 +1529,51 @@ def connected_components(
     return out
 
 
+def collapsed_components(
+    collapsed: DataFrame,
+    membership: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate clustering straight from the COLLAPSED pair form
+    (``expand=False`` output) without ever materializing member pairs:
+    min-label propagation runs on the REPRESENTATIVE edge graph (one
+    node per distinct signature), then every member inherits its
+    representative's component through ONE membership equi-join.
+
+    Output ``(id_col, component_id)`` set-equals
+    ``connected_components`` over the ``expand=True`` pairs
+    (test-asserted). Why: within-group member pairs form a clique on
+    one rep, cross-group rows connect exactly the reps whose groups
+    pair, so rep-graph connectivity IS member-graph connectivity; and
+    because every ``rep_id`` is its group's MIN member id, the
+    component label — min reachable id — is the same min either way.
+
+    This is the consumer pattern the collapsed form exists for at
+    100 TB: propagation cost scales with DISTINCT texts; the
+    duplication factor enters only through the final join (and a
+    membership table is linear in the corpus, not quadratic like the
+    expanded pair set).
+
+    ``membership``: ``(m_id, rep_id)`` as produced by
+    :func:`minhash_signature_groups` / :func:`simhash_groups` /
+    :func:`text_fingerprint_groups` — the same companion input
+    :func:`expand_collapsed_pairs` takes. Every document in scope must
+    appear in it (singleton groups included), so isolated docs come
+    back as singleton components.
+    """
+    rep_edges = collapsed.filter(F.col("rep_a") != F.col("rep_b")).select(
+        F.col("rep_a").alias("doc_a"), F.col("rep_b").alias("doc_b")
+    )
+    rep_nodes = membership.select(F.col("rep_id").alias(id_col)).distinct()
+    rep_comp = connected_components(
+        rep_edges, nodes=rep_nodes, id_col=id_col, max_iter=max_iter
+    ).withColumnRenamed(id_col, "rep_id")
+    return membership.join(rep_comp, "rep_id").select(
+        F.col("m_id").alias(id_col), "component_id"
+    )
+
+
 def _propagate_min_labels(
     edges: DataFrame, labels: DataFrame, max_iter: int, loop_parts: int
 ) -> DataFrame:
