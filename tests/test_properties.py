@@ -1349,6 +1349,47 @@ def test_collapsed_pair_form_equivalence_property(spark, spec):
     assert mass == len(expanded)
 
 
+@given(spec=_collapse_corpus)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_collapsed_components_equivalence_property(spark, spec):
+    """For ANY corpus shape, clustering the representative graph and
+    inheriting components through the membership join
+    (collapsed_components) yields the exact (doc, component) assignment
+    of connected_components over the expanded member pairs — including
+    isolated docs as singletons and the min-member-id component label."""
+    from twitter_kafka_etl_spark.operators import dedup as D
+
+    bases = [
+        " ".join(f"w{f}_{i}" for i in range(30)) for f in range(3)
+    ]
+    rows, next_id = [], 0
+    for fam, mut, mult in spec:
+        text = bases[fam]
+        if mut:
+            text = text.replace(f"w{fam}_{mut}", f"zz{mut}")
+        for _ in range(mult):
+            rows.append((next_id, text))
+            next_id += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = D.simhash(df)
+    pairs = D.simhash_pairs(sig, max_hamming=8, n_chunks=16)
+    expected = {
+        (r.doc_id, r.component_id)
+        for r in D.connected_components(pairs, nodes=df).collect()
+    }
+    collapsed = D.simhash_pairs(
+        sig, max_hamming=8, n_chunks=16, expand=False
+    )
+    got = {
+        (r.doc_id, r.component_id)
+        for r in D.collapsed_components(
+            collapsed, D.simhash_groups(sig)
+        ).collect()
+    }
+    assert got == expected
+
+
 def _encode_bmp(raster, top_down=False):
     """Test-side BMP writer: BITMAPINFOHEADER, BI_RGB, 24/32-bit,
     RGB(A) in → BGR(A) rows padded to 4 bytes, bottom-up by default."""
