@@ -130,29 +130,46 @@ def _rerun_outliers(
     import subprocess
     import tempfile
 
-    out = os.path.join(
-        tempfile.mkdtemp(prefix="tkes_bench_rerun_"), "rerun.json"
-    )
-    env = dict(
-        os.environ,
-        SPARK_GRAFT_BENCH_ONLY=",".join(flagged),
-        BENCH_OUT=out,
-        SPARK_GRAFT_SF_DIR=sf_dir,
-    )
-    try:
-        subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            timeout=1800,
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
-            check=True,
+    # ONE subprocess PER flagged query, not one for the whole batch:
+    # streaming queries carry high run-to-run variance, and in a shared
+    # rerun process one unlucky draw poisons every later re-time (r9:
+    # qs7+qs8 batched read 8.5s/13.9s while one-per-process they matched
+    # their records at 2.2s/4.4s). The per-query JVM startup (~25s) is
+    # the price of a clean measurement; the flag cap and the total
+    # budget below bound the spend.
+    rerun_dir = tempfile.mkdtemp(prefix="tkes_bench_rerun_")
+    budget = 1800.0
+    spent = 0.0
+    fresh: dict[str, float] = {}
+    for i, n in enumerate(flagged):
+        if spent >= budget:
+            print(
+                f"bench outlier rerun budget spent; skipped {flagged[i:]}",
+                file=sys.stderr,
+            )
+            break
+        out = os.path.join(rerun_dir, f"rerun_{n}.json")
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_BENCH_ONLY=n,
+            BENCH_OUT=out,
+            SPARK_GRAFT_SF_DIR=sf_dir,
         )
-        with open(out) as fh:
-            fresh = json.load(fh)["queries"]
-    except Exception as e:  # noqa: BLE001 — never fail the bench
-        print(f"bench outlier rerun skipped: {e}", file=sys.stderr)
-        return {}
+        t0 = time.perf_counter()
+        try:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                timeout=budget - spent,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+                check=True,
+            )
+            with open(out) as fh:
+                fresh.update(json.load(fh)["queries"])
+        except Exception as e:  # noqa: BLE001 — never fail the bench
+            print(f"bench outlier rerun skipped for {n}: {e}", file=sys.stderr)
+        spent += time.perf_counter() - t0
     insuite: dict[str, float] = {}
     for n in flagged:
         f = fresh.get(n)
