@@ -215,7 +215,7 @@ def test_x103_fixture_exercises_real_decoders_and_degrade_paths(spark, sf_dir):
     from twitter_kafka_etl_spark.plans import REGISTRY
 
     rows = REGISTRY["x103_media_decode"].build(spark, sf_dir).collect()
-    assert len(rows) == 18
+    assert len(rows) == 22
     hist = {}
     for r in rows:
         hist[r.media_type] = hist.get(r.media_type, 0) + 1
@@ -223,6 +223,7 @@ def test_x103_fixture_exercises_real_decoders_and_degrade_paths(spark, sf_dir):
         "image/x-portable-graymap": 4,
         "image/x-portable-pixmap": 4,
         "audio/wav": 8,
+        "image/bmp": 4,
         "unknown": 1,
         "corrupt": 1,
     }
@@ -234,6 +235,11 @@ def test_x103_fixture_exercises_real_decoders_and_degrade_paths(spark, sf_dir):
     assert wav.sample_rate > 0 and wav.peak_i > 0 and wav.width == -1
     img = by_type["image/x-portable-pixmap"]
     assert img.n_channels == 3 and img.mean_q6 > 0 and img.sample_rate == -1
+    bmp = by_type["image/bmp"]
+    assert bmp.width > 0 and bmp.n_channels in (3, 4) and bmp.peak_i == -1
+    # all three PCM sample widths present (8/16/24-bit peak magnitudes)
+    peaks = sorted(r.peak_i for r in rows if r.media_type == "audio/wav")
+    assert peaks[0] < 256 and peaks[-1] >= 1 << 16
 
 
 def test_jaccard_identical_docs_is_one(spark):

@@ -686,21 +686,76 @@ def media_features(
     return df.mapInPandas(run, schema=MEDIA_FEATURE_SCHEMA)
 
 
+def _fixture_wav(rate: int, samples: list[int], width: int) -> bytes:
+    """Canonical 44-byte-header mono PCM WAV: ``width``-byte samples
+    (1 = unsigned 8-bit, 2/3 = signed little-endian)."""
+    if width == 1:
+        data = bytes((s + 128) & 0xFF for s in samples)
+    else:
+        mask = (1 << (8 * width)) - 1
+        data = b"".join((s & mask).to_bytes(width, "little") for s in samples)
+    return (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")              # PCM
+        + (1).to_bytes(2, "little")              # mono
+        + rate.to_bytes(4, "little")
+        + (rate * width).to_bytes(4, "little")   # byte rate
+        + width.to_bytes(2, "little")            # block align
+        + (8 * width).to_bytes(2, "little")      # bits per sample
+        + b"data" + len(data).to_bytes(4, "little")
+    ) + data
+
+
+def _fixture_bmp(
+    w: int, h: int, ch: int, pix: bytes, top_down: bool = False
+) -> bytes:
+    """Uncompressed BI_RGB BMP (BITMAPINFOHEADER, 24/32-bit): ``pix``
+    is the raw BGR(A) byte stream row-major top-to-bottom; rows are
+    re-ordered bottom-up and padded to 4 bytes unless ``top_down``."""
+    stride = ((8 * ch * w + 31) // 32) * 4
+    rows = [
+        pix[y * w * ch : (y + 1) * w * ch].ljust(stride, b"\x00")
+        for y in range(h)
+    ]
+    if not top_down:
+        rows.reverse()
+    body = b"".join(rows)
+    return (
+        b"BM" + (54 + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + ((-h if top_down else h) & 0xFFFFFFFF).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (8 * ch).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")              # BI_RGB
+        + len(body).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") + (2835).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") + (0).to_bytes(4, "little")
+    ) + body
+
+
 def media_fixture_payloads() -> list[tuple[int, str]]:
     """Deterministic cross-engine media fixture: tiny netpbm images
-    (P5 gray / P6 RGB), canonical mono 16-bit PCM WAV clips, one
-    unrecognized payload, and one truncated (corrupt) netpbm, as
-    ``(doc_id, hex)`` rows. Shared by the x103 Spark query (which
-    decodes the bytes with the REAL :func:`decode_netpbm` /
-    :func:`decode_wav` kernels) and its DuckDB oracle (which re-parses
-    the SAME hex literals with pure byte arithmetic) — the two engines
-    meet only at the byte level, so a decoder bug cannot cancel out.
+    (P5 gray / P6 RGB), uncompressed 24/32-bit BMPs (bottom-up and
+    top-down), canonical mono PCM WAV clips at 8/16/24-bit sample
+    widths, one unrecognized payload, and one truncated (corrupt)
+    netpbm, as ``(doc_id, hex)`` rows. Shared by the x103 Spark query
+    (which decodes the bytes with the REAL :func:`decode_netpbm` /
+    :func:`decode_bmp` / :func:`decode_wav` kernels) and its DuckDB
+    oracle (which re-parses the SAME hex literals with pure byte
+    arithmetic) — the two engines meet only at the byte level, so a
+    decoder bug cannot cancel out.
 
     Layout constraints that keep the SQL twin to fixed-offset math:
-    single-digit image dimensions (the netpbm header is then always the
-    11 bytes ``P5\\n{w} {h}\\n255\\n``) and the canonical 44-byte RIFF
-    header. Durations are generated to never land on an exact .5 ms
-    (Python banker-rounds, SQL rounds half-away)."""
+    single-digit netpbm dimensions (that header is then always the 11
+    bytes ``P5\\n{w} {h}\\n255\\n``); BMP and WAV headers are already
+    fixed-offset little-endian fields (the oracle parses width / height
+    / bit depth / data offset / sample width from the header bytes, it
+    does not assume the generator's values). Durations are generated to
+    never land on an exact .5 ms (Python banker-rounds, SQL rounds
+    half-away)."""
     rows: list[tuple[int, str]] = []
     did = 0
     for i in range(8):
@@ -719,20 +774,18 @@ def media_fixture_payloads() -> list[tuple[int, str]]:
         n = 6 + i  # 6..13 samples
         # exact .5 ms would round differently in the two engines
         assert (2000 * n) % (2 * rate) != rate, (n, rate)
-        samples = [(((i * 31 + k * 17) * 97) % 4096) - 2048 for k in range(n)]
-        data = b"".join((s & 0xFFFF).to_bytes(2, "little") for s in samples)
-        hdr = (
-            b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
-            + b"fmt " + (16).to_bytes(4, "little")
-            + (1).to_bytes(2, "little")      # PCM
-            + (1).to_bytes(2, "little")      # mono
-            + rate.to_bytes(4, "little")
-            + (rate * 2).to_bytes(4, "little")  # byte rate
-            + (2).to_bytes(2, "little")      # block align
-            + (16).to_bytes(2, "little")     # bits per sample
-            + b"data" + len(data).to_bytes(4, "little")
-        )
-        rows.append((did, (hdr + data).hex()))
+        width = (2, 1, 3)[i % 3]  # 16-, 8-, 24-bit PCM arms all covered
+        half = 1 << (8 * width - 1)
+        samples = [
+            ((i * 31 + k * 17) * 9973) % (2 * half) - half for k in range(n)
+        ]
+        rows.append((did, _fixture_wav(rate, samples, width).hex()))
+        did += 1
+    for i, (w, h, ch, td) in enumerate(
+        [(5, 3, 3, False), (4, 2, 4, False), (3, 3, 3, True), (2, 4, 4, True)]
+    ):
+        pix = bytes((i * 29 + k * 13) % 256 for k in range(w * h * ch))
+        rows.append((did, _fixture_bmp(w, h, ch, pix, top_down=td).hex()))
         did += 1
     # degrade path: unrecognized container → 'unknown'; a netpbm whose
     # header promises more raster than the payload carries → 'corrupt'

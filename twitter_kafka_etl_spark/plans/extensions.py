@@ -4448,15 +4448,18 @@ def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x103 — REAL media decode, oracle-gated (the r8 decoders' CORRECTNESS row)
 # ---------------------------------------------------------------------------
 # A deterministic fixture of raw media bytes (multimodal.
-# media_fixture_payloads: netpbm P5/P6 images, canonical 16-bit PCM WAV,
-# one unrecognized payload, one truncated image) is shared as hex
-# literals between the two engines. Spark decodes the bytes with the
-# REAL decode_netpbm / decode_wav kernels inside the media_features
-# mapInPandas pass; DuckDB re-parses the SAME bytes with pure
-# fixed-offset byte arithmetic (the single-digit-dimension netpbm
-# header is always 11 bytes; the RIFF header is the canonical 44).
-# PNG/BMP/TIFF stay property-tested only — their oracle would need
-# zlib inflate / scanline unfiltering, which DuckDB SQL cannot express.
+# media_fixture_payloads: netpbm P5/P6 images, uncompressed 24/32-bit
+# BMPs in both row orders, canonical mono PCM WAV at 8/16/24-bit
+# sample widths, one unrecognized payload, one truncated image) is
+# shared as hex literals between the two engines. Spark decodes the
+# bytes with the REAL decode_netpbm / decode_bmp / decode_wav kernels
+# inside the media_features mapInPandas pass; DuckDB re-parses the
+# SAME bytes with pure byte arithmetic — netpbm at fixed offsets
+# (single-digit dims make that header always 11 bytes), BMP and WAV
+# by parsing dimensions / bit depth / data offset / sample width out
+# of their little-endian header fields. PNG/TIFF stay property-tested
+# only — PNG needs zlib inflate / scanline unfiltering and TIFF an
+# IFD tag walk, neither expressible in DuckDB SQL.
 # Floats are quantized to scaled BIGINT (×1e6, round) and NULL
 # not-applicable fields coalesce to -1 on both sides, per the driver's
 # dtype-exact hashing contract.
@@ -4493,32 +4496,77 @@ _MEDIA_ORACLE = f"""
       SELECT doc_id, AVG({_hxb('11 + k')}) AS meanv
       FROM imgpix GROUP BY doc_id
     ),
-    -- WAV: canonical 44-byte RIFF/WAVE header, mono 16-bit PCM
+    -- WAV: canonical 44-byte RIFF/WAVE header, mono PCM; the sample
+    -- width (8/16/24-bit) is PARSED from the bits-per-sample field
     wavh AS (
       SELECT doc_id, hx,
              CAST(length(hx) // 2 AS BIGINT) AS n_bytes,
              {_hxb(22)} + 256 * {_hxb(23)} AS ch,
              {_hxb(24)} + 256 * {_hxb(25)}
                + 65536 * {_hxb(26)} + 16777216 * {_hxb(27)} AS rate,
+             ({_hxb(34)} + 256 * {_hxb(35)}) // 8 AS wb,
              {_hxb(40)} + 256 * {_hxb(41)}
                + 65536 * {_hxb(42)} + 16777216 * {_hxb(43)} AS dsize
       FROM payloads
       WHERE substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645'
     ),
+    wavn AS (SELECT *, dsize // (ch * wb) AS n FROM wavh),
     wavsmp AS (
-      SELECT doc_id, hx, unnest(range(0, dsize // 2)) AS k FROM wavh
+      SELECT doc_id, hx, wb, unnest(range(0, n)) AS k FROM wavn
     ),
     wavval AS (
       SELECT doc_id,
-             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
-      FROM (SELECT doc_id,
-                   {_hxb('44 + 2 * k')} + 256 * {_hxb('45 + 2 * k')} AS u
+             -- 8-bit PCM is unsigned centered at 128; 16/24-bit are
+             -- signed little-endian
+             CASE WHEN wb = 1 THEN u - 128
+                  WHEN wb = 2 AND u >= 32768 THEN u - 65536
+                  WHEN wb = 3 AND u >= 8388608 THEN u - 16777216
+                  ELSE u END AS v
+      FROM (SELECT doc_id, wb,
+                   {_hxb('44 + wb * k')}
+                   + CASE WHEN wb >= 2
+                          THEN 256 * {_hxb('45 + wb * k')} ELSE 0 END
+                   + CASE WHEN wb >= 3
+                          THEN 65536 * {_hxb('46 + wb * k')} ELSE 0 END AS u
             FROM wavsmp)
     ),
     wavagg AS (
       SELECT doc_id, MAX(ABS(v)) AS peak,
              SQRT(AVG(CAST(v * v AS DOUBLE))) AS rms
       FROM wavval GROUP BY doc_id
+    ),
+    -- BMP: BITMAPINFOHEADER fixed little-endian offsets; height is
+    -- SIGNED (negative = top-down, irrelevant to the mean); rows pad
+    -- to 4 bytes, excluded by in-row addressing
+    bmph AS (
+      SELECT doc_id, hx,
+             CAST(length(hx) // 2 AS BIGINT) AS n_bytes,
+             {_hxb(10)} + 256 * {_hxb(11)}
+               + 65536 * {_hxb(12)} + 16777216 * {_hxb(13)} AS data_off,
+             {_hxb(18)} + 256 * {_hxb(19)}
+               + 65536 * {_hxb(20)} + 16777216 * {_hxb(21)} AS w,
+             {_hxb(22)} + 256 * {_hxb(23)}
+               + 65536 * {_hxb(24)} + 16777216 * {_hxb(25)} AS h_raw,
+             ({_hxb(28)} + 256 * {_hxb(29)}) // 8 AS ch
+      FROM payloads WHERE substr(hx, 1, 4) = '424d'
+    ),
+    bmpd AS (
+      SELECT doc_id, hx, n_bytes, data_off, w, ch,
+             CASE WHEN h_raw >= 2147483648
+                  THEN 4294967296 - h_raw ELSE h_raw END AS h,
+             ((8 * ch * w + 31) // 32) * 4 AS stride
+      FROM bmph
+    ),
+    bmppix AS (
+      SELECT doc_id, hx, data_off, w, ch, stride,
+             unnest(range(0, w * ch * h)) AS k
+      FROM bmpd
+    ),
+    bmpmean AS (
+      SELECT doc_id,
+             AVG({_hxb('data_off + (k // (w * ch)) * stride + (k % (w * ch))')})
+               AS meanv
+      FROM bmppix GROUP BY doc_id
     ),
     neg AS (SELECT CAST(-1 AS BIGINT) AS na)
     SELECT i.doc_id,
@@ -4537,11 +4585,17 @@ _MEDIA_ORACLE = f"""
            CAST(w.ch AS BIGINT),
            na,
            CAST(w.rate AS BIGINT),
-           CAST(w.dsize // 2 AS BIGINT),
-           CAST(ROUND(1000.0 * (w.dsize // 2) / w.rate) AS BIGINT),
+           CAST(w.n AS BIGINT),
+           CAST(ROUND(1000.0 * w.n / w.rate) AS BIGINT),
            CAST(a.peak AS BIGINT),
            CAST(ROUND(a.rms * 1000000) AS BIGINT)
-    FROM wavh w JOIN wavagg a USING (doc_id) CROSS JOIN neg
+    FROM wavn w JOIN wavagg a USING (doc_id) CROSS JOIN neg
+    UNION ALL
+    SELECT b.doc_id, 'image/bmp', b.n_bytes,
+           CAST(b.w AS BIGINT), CAST(b.h AS BIGINT), CAST(b.ch AS BIGINT),
+           CAST(ROUND(m.meanv * 1000000) AS BIGINT),
+           na, na, na, na, na
+    FROM bmpd b JOIN bmpmean m USING (doc_id) CROSS JOIN neg
     UNION ALL
     SELECT doc_id, 'corrupt', n_bytes, na, na, na, na, na, na, na, na, na
     FROM imgh CROSS JOIN neg WHERE n_bytes < 11 + w * h * ch
@@ -4549,7 +4603,7 @@ _MEDIA_ORACLE = f"""
     SELECT doc_id, 'unknown', CAST(length(hx) // 2 AS BIGINT),
            na, na, na, na, na, na, na, na, na
     FROM payloads CROSS JOIN neg
-    WHERE substr(hx, 1, 4) NOT IN ('5035', '5036')
+    WHERE substr(hx, 1, 4) NOT IN ('5035', '5036', '424d')
       AND NOT (substr(hx, 1, 8) = '52494646'
                AND substr(hx, 17, 8) = '57415645')
 """
@@ -4558,16 +4612,17 @@ _MEDIA_ORACLE = f"""
 @_register(
     "x103_media_decode",
     "REAL media decode oracle-gated end-to-end: hex-literal fixture "
-    "payloads decoded by the engine's native netpbm/WAV kernels inside "
-    "the media_features Arrow mapInPandas pass vs a DuckDB twin that "
-    "re-parses the same bytes with fixed-offset byte arithmetic; "
+    "payloads decoded by the engine's native netpbm / 24+32-bit BMP / "
+    "8+16+24-bit PCM WAV kernels inside the media_features Arrow "
+    "mapInPandas pass vs a DuckDB twin that re-parses the same bytes "
+    "with pure byte arithmetic over the header fields; "
     "unknown/truncated payloads exercise the degrade-per-row path "
-    "(PNG/BMP/TIFF remain property-tested: zlib is not SQL-expressible)",
+    "(PNG/TIFF remain property-tested: zlib/IFD are not SQL-expressible)",
     _MEDIA_ORACLE,
     tags=("multimodal", "udf", "extension"),
 )
 def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The fixture is a bounded literal list (18 tiny payloads), not
+    # The fixture is a bounded literal list (22 tiny payloads), not
     # data: at corpus scale the payload column comes off parquet and
     # feeds the same media_features pass (x15's plumbing).
     rows = [
