@@ -242,6 +242,17 @@ SHOWCASE = [
      "data ever shuffles); replica means quantize to scaled BIGINT and "
      "the second moment widens to DECIMAL(38,0) — exact under any "
      "partitioning."),
+    ("x102_pair_collapsed_form",
+     "Collapsed pair form: both LSH families' banded self-joins run on "
+     "DISTINCT signatures only (the groupBy collapse precedes the "
+     "join), so pair work scales with distinct texts; group sizes ride "
+     "along as two int64 columns — no member pair is ever "
+     "materialized."),
+    ("x103_media_decode",
+     "Real media decode: the whole pass is ONE Arrow-batched "
+     "mapInPandas over the payload scan — no shuffle, no per-row "
+     "Python UDF; the binary payload never leaves its stage, only "
+     "metadata-width rows come out."),
 ]
 
 HEADER = """# PLANS — annotated physical plans (generated)
