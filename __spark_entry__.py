@@ -53,6 +53,18 @@ _REWRITTEN_IN: dict[str, int] = {
     "x05_dedup_simhash_pairs": 9,
     "x06_dedup_ngram_jaccard": 9,
     "x77_containment_pairs": 9,
+    # ... and every registered consumer that EMBEDS those subtrees and
+    # whose last green predates the refactor (transitive scan over the
+    # dedup module, r9 review finding): direct pair-fn callers checked
+    # r7, plus the r6-checked wrappers that fell outside the r9 window
+    "x25_dedup_components": 9,
+    "x46_dedup_jaccard_estimate": 9,
+    "x59_lsh_eval": 9,
+    "x60_nearest_duplicate": 9,
+    "x63_pair_graph_degree": 9,
+    "x65_split_leakage": 9,
+    "x91_cross_source_leakage": 9,
+    "x99_dedup_source_yield": 9,
 }
 
 

@@ -175,7 +175,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     #      integer arithmetic over a near-linear table — on a 100 TB
     #      duplicate-heavy corpus the expanded pair set is quadratic in
     #      the duplication factor and must never be built just to count
-    csigs = D.corpus_signatures(kept)
+    # pin the signature table: the collapsed pairs AND the membership
+    # below both consume it, and unpinned each would re-run the whole
+    # shingle+minhash subtree (eager=False — materialized on first use)
+    csigs = D.corpus_signatures(kept).localCheckpoint(eager=False)
     coll = D.minhash_lsh_pairs(csigs, expand=False)
     mass = coll.agg(
         F.sum(

@@ -1562,6 +1562,12 @@ def collapsed_components(
     appear in it (singleton groups included), so isolated docs come
     back as singleton components.
     """
+    # membership feeds two consumers (the rep node set and the final
+    # inherit join) — pin it so one action doesn't re-derive the
+    # signature-group lineage (itself a members⋈reps self-join over
+    # the full signature subtree) once per consumer. eager=False: the
+    # first action materializes it, merely building the plan is free.
+    membership = membership.localCheckpoint(eager=False)
     rep_edges = collapsed.filter(F.col("rep_a") != F.col("rep_b")).select(
         F.col("rep_a").alias("doc_a"), F.col("rep_b").alias("doc_b")
     )

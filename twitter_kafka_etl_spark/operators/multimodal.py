@@ -220,10 +220,8 @@ def _unfilter_scanline(
         return (cur % 256).astype(np.uint8)
     if ftype == 2:  # Up
         return ((cur + prev) % 256).astype(np.uint8)
-    w = cur.size // bpp
-    c = cur.reshape(w, bpp)
-    p = prev.reshape(w, bpp)
     if ftype == 1:  # Sub: recon[x] = cur[x] + recon[x-1] → per-channel cumsum
+        c = cur.reshape(cur.size // bpp, bpp)
         return (np.cumsum(c, axis=0) % 256).astype(np.uint8).reshape(-1)
     # Average/Paeth carry a left-pixel dependency, so the scan is
     # inherently sequential in x — run it over plain Python ints (one
