@@ -116,7 +116,7 @@ def _rerun_outliers(
     megamorphic (r6: seven rows read >2x the record while isolated
     re-runs matched it — measurement artifact, not regression). Any
     query whose in-suite time exceeds 1.5x its recorded value re-runs
-    once in a clean JVM (one subprocess for all flagged queries, via
+    once in a clean JVM (one subprocess per flagged query, via
     $SPARK_GRAFT_BENCH_ONLY) and the better figure is published —
     min-over-runs is already this harness's protocol; the fresh
     process just removes the suite-position confound. The in-suite
