@@ -65,6 +65,15 @@ _REWRITTEN_IN: dict[str, int] = {
     "x65_split_leakage": 9,
     "x91_cross_source_leakage": 9,
     "x99_dedup_source_yield": 9,
+    # r9 (late): the _pin_lazy reuse guard replaced the unconditional
+    # lazy checkpoint in the expand=False and auto-probe branches of
+    # minhash_lsh_pairs/simhash_pairs (plan-neutral for queries, which
+    # never pre-pin, but internals changed post-check). All default-
+    # branch callers above are already flagged 9; these two were green
+    # at r8 and embed the touched branches (x73 default probe, x102
+    # expand=False)
+    "x73_edit_distance_verify": 9,
+    "x102_pair_collapsed_form": 9,
 }
 
 

@@ -189,6 +189,65 @@ def test_collapsed_components_match_expanded_path(spark):
     assert col_keep == exp_keep and col_keep
 
 
+def test_pin_lazy_reuses_existing_checkpoint_handle(spark):
+    """Operators pin caller-supplied frames for multi-consumer reuse;
+    when the caller already pinned the SAME handle, re-wrapping it
+    would store the blocks twice (r9 review finding) — _pin_lazy must
+    return the existing handle untouched, and still pin a raw plan."""
+    raw = spark.range(10).selectExpr("id", "id * 2 AS y")
+    pinned = raw.localCheckpoint(eager=False)
+    assert D._pin_lazy(pinned) is pinned
+    repinned = D._pin_lazy(raw)
+    assert repinned is not raw
+    assert (
+        repinned._jdf.queryExecution().analyzed().getClass().getSimpleName()
+        == "LogicalRDD"
+    )
+    # a derived frame over a pin is NOT itself a pin — it must re-pin
+    derived = pinned.select("id")
+    assert D._pin_lazy(derived) is not derived
+
+
+def test_collapsed_components_edge_free_groups_stay_singletons(spark):
+    """The shingle-metric collapsed forms FILTER within-group rows
+    (zero-shingle texts, df-capped-out groups), so a duplicate group
+    can appear in no collapsed row at all — its members have no
+    expanded edge and must come back as singletons, not get merged
+    through the membership join (r9 review finding: the unconditional
+    inherit join merged docs 1/2 below). Groups touched by a cross row
+    stay internally connected through the bipartite expansion."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b"),  # duplicate pair shorter than the shingle
+            (2, "a b"),  # window: zero shingles, no pairs either path
+            (3, "x y z w v u t s"),
+            (4, "x y z w v u t s"),
+            (5, "x y z w v u t q"),  # near-dup cross partner of 3/4
+        ],
+        "doc_id long, text string",
+    )
+    mem = D.text_fingerprint_groups(df)
+    for kwargs in ({"n": 3}, {"n": 3, "df_cap": 1}):
+        pairs = D.ngram_jaccard_pairs(df, **kwargs)
+        expected = {
+            (r.doc_id, r.component_id)
+            for r in D.connected_components(
+                pairs, nodes=df, id_col="doc_id"
+            ).collect()
+        }
+        coll = D.ngram_jaccard_pairs(df, expand=False, **kwargs)
+        got = {
+            (r.doc_id, r.component_id)
+            for r in D.collapsed_components(coll, mem).collect()
+        }
+        assert got == expected, kwargs
+    # the df_cap=1 regime kills every pair: all five docs singletons
+    assert {(r.doc_id, r.component_id)
+            for r in D.collapsed_components(
+                D.ngram_jaccard_pairs(df, n=3, df_cap=1, expand=False), mem
+            ).collect()} == {(i, i) for i in range(1, 6)}
+
+
 def test_expand_false_rejects_explicit_collapse_false(spark):
     """expand=False implies the collapse path unconditionally; a caller
     explicitly passing collapse_exact=False must get a loud error, not

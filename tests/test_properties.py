@@ -1447,6 +1447,74 @@ def test_bmp_decode_roundtrip(w, h, seed, alpha, top_down):
     assert abs(d["mean_value"] - float(raster.mean())) < 1e-9
 
 
+@given(
+    w=st.integers(1, 8),
+    h=st.integers(1, 8),
+    seed=st.integers(0, 2**31 - 1),
+    alpha=st.booleans(),
+    top_down=st.booleans(),
+)
+@settings(max_examples=25, deadline=None)
+def test_fixture_bmp_byte_equals_independent_encoder(w, h, seed, alpha, top_down):
+    """The x103 fixture's BMP writer (multimodal._fixture_bmp) and this
+    file's independently written _encode_bmp must emit byte-identical
+    payloads for the same raster — two hand-rolled encoders of the same
+    canonical layout live in the repo on purpose (test independence),
+    so this pin makes any future divergence loud instead of letting the
+    property tests and the x103 oracle disagree about what a canonical
+    BMP is (r9 review finding)."""
+    import numpy as np
+
+    from twitter_kafka_etl_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    ch = 4 if alpha else 3
+    raster = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    order = [2, 1, 0] + ([3] if ch == 4 else [])
+    pix = raster[:, :, order].tobytes()  # fixture takes raw BGR(A) rows
+    assert M._fixture_bmp(w, h, ch, pix, top_down=top_down) == _encode_bmp(
+        raster, top_down=top_down
+    )
+
+
+@given(
+    n=st.integers(1, 16),
+    seed=st.integers(0, 2**31 - 1),
+    width=st.sampled_from([1, 2, 3]),
+    rate=st.sampled_from([8000, 11025, 16000, 22050]),
+)
+@settings(max_examples=25, deadline=None)
+def test_fixture_wav_byte_equals_stdlib_wave(n, seed, width, rate):
+    """multimodal._fixture_wav must emit exactly the bytes the stdlib
+    ``wave`` module writes for the same mono PCM clip (canonical
+    44-byte header, 8-bit unsigned / 16/24-bit signed LE samples) —
+    same divergence pin as the BMP twin above."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from twitter_kafka_etl_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    half = 1 << (8 * width - 1)
+    samples = [int(s) for s in rng.integers(-half, half, size=n)]
+    if width == 1:
+        data = bytes((s + 128) & 0xFF for s in samples)
+    else:
+        mask = (1 << (8 * width)) - 1
+        data = b"".join(
+            (s & mask).to_bytes(width, "little") for s in samples
+        )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(width)
+        wv.setframerate(rate)
+        wv.writeframes(data)
+    assert M._fixture_wav(rate, samples, width) == buf.getvalue()
+
+
 def _encode_tiff(raster, order="little", n_strips=1):
     """Test-side TIFF writer: uncompressed chunky 8-bit samples, the
     raster split across ``n_strips`` strips, either byte order, all

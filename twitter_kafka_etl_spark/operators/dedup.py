@@ -36,6 +36,25 @@ N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
 
+def _pin_lazy(df: DataFrame) -> DataFrame:
+    """``df.localCheckpoint(eager=False)``, unless ``df`` IS already a
+    lazy-checkpoint handle (analyzed plan root = LogicalRDD) — then the
+    existing pin is reused. Several operators pin a caller-supplied
+    frame so their multi-consumer plans materialize the shared subtree
+    once; a caller that already pinned the same handle (the curation
+    example shares one signature table across operators) would
+    otherwise store the blocks TWICE — once per checkpoint (r9 review
+    finding). Classic Spark only (py4j plan introspection); on any
+    failure it just pins."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            return df
+    except Exception:  # noqa: BLE001 — introspection is best-effort
+        pass
+    return df.localCheckpoint(eager=False)
+
+
 def hash_params(k: int = N_HASHES, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the k MinHash functions."""
     rng = random.Random(seed)
@@ -451,7 +470,7 @@ def minhash_lsh_pairs(
     """
     _check_expand_collapse(expand, collapse_exact)
     if not expand:
-        signatures = signatures.localCheckpoint(eager=False)
+        signatures = _pin_lazy(signatures)
         members = _minhash_members(signatures, id_col, n_bands, rows_per_band)
         groups = members.groupBy("__sig").agg(
             F.min("m_id").alias("rep_id"), F.count("*").alias("c")
@@ -477,7 +496,7 @@ def minhash_lsh_pairs(
         # Lifetime: checkpoint blocks live until the session ends or the
         # handle is unpersisted — long-lived sessions looping over
         # corpora should drop spent handles (see bench.py run_one).
-        signatures = signatures.localCheckpoint(eager=False)
+        signatures = _pin_lazy(signatures)
         checkpointed = True
         collapse_exact = _auto_collapse(
             signatures, _minhash_sig_key(n_bands, rows_per_band)
@@ -659,7 +678,7 @@ def simhash_pairs(
         )
     _check_expand_collapse(expand, collapse_exact)
     if not expand:
-        sig_df = sig_df.localCheckpoint(eager=False)
+        sig_df = _pin_lazy(sig_df)
         members = sig_df.select(F.col(id_col).alias("m_id"), F.col("simhash"))
         groups = members.groupBy("simhash").agg(
             F.min("m_id").alias("rep_id"), F.count("*").alias("c")
@@ -679,7 +698,7 @@ def simhash_pairs(
         # (id, simhash) rows instead of re-running the explode+groupBy
         # signature subtree; eager=False — the probe action materializes
         # (see minhash_lsh_pairs for lifetime notes)
-        sig_df = sig_df.localCheckpoint(eager=False)
+        sig_df = _pin_lazy(sig_df)
         collapse_exact = _auto_collapse(sig_df, F.col("simhash"))
     if not collapse_exact:
         return _simhash_pairs_core(sig_df, id_col, max_hamming, bits, n_chunks)
@@ -1543,11 +1562,20 @@ def collapsed_components(
 
     Output ``(id_col, component_id)`` set-equals
     ``connected_components`` over the ``expand=True`` pairs
-    (test-asserted). Why: within-group member pairs form a clique on
-    one rep, cross-group rows connect exactly the reps whose groups
-    pair, so rep-graph connectivity IS member-graph connectivity; and
-    because every ``rep_id`` is its group's MIN member id, the
-    component label — min reachable id — is the same min either way.
+    (test-asserted). Why: a within-group row expands to a clique on
+    one rep, a cross-group row to a complete bipartite graph between
+    two groups (so even a group WITHOUT a within row is internally
+    connected through any cross partner), and rep-graph connectivity
+    therefore IS member-graph connectivity — for every group that
+    appears in at least one collapsed row. A group appearing in NO row
+    (possible in the shingle-metric families: zero-shingle texts,
+    groups whose shingles are all df-capped out, self-similarity below
+    threshold — their within row is filtered, unlike minhash/simhash
+    where identical signatures always pair) has no expanded edge at
+    all, so its members stay SINGLETONS; only members of active reps
+    inherit the rep component. And because every ``rep_id`` is its
+    group's MIN member id, the component label — min reachable id —
+    is the same min either way.
 
     This is the consumer pattern the collapsed form exists for at
     100 TB: propagation cost scales with DISTINCT texts; the
@@ -1567,16 +1595,25 @@ def collapsed_components(
     # signature-group lineage (itself a members⋈reps self-join over
     # the full signature subtree) once per consumer. eager=False: the
     # first action materializes it, merely building the plan is free.
-    membership = membership.localCheckpoint(eager=False)
+    membership = _pin_lazy(membership)
     rep_edges = collapsed.filter(F.col("rep_a") != F.col("rep_b")).select(
         F.col("rep_a").alias("doc_a"), F.col("rep_b").alias("doc_b")
     )
-    rep_nodes = membership.select(F.col("rep_id").alias(id_col)).distinct()
+    # Propagate over ACTIVE reps only — those with at least one
+    # collapsed row. An edge-free group expands to no member pair, so
+    # inheriting the rep label there would merge docs the expanded path
+    # leaves as singletons (the zero-shingle / df-capped-out case).
+    active_reps = (
+        collapsed.select(F.col("rep_a").alias(id_col))
+        .unionByName(collapsed.select(F.col("rep_b").alias(id_col)))
+        .distinct()
+    )
     rep_comp = connected_components(
-        rep_edges, nodes=rep_nodes, id_col=id_col, max_iter=max_iter
+        rep_edges, nodes=active_reps, id_col=id_col, max_iter=max_iter
     ).withColumnRenamed(id_col, "rep_id")
-    return membership.join(rep_comp, "rep_id").select(
-        F.col("m_id").alias(id_col), "component_id"
+    return membership.join(rep_comp, "rep_id", "left").select(
+        F.col("m_id").alias(id_col),
+        F.coalesce("component_id", F.col("m_id")).alias("component_id"),
     )
 
 
