@@ -1596,6 +1596,10 @@ def collapsed_components(
     # the full signature subtree) once per consumer. eager=False: the
     # first action materializes it, merely building the plan is free.
     membership = _pin_lazy(membership)
+    # collapsed feeds three branches (the edge list and both arms of
+    # the active-rep union) — pin it so one action doesn't re-run the
+    # banded-LSH pair lineage once per branch
+    collapsed = _pin_lazy(collapsed)
     rep_edges = collapsed.filter(F.col("rep_a") != F.col("rep_b")).select(
         F.col("rep_a").alias("doc_a"), F.col("rep_b").alias("doc_b")
     )
