@@ -274,7 +274,7 @@ def test_x103_fixture_exercises_real_decoders_and_degrade_paths(spark, sf_dir):
     from twitter_kafka_etl_spark.plans import REGISTRY
 
     rows = REGISTRY["x103_media_decode"].build(spark, sf_dir).collect()
-    assert len(rows) == 22
+    assert len(rows) == 26
     hist = {}
     for r in rows:
         hist[r.media_type] = hist.get(r.media_type, 0) + 1
@@ -283,6 +283,7 @@ def test_x103_fixture_exercises_real_decoders_and_degrade_paths(spark, sf_dir):
         "image/x-portable-pixmap": 4,
         "audio/wav": 8,
         "image/bmp": 4,
+        "image/png": 4,
         "unknown": 1,
         "corrupt": 1,
     }
@@ -296,6 +297,10 @@ def test_x103_fixture_exercises_real_decoders_and_degrade_paths(spark, sf_dir):
     assert img.n_channels == 3 and img.mean_q6 > 0 and img.sample_rate == -1
     bmp = by_type["image/bmp"]
     assert bmp.width > 0 and bmp.n_channels in (3, 4) and bmp.peak_i == -1
+    # PNG rows exercise the real zlib-inflate + scanline-walk path
+    png = by_type["image/png"]
+    assert png.width > 0 and png.n_channels in (1, 3) and png.mean_q6 > 0
+    assert {r.n_channels for r in rows if r.media_type == "image/png"} == {1, 3}
     # all three PCM sample widths present (8/16/24-bit peak magnitudes)
     peaks = sorted(r.peak_i for r in rows if r.media_type == "audio/wav")
     assert peaks[0] < 256 and peaks[-1] >= 1 << 16

@@ -734,12 +734,55 @@ def _fixture_bmp(
     ) + body
 
 
+def _fixture_png(w: int, h: int, ch: int, raster: bytes) -> bytes:
+    """Oracle-parseable PNG: 8-bit gray (ch=1) / RGB (ch=3), filter
+    type 0 on every scanline, and the IDAT zlib stream STORED
+    (``zlib.compress(body, 0)``) — a level-0 stream is one or more
+    uncompressed blocks, so for a fixture small enough to fit one
+    block the raw scanlines sit at a fixed offset inside the payload
+    (zlib header 2 B, stored-block header 5 B) and pure byte
+    arithmetic can reach every pixel. The DECODER path exercised is
+    the real one (zlib inflate + scanline walk); only the fixture's
+    byte layout is constrained. Layout is asserted here so a zlib
+    behavior change fails the generator loudly, not the oracle
+    quietly."""
+    import struct
+
+    body = b"".join(
+        b"\x00" + raster[y * w * ch : (y + 1) * w * ch] for y in range(h)
+    )
+    z = zlib.compress(body, 0)
+    if not (
+        z[:2] == b"\x78\x01"
+        and z[2] == 0x01
+        and int.from_bytes(z[3:5], "little") == len(body)
+        and z[7 : 7 + len(body)] == body
+    ):
+        raise AssertionError("level-0 zlib stream is not one stored block")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2}[ch], 0, 0, 0)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", z) + chunk(
+        b"IEND", b""
+    )
+
+
 def media_fixture_payloads() -> list[tuple[int, str]]:
     """Deterministic cross-engine media fixture: tiny netpbm images
     (P5 gray / P6 RGB), uncompressed 24/32-bit BMPs (bottom-up and
     top-down), canonical mono PCM WAV clips at 8/16/24-bit sample
-    widths, one unrecognized payload, and one truncated (corrupt)
-    netpbm, as ``(doc_id, hex)`` rows. Shared by the x103 Spark query
+    widths, stored-deflate filter-0 PNGs (8-bit gray and RGB — the
+    real zlib-inflate + scanline-walk decode path, with raw pixels
+    at oracle-computable offsets; see :func:`_fixture_png`), one
+    unrecognized payload, and one truncated (corrupt) netpbm, as
+    ``(doc_id, hex)`` rows. Shared by the x103 Spark query
     (which decodes the bytes with the REAL :func:`decode_netpbm` /
     :func:`decode_bmp` / :func:`decode_wav` kernels) and its DuckDB
     oracle (which re-parses the SAME hex literals with pure byte
@@ -784,6 +827,12 @@ def media_fixture_payloads() -> list[tuple[int, str]]:
     ):
         pix = bytes((i * 29 + k * 13) % 256 for k in range(w * h * ch))
         rows.append((did, _fixture_bmp(w, h, ch, pix, top_down=td).hex()))
+        did += 1
+    for i, (w, h, ch) in enumerate(
+        [(6, 4, 1), (3, 5, 3), (11, 2, 1), (4, 7, 3)]
+    ):
+        raster = bytes((i * 41 + k * 7) % 256 for k in range(w * h * ch))
+        rows.append((did, _fixture_png(w, h, ch, raster).hex()))
         did += 1
     # degrade path: unrecognized container → 'unknown'; a netpbm whose
     # header promises more raster than the payload carries → 'corrupt'

@@ -4450,16 +4450,19 @@ def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A deterministic fixture of raw media bytes (multimodal.
 # media_fixture_payloads: netpbm P5/P6 images, uncompressed 24/32-bit
 # BMPs in both row orders, canonical mono PCM WAV at 8/16/24-bit
-# sample widths, one unrecognized payload, one truncated image) is
-# shared as hex literals between the two engines. Spark decodes the
-# bytes with the REAL decode_netpbm / decode_bmp / decode_wav kernels
-# inside the media_features mapInPandas pass; DuckDB re-parses the
-# SAME bytes with pure byte arithmetic — netpbm at fixed offsets
-# (single-digit dims make that header always 11 bytes), BMP and WAV
-# by parsing dimensions / bit depth / data offset / sample width out
-# of their little-endian header fields. PNG/TIFF stay property-tested
-# only — PNG needs zlib inflate / scanline unfiltering and TIFF an
-# IFD tag walk, neither expressible in DuckDB SQL.
+# sample widths, stored-deflate filter-0 PNGs in gray and RGB, one
+# unrecognized payload, one truncated image) is shared as hex literals
+# between the two engines. Spark decodes the bytes with the REAL
+# decode_netpbm / decode_bmp / decode_wav / decode_png kernels inside
+# the media_features mapInPandas pass; DuckDB re-parses the SAME bytes
+# with pure byte arithmetic — netpbm at fixed offsets (single-digit
+# dims make that header always 11 bytes), BMP and WAV by parsing
+# dimensions / bit depth / data offset / sample width out of their
+# little-endian header fields, PNG by parsing IHDR big-endian fields
+# and walking the scanlines of the level-0 zlib stream (a stored
+# block is raw bytes at a fixed offset — so the engine's real inflate
+# path IS oracle-gated; compressed-Huffman/filtered PNGs and TIFF's
+# IFD walk remain property-tested only, not SQL-expressible).
 # Floats are quantized to scaled BIGINT (×1e6, round) and NULL
 # not-applicable fields coalesce to -1 on both sides, per the driver's
 # dtype-exact hashing contract.
@@ -4568,6 +4571,36 @@ _MEDIA_ORACLE = f"""
                AS meanv
       FROM bmppix GROUP BY doc_id
     ),
+    -- PNG (stored-deflate, filter-0 fixture layout): IHDR fields are
+    -- big-endian at fixed offsets; the IDAT zlib stream is one stored
+    -- block, so scanlines start at payload offset 48 (sig 8 + IHDR 25
+    -- + IDAT len/type 8 + zlib hdr 2 + stored-block hdr 5) and row y
+    -- carries 1 filter byte (0) + w*ch pixel bytes
+    pngh AS (
+      SELECT doc_id, hx,
+             CAST(length(hx) // 2 AS BIGINT) AS n_bytes,
+             16777216 * {_hxb(16)} + 65536 * {_hxb(17)}
+               + 256 * {_hxb(18)} + {_hxb(19)} AS w,
+             16777216 * {_hxb(20)} + 65536 * {_hxb(21)}
+               + 256 * {_hxb(22)} + {_hxb(23)} AS h,
+             CASE WHEN {_hxb(25)} = 2 THEN 3 ELSE 1 END AS ch
+      FROM payloads
+      WHERE substr(hx, 1, 16) = '89504e470d0a1a0a'
+        AND substr(hx, 2 * 12 + 1, 8) = '49484452'   -- IHDR
+        AND {_hxb(24)} = 8 AND {_hxb(25)} IN (0, 2)
+        AND substr(hx, 2 * 37 + 1, 8) = '49444154'   -- IDAT
+        AND {_hxb(43)} = 1                            -- final stored block
+    ),
+    pngpix AS (
+      SELECT doc_id, hx, w, ch, unnest(range(0, w * h * ch)) AS k
+      FROM pngh
+    ),
+    pngmean AS (
+      SELECT doc_id,
+             AVG({_hxb('48 + (k // (w * ch)) * (1 + w * ch) '
+                       '+ 1 + (k % (w * ch))')}) AS meanv
+      FROM pngpix GROUP BY doc_id
+    ),
     neg AS (SELECT CAST(-1 AS BIGINT) AS na)
     SELECT i.doc_id,
            CASE WHEN i.ch = 3 THEN 'image/x-portable-pixmap'
@@ -4597,6 +4630,12 @@ _MEDIA_ORACLE = f"""
            na, na, na, na, na
     FROM bmpd b JOIN bmpmean m USING (doc_id) CROSS JOIN neg
     UNION ALL
+    SELECT p.doc_id, 'image/png', p.n_bytes,
+           CAST(p.w AS BIGINT), CAST(p.h AS BIGINT), CAST(p.ch AS BIGINT),
+           CAST(ROUND(m.meanv * 1000000) AS BIGINT),
+           na, na, na, na, na
+    FROM pngh p JOIN pngmean m USING (doc_id) CROSS JOIN neg
+    UNION ALL
     SELECT doc_id, 'corrupt', n_bytes, na, na, na, na, na, na, na, na, na
     FROM imgh CROSS JOIN neg WHERE n_bytes < 11 + w * h * ch
     UNION ALL
@@ -4604,6 +4643,7 @@ _MEDIA_ORACLE = f"""
            na, na, na, na, na, na, na, na, na
     FROM payloads CROSS JOIN neg
     WHERE substr(hx, 1, 4) NOT IN ('5035', '5036', '424d')
+      AND substr(hx, 1, 16) != '89504e470d0a1a0a'
       AND NOT (substr(hx, 1, 8) = '52494646'
                AND substr(hx, 17, 8) = '57415645')
 """
@@ -4613,16 +4653,20 @@ _MEDIA_ORACLE = f"""
     "x103_media_decode",
     "REAL media decode oracle-gated end-to-end: hex-literal fixture "
     "payloads decoded by the engine's native netpbm / 24+32-bit BMP / "
-    "8+16+24-bit PCM WAV kernels inside the media_features Arrow "
+    "8+16+24-bit PCM WAV / PNG kernels inside the media_features Arrow "
     "mapInPandas pass vs a DuckDB twin that re-parses the same bytes "
-    "with pure byte arithmetic over the header fields; "
-    "unknown/truncated payloads exercise the degrade-per-row path "
-    "(PNG/TIFF remain property-tested: zlib/IFD are not SQL-expressible)",
+    "with pure byte arithmetic over the header fields. The PNG rows "
+    "use stored-deflate (zlib level 0) filter-0 payloads so the REAL "
+    "inflate + scanline-walk decode runs on Spark while the oracle "
+    "reaches the raw pixels at fixed offsets; compressed-Huffman or "
+    "filtered PNGs and TIFF's IFD walk remain property-tested (not "
+    "SQL-expressible). Unknown/truncated payloads exercise the "
+    "degrade-per-row path",
     _MEDIA_ORACLE,
     tags=("multimodal", "udf", "extension"),
 )
 def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The fixture is a bounded literal list (22 tiny payloads), not
+    # The fixture is a bounded literal list (26 tiny payloads), not
     # data: at corpus scale the payload column comes off parquet and
     # feeds the same media_features pass (x15's plumbing).
     rows = [
