@@ -1515,6 +1515,52 @@ def test_fixture_wav_byte_equals_stdlib_wave(n, seed, width, rate):
     assert M._fixture_wav(rate, samples, width) == buf.getvalue()
 
 
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    seed=st.integers(0, 2**31 - 1),
+    ch=st.sampled_from([1, 3]),
+)
+@settings(max_examples=25, deadline=None)
+def test_fixture_png_roundtrips_through_real_decoder(w, h, seed, ch):
+    """The x103 stored-deflate filter-0 PNG fixture must decode EXACTLY
+    through the real decode_png_raster — same inflate + scanline walk
+    as any other PNG — for any dims/seed, both supported layouts."""
+    import numpy as np
+
+    from twitter_kafka_etl_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    raster = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    payload = M._fixture_png(w, h, ch, raster.tobytes())
+    assert (M.decode_png_raster(payload) == raster).all()
+    d = M.decode_png(payload)
+    assert (d["width"], d["height"], d["n_channels"]) == (w, h, ch)
+
+
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    seed=st.integers(0, 2**31 - 1),
+    ch=st.sampled_from([1, 3, 4]),
+)
+@settings(max_examples=25, deadline=None)
+def test_fixture_tiff_roundtrips_through_real_decoder(w, h, seed, ch):
+    """The x103 single-strip LE TIFF fixture must decode EXACTLY
+    through the real decode_tiff_raster (the generic IFD walk), for
+    any dims/seed and all three channel layouts."""
+    import numpy as np
+
+    from twitter_kafka_etl_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    raster = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    payload = M._fixture_tiff(w, h, ch, raster.tobytes())
+    assert (M.decode_tiff_raster(payload) == raster).all()
+    d = M.decode_tiff(payload)
+    assert (d["width"], d["height"], d["n_channels"]) == (w, h, ch)
+
+
 def _encode_tiff(raster, order="little", n_strips=1):
     """Test-side TIFF writer: uncompressed chunky 8-bit samples, the
     raster split across ``n_strips`` strips, either byte order, all

@@ -774,15 +774,50 @@ def _fixture_png(w: int, h: int, ch: int, raster: bytes) -> bytes:
     )
 
 
+def _fixture_tiff(w: int, h: int, ch: int, raster: bytes) -> bytes:
+    """Oracle-walkable TIFF: little-endian, uncompressed, chunky 8-bit
+    samples in ONE strip, a single IFD of seven ascending LONG-typed
+    entries (ImageWidth, ImageLength, Compression, Photometric,
+    StripOffsets, SamplesPerPixel, StripByteCounts; BitsPerSample
+    omitted — the baseline default 8*spp applies). Every field a
+    consumer needs (entry count, tag/type/count/value records, strip
+    position) is a fixed-width little-endian integer, so a DuckDB
+    query can perform the actual IFD walk with byte arithmetic. The
+    Spark-side decode is the real generic one (:func:`decode_tiff` —
+    both byte orders, multi-strip, SHORT/LONG tags); only this
+    fixture's layout is pinned down."""
+    entries = [
+        (256, w),               # ImageWidth
+        (257, h),               # ImageLength
+        (259, 1),               # Compression: none
+        (262, 1 if ch == 1 else 2),  # Photometric: gray / RGB
+        (273, 0),               # StripOffsets — patched below
+        (277, ch),              # SamplesPerPixel
+        (279, len(raster)),     # StripByteCounts
+    ]
+    data_off = 8 + 2 + 12 * len(entries) + 4
+    entries[4] = (273, data_off)
+    ifd = len(entries).to_bytes(2, "little") + b"".join(
+        tag.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")      # type LONG
+        + (1).to_bytes(4, "little")      # count
+        + val.to_bytes(4, "little")
+        for tag, val in entries
+    ) + b"\x00\x00\x00\x00"              # no next IFD
+    return b"II*\x00" + (8).to_bytes(4, "little") + ifd + raster
+
+
 def media_fixture_payloads() -> list[tuple[int, str]]:
     """Deterministic cross-engine media fixture: tiny netpbm images
     (P5 gray / P6 RGB), uncompressed 24/32-bit BMPs (bottom-up and
     top-down), canonical mono PCM WAV clips at 8/16/24-bit sample
     widths, stored-deflate filter-0 PNGs (8-bit gray and RGB — the
     real zlib-inflate + scanline-walk decode path, with raw pixels
-    at oracle-computable offsets; see :func:`_fixture_png`), one
-    unrecognized payload, and one truncated (corrupt) netpbm, as
-    ``(doc_id, hex)`` rows. Shared by the x103 Spark query
+    at oracle-computable offsets; see :func:`_fixture_png`),
+    single-strip little-endian TIFFs in gray/RGB/RGBA (the real IFD
+    walk, with an IFD a SQL query can itself walk; see
+    :func:`_fixture_tiff`), one unrecognized payload, and one
+    truncated (corrupt) netpbm, as ``(doc_id, hex)`` rows. Shared by the x103 Spark query
     (which decodes the bytes with the REAL :func:`decode_netpbm` /
     :func:`decode_bmp` / :func:`decode_wav` kernels) and its DuckDB
     oracle (which re-parses the SAME hex literals with pure byte
@@ -833,6 +868,10 @@ def media_fixture_payloads() -> list[tuple[int, str]]:
     ):
         raster = bytes((i * 41 + k * 7) % 256 for k in range(w * h * ch))
         rows.append((did, _fixture_png(w, h, ch, raster).hex()))
+        did += 1
+    for i, (w, h, ch) in enumerate([(7, 3, 1), (2, 6, 3), (5, 5, 4)]):
+        raster = bytes((i * 53 + k * 19) % 256 for k in range(w * h * ch))
+        rows.append((did, _fixture_tiff(w, h, ch, raster).hex()))
         did += 1
     # degrade path: unrecognized container → 'unknown'; a netpbm whose
     # header promises more raster than the payload carries → 'corrupt'

@@ -4461,8 +4461,11 @@ def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
 # little-endian header fields, PNG by parsing IHDR big-endian fields
 # and walking the scanlines of the level-0 zlib stream (a stored
 # block is raw bytes at a fixed offset — so the engine's real inflate
-# path IS oracle-gated; compressed-Huffman/filtered PNGs and TIFF's
-# IFD walk remain property-tested only, not SQL-expressible).
+# path IS oracle-gated), and TIFF by actually walking the IFD in SQL
+# (unnest over the fixed-width entry records → width/height/spp/
+# compression/strip offset, then the raw single strip). Compressed-
+# Huffman/filtered PNGs and big-endian/multi-strip TIFFs remain
+# property-tested only.
 # Floats are quantized to scaled BIGINT (×1e6, round) and NULL
 # not-applicable fields coalesce to -1 on both sides, per the driver's
 # dtype-exact hashing contract.
@@ -4601,6 +4604,64 @@ _MEDIA_ORACLE = f"""
                        '+ 1 + (k % (w * ch))')}) AS meanv
       FROM pngpix GROUP BY doc_id
     ),
+    -- TIFF (little-endian fixture): an ACTUAL IFD walk in SQL — the
+    -- entry count and every 12-byte tag record are fixed-width LE
+    -- integers, so unnest(range(n)) + CASE-per-tag recovers width /
+    -- height / samples-per-pixel / compression / strip position, and
+    -- the single uncompressed strip is raw chunky bytes from there
+    tiffh AS (
+      SELECT doc_id, hx,
+             CAST(length(hx) // 2 AS BIGINT) AS n_bytes,
+             {_hxb(4)} + 256 * {_hxb(5)} + 65536 * {_hxb(6)}
+               + 16777216 * {_hxb(7)} AS ifd_off
+      FROM payloads WHERE substr(hx, 1, 8) = '49492a00'
+    ),
+    tiffent AS (
+      SELECT doc_id, hx, n_bytes,
+             ifd_off + 2 + 12 * unnest(range(0,
+               {_hxb('ifd_off')} + 256 * {_hxb('ifd_off + 1')})) AS eoff
+      FROM tiffh
+    ),
+    tiffrec AS (
+      SELECT doc_id, hx, n_bytes, typ, cnt,
+             {_hxb('eoff')} + 256 * {_hxb('eoff + 1')} AS tag,
+             CASE WHEN typ = 3
+                  THEN {_hxb('eoff + 8')} + 256 * {_hxb('eoff + 9')}
+                  ELSE {_hxb('eoff + 8')} + 256 * {_hxb('eoff + 9')}
+                    + 65536 * {_hxb('eoff + 10')}
+                    + 16777216 * {_hxb('eoff + 11')} END AS val
+      FROM (
+        SELECT doc_id, hx, n_bytes, eoff,
+               {_hxb('eoff + 2')} + 256 * {_hxb('eoff + 3')} AS typ,
+               {_hxb('eoff + 4')} + 256 * {_hxb('eoff + 5')}
+                 + 65536 * {_hxb('eoff + 6')}
+                 + 16777216 * {_hxb('eoff + 7')} AS cnt
+        FROM tiffent
+      )
+    ),
+    tifftags AS (
+      SELECT doc_id, hx, n_bytes,
+             MAX(CASE WHEN tag = 256 THEN val END) AS w,
+             MAX(CASE WHEN tag = 257 THEN val END) AS h,
+             COALESCE(MAX(CASE WHEN tag = 277 THEN val END), 1) AS ch,
+             MAX(CASE WHEN tag = 259 THEN val END) AS comp,
+             MAX(CASE WHEN tag = 273 AND cnt = 1 THEN val END) AS strip_off,
+             MAX(CASE WHEN tag = 273 THEN cnt END) AS n_strips
+      FROM tiffrec GROUP BY doc_id, hx, n_bytes
+    ),
+    tiffok AS (
+      SELECT * FROM tifftags
+      WHERE comp = 1 AND n_strips = 1 AND strip_off IS NOT NULL
+        AND w IS NOT NULL AND h IS NOT NULL
+    ),
+    tiffpix AS (
+      SELECT doc_id, hx, strip_off, unnest(range(0, w * h * ch)) AS k
+      FROM tiffok
+    ),
+    tiffmean AS (
+      SELECT doc_id, AVG({_hxb('strip_off + k')}) AS meanv
+      FROM tiffpix GROUP BY doc_id
+    ),
     neg AS (SELECT CAST(-1 AS BIGINT) AS na)
     SELECT i.doc_id,
            CASE WHEN i.ch = 3 THEN 'image/x-portable-pixmap'
@@ -4636,6 +4697,12 @@ _MEDIA_ORACLE = f"""
            na, na, na, na, na
     FROM pngh p JOIN pngmean m USING (doc_id) CROSS JOIN neg
     UNION ALL
+    SELECT t.doc_id, 'image/tiff', t.n_bytes,
+           CAST(t.w AS BIGINT), CAST(t.h AS BIGINT), CAST(t.ch AS BIGINT),
+           CAST(ROUND(m.meanv * 1000000) AS BIGINT),
+           na, na, na, na, na
+    FROM tiffok t JOIN tiffmean m USING (doc_id) CROSS JOIN neg
+    UNION ALL
     SELECT doc_id, 'corrupt', n_bytes, na, na, na, na, na, na, na, na, na
     FROM imgh CROSS JOIN neg WHERE n_bytes < 11 + w * h * ch
     UNION ALL
@@ -4644,6 +4711,7 @@ _MEDIA_ORACLE = f"""
     FROM payloads CROSS JOIN neg
     WHERE substr(hx, 1, 4) NOT IN ('5035', '5036', '424d')
       AND substr(hx, 1, 16) != '89504e470d0a1a0a'
+      AND substr(hx, 1, 8) != '49492a00'
       AND NOT (substr(hx, 1, 8) = '52494646'
                AND substr(hx, 17, 8) = '57415645')
 """
@@ -4653,20 +4721,22 @@ _MEDIA_ORACLE = f"""
     "x103_media_decode",
     "REAL media decode oracle-gated end-to-end: hex-literal fixture "
     "payloads decoded by the engine's native netpbm / 24+32-bit BMP / "
-    "8+16+24-bit PCM WAV / PNG kernels inside the media_features Arrow "
-    "mapInPandas pass vs a DuckDB twin that re-parses the same bytes "
-    "with pure byte arithmetic over the header fields. The PNG rows "
+    "8+16+24-bit PCM WAV / PNG / TIFF kernels inside the "
+    "media_features Arrow mapInPandas pass vs a DuckDB twin that "
+    "re-parses the same bytes with pure byte arithmetic. The PNG rows "
     "use stored-deflate (zlib level 0) filter-0 payloads so the REAL "
     "inflate + scanline-walk decode runs on Spark while the oracle "
-    "reaches the raw pixels at fixed offsets; compressed-Huffman or "
-    "filtered PNGs and TIFF's IFD walk remain property-tested (not "
-    "SQL-expressible). Unknown/truncated payloads exercise the "
+    "reaches the raw pixels at fixed offsets; the TIFF rows are "
+    "single-strip little-endian baseline files whose IFD the oracle "
+    "ACTUALLY walks (unnest over the entry records). Compressed-"
+    "Huffman/filtered PNGs, big-endian or multi-strip TIFFs remain "
+    "property-tested. Unknown/truncated payloads exercise the "
     "degrade-per-row path",
     _MEDIA_ORACLE,
     tags=("multimodal", "udf", "extension"),
 )
 def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The fixture is a bounded literal list (26 tiny payloads), not
+    # The fixture is a bounded literal list (29 tiny payloads), not
     # data: at corpus scale the payload column comes off parquet and
     # feeds the same media_features pass (x15's plumbing).
     rows = [
