@@ -274,7 +274,7 @@ def test_x103_fixture_exercises_real_decoders_and_degrade_paths(spark, sf_dir):
     from twitter_kafka_etl_spark.plans import REGISTRY
 
     rows = REGISTRY["x103_media_decode"].build(spark, sf_dir).collect()
-    assert len(rows) == 29
+    assert len(rows) == 30
     hist = {}
     for r in rows:
         hist[r.media_type] = hist.get(r.media_type, 0) + 1
@@ -283,7 +283,7 @@ def test_x103_fixture_exercises_real_decoders_and_degrade_paths(spark, sf_dir):
         "image/x-portable-pixmap": 4,
         "audio/wav": 8,
         "image/bmp": 4,
-        "image/png": 4,
+        "image/png": 5,
         "image/tiff": 3,
         "unknown": 1,
         "corrupt": 1,
@@ -302,6 +302,9 @@ def test_x103_fixture_exercises_real_decoders_and_degrade_paths(spark, sf_dir):
     png = by_type["image/png"]
     assert png.width > 0 and png.n_channels in (1, 3) and png.mean_q6 > 0
     assert {r.n_channels for r in rows if r.media_type == "image/png"} == {1, 3}
+    # the 16-bit gray row's mean exceeds any 8-bit mean (x1e6 quantized)
+    assert max(r.mean_q6 for r in rows
+               if r.media_type == "image/png") > 256 * 1000000
     # TIFF rows exercise the real IFD walk (gray/RGB/RGBA strips)
     assert {r.n_channels for r in rows
             if r.media_type == "image/tiff"} == {1, 3, 4}

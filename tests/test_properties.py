@@ -1520,19 +1520,25 @@ def test_fixture_wav_byte_equals_stdlib_wave(n, seed, width, rate):
     h=st.integers(1, 9),
     seed=st.integers(0, 2**31 - 1),
     ch=st.sampled_from([1, 3]),
+    depth=st.sampled_from([8, 16]),
 )
 @settings(max_examples=25, deadline=None)
-def test_fixture_png_roundtrips_through_real_decoder(w, h, seed, ch):
+def test_fixture_png_roundtrips_through_real_decoder(w, h, seed, ch, depth):
     """The x103 stored-deflate filter-0 PNG fixture must decode EXACTLY
     through the real decode_png_raster — same inflate + scanline walk
-    as any other PNG — for any dims/seed, both supported layouts."""
+    as any other PNG — for any dims/seed, gray/RGB, 8/16-bit."""
     import numpy as np
 
     from twitter_kafka_etl_spark.operators import multimodal as M
 
     rng = np.random.default_rng(seed)
-    raster = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
-    payload = M._fixture_png(w, h, ch, raster.tobytes())
+    if depth == 8:
+        raster = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        raw = raster.tobytes()
+    else:
+        raster = rng.integers(0, 65536, size=(h, w, ch), dtype=np.uint16)
+        raw = raster.astype(">u2").tobytes()  # PNG 16-bit is big-endian
+    payload = M._fixture_png(w, h, ch, raw, bit_depth=depth)
     assert (M.decode_png_raster(payload) == raster).all()
     d = M.decode_png(payload)
     assert (d["width"], d["height"], d["n_channels"]) == (w, h, ch)

@@ -734,22 +734,27 @@ def _fixture_bmp(
     ) + body
 
 
-def _fixture_png(w: int, h: int, ch: int, raster: bytes) -> bytes:
-    """Oracle-parseable PNG: 8-bit gray (ch=1) / RGB (ch=3), filter
+def _fixture_png(
+    w: int, h: int, ch: int, raster: bytes, bit_depth: int = 8
+) -> bytes:
+    """Oracle-parseable PNG: 8/16-bit gray (ch=1) / RGB (ch=3), filter
     type 0 on every scanline, and the IDAT zlib stream STORED
     (``zlib.compress(body, 0)``) — a level-0 stream is one or more
     uncompressed blocks, so for a fixture small enough to fit one
     block the raw scanlines sit at a fixed offset inside the payload
     (zlib header 2 B, stored-block header 5 B) and pure byte
-    arithmetic can reach every pixel. The DECODER path exercised is
-    the real one (zlib inflate + scanline walk); only the fixture's
-    byte layout is constrained. Layout is asserted here so a zlib
-    behavior change fails the generator loudly, not the oracle
-    quietly."""
+    arithmetic can reach every pixel (16-bit samples are big-endian
+    byte pairs). ``raster`` is the raw sample byte stream (already
+    big-endian for 16-bit). The DECODER path exercised is the real one
+    (zlib inflate + scanline walk); only the fixture's byte layout is
+    constrained. Layout is asserted here so a zlib behavior change
+    fails the generator loudly, not the oracle quietly."""
     import struct
 
+    row_bytes = w * ch * (bit_depth // 8)
     body = b"".join(
-        b"\x00" + raster[y * w * ch : (y + 1) * w * ch] for y in range(h)
+        b"\x00" + raster[y * row_bytes : (y + 1) * row_bytes]
+        for y in range(h)
     )
     z = zlib.compress(body, 0)
     if not (
@@ -768,7 +773,9 @@ def _fixture_png(w: int, h: int, ch: int, raster: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2}[ch], 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, {1: 0, 3: 2}[ch], 0, 0, 0
+    )
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", z) + chunk(
         b"IEND", b""
     )
@@ -869,6 +876,13 @@ def media_fixture_payloads() -> list[tuple[int, str]]:
         raster = bytes((i * 41 + k * 7) % 256 for k in range(w * h * ch))
         rows.append((did, _fixture_png(w, h, ch, raster).hex()))
         did += 1
+    # one 16-bit gray PNG: big-endian sample pairs, same stored layout
+    w16, h16 = 5, 3
+    r16 = b"".join(
+        ((k * 9973) % 65536).to_bytes(2, "big") for k in range(w16 * h16)
+    )
+    rows.append((did, _fixture_png(w16, h16, 1, r16, bit_depth=16).hex()))
+    did += 1
     for i, (w, h, ch) in enumerate([(7, 3, 1), (2, 6, 3), (5, 5, 4)]):
         raster = bytes((i * 53 + k * 19) % 256 for k in range(w * h * ch))
         rows.append((did, _fixture_tiff(w, h, ch, raster).hex()))

@@ -4586,22 +4586,27 @@ _MEDIA_ORACLE = f"""
                + 256 * {_hxb(18)} + {_hxb(19)} AS w,
              16777216 * {_hxb(20)} + 65536 * {_hxb(21)}
                + 256 * {_hxb(22)} + {_hxb(23)} AS h,
+             {_hxb(24)} // 8 AS bps,                  -- sample bytes
              CASE WHEN {_hxb(25)} = 2 THEN 3 ELSE 1 END AS ch
       FROM payloads
       WHERE substr(hx, 1, 16) = '89504e470d0a1a0a'
         AND substr(hx, 2 * 12 + 1, 8) = '49484452'   -- IHDR
-        AND {_hxb(24)} = 8 AND {_hxb(25)} IN (0, 2)
+        AND {_hxb(24)} IN (8, 16) AND {_hxb(25)} IN (0, 2)
         AND substr(hx, 2 * 37 + 1, 8) = '49444154'   -- IDAT
         AND {_hxb(43)} = 1                            -- final stored block
     ),
     pngpix AS (
-      SELECT doc_id, hx, w, ch, unnest(range(0, w * h * ch)) AS k
-      FROM pngh
+      SELECT doc_id, hx, w, ch, bps,
+             48 + (k // (w * ch)) * (1 + w * ch * bps)
+                + 1 + bps * (k % (w * ch)) AS soff
+      FROM (SELECT *, unnest(range(0, w * h * ch)) AS k FROM pngh)
     ),
     pngmean AS (
+      -- 16-bit PNG samples are big-endian pairs; 8-bit is one byte
       SELECT doc_id,
-             AVG({_hxb('48 + (k // (w * ch)) * (1 + w * ch) '
-                       '+ 1 + (k % (w * ch))')}) AS meanv
+             AVG(CASE WHEN bps = 2
+                      THEN 256 * {_hxb('soff')} + {_hxb('soff + 1')}
+                      ELSE {_hxb('soff')} END) AS meanv
       FROM pngpix GROUP BY doc_id
     ),
     -- TIFF (little-endian fixture): an ACTUAL IFD walk in SQL — the
