@@ -206,6 +206,10 @@ def test_pin_lazy_reuses_existing_checkpoint_handle(spark):
     # a derived frame over a pin is NOT itself a pin — it must re-pin
     derived = pinned.select("id")
     assert D._pin_lazy(derived) is not derived
+    # createDataFrame is LogicalRDD-rooted but NOT materialized — it
+    # must still be pinned (the plan-root check alone would skip it)
+    local = spark.createDataFrame([(1, "a"), (2, "b")], "i long, s string")
+    assert D._pin_lazy(local) is not local
 
 
 def test_collapsed_components_edge_free_groups_stay_singletons(spark):

@@ -38,17 +38,23 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 
 def _pin_lazy(df: DataFrame) -> DataFrame:
     """``df.localCheckpoint(eager=False)``, unless ``df`` IS already a
-    lazy-checkpoint handle (analyzed plan root = LogicalRDD) — then the
-    existing pin is reused. Several operators pin a caller-supplied
-    frame so their multi-consumer plans materialize the shared subtree
-    once; a caller that already pinned the same handle (the curation
-    example shares one signature table across operators) would
-    otherwise store the blocks TWICE — once per checkpoint (r9 review
-    finding). Classic Spark only (py4j plan introspection); on any
-    failure it just pins."""
+    checkpoint handle — then the existing pin is reused. Several
+    operators pin a caller-supplied frame so their multi-consumer plans
+    materialize the shared subtree once; a caller that already pinned
+    the same handle (the curation example shares one signature table
+    across operators) would otherwise store the blocks TWICE — once
+    per checkpoint (r9 review finding). "Already pinned" is decided by
+    the wrapped RDD's own checkpoint mark, not merely a LogicalRDD
+    plan root: ``createDataFrame``/RDD-derived frames are LogicalRDD
+    too but are NOT materialized, and skipping their pin would rerun
+    the RDD lineage once per consumer. Classic Spark only (py4j plan
+    introspection); on any failure it just pins."""
     try:
         plan = df._jdf.queryExecution().analyzed()
-        if plan.getClass().getSimpleName() == "LogicalRDD":
+        if (
+            plan.getClass().getSimpleName() == "LogicalRDD"
+            and plan.rdd().isLocallyCheckpointed()
+        ):
             return df
     except Exception:  # noqa: BLE001 — introspection is best-effort
         pass

@@ -430,6 +430,20 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    """One framed PNG chunk: big-endian length, type, data, CRC32 over
+    type+data — shared by :func:`encode_png` and the x103 fixture
+    writer so the framing exists exactly once."""
+    import struct
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
 def encode_png(raster: np.ndarray) -> bytes:
     """Minimal standards-conformant PNG writer for an
     ``(height, width, channels)`` raster (1/2/3/4 channels → gray /
@@ -447,21 +461,12 @@ def encode_png(raster: np.ndarray) -> bytes:
         raster.astype(">u2") if bit_depth == 16 else raster.astype(np.uint8)
     )
     body = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
-
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data))
-        )
-
     ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
     return (
         _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(body))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(body))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -765,19 +770,14 @@ def _fixture_png(
     ):
         raise AssertionError("level-0 zlib stream is not one stored block")
 
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data))
-        )
-
     ihdr = struct.pack(
         ">IIBBBBB", w, h, bit_depth, {1: 0, 3: 2}[ch], 0, 0, 0
     )
-    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", z) + chunk(
-        b"IEND", b""
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", z)
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -824,9 +824,10 @@ def media_fixture_payloads() -> list[tuple[int, str]]:
     single-strip little-endian TIFFs in gray/RGB/RGBA (the real IFD
     walk, with an IFD a SQL query can itself walk; see
     :func:`_fixture_tiff`), one unrecognized payload, and one
-    truncated (corrupt) netpbm, as ``(doc_id, hex)`` rows. Shared by the x103 Spark query
-    (which decodes the bytes with the REAL :func:`decode_netpbm` /
-    :func:`decode_bmp` / :func:`decode_wav` kernels) and its DuckDB
+    truncated (corrupt) netpbm, as ``(doc_id, hex)`` rows. Shared by
+    the x103 Spark query (which decodes the bytes with the REAL
+    :func:`decode_netpbm` / :func:`decode_bmp` / :func:`decode_wav` /
+    :func:`decode_png` / :func:`decode_tiff` kernels) and its DuckDB
     oracle (which re-parses the SAME hex literals with pure byte
     arithmetic) — the two engines meet only at the byte level, so a
     decoder bug cannot cancel out.
@@ -836,9 +837,13 @@ def media_fixture_payloads() -> list[tuple[int, str]]:
     bytes ``P5\\n{w} {h}\\n255\\n``); BMP and WAV headers are already
     fixed-offset little-endian fields (the oracle parses width / height
     / bit depth / data offset / sample width from the header bytes, it
-    does not assume the generator's values). Durations are generated to
-    never land on an exact .5 ms (Python banker-rounds, SQL rounds
-    half-away)."""
+    does not assume the generator's values); PNG rows must keep the
+    stored-deflate filter-0 single-IDAT layout and TIFF rows the
+    single-strip little-endian layout (an out-of-contract payload —
+    e.g. a compressed-IDAT PNG, which Spark decodes fine — matches no
+    oracle arm and surfaces as a row-count diff, never a query abort).
+    Durations are generated to never land on an exact .5 ms (Python
+    banker-rounds, SQL rounds half-away)."""
     rows: list[tuple[int, str]] = []
     did = 0
     for i in range(8):

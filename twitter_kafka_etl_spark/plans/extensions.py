@@ -4466,6 +4466,14 @@ def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compression/strip offset, then the raw single strip). Compressed-
 # Huffman/filtered PNGs and big-endian/multi-strip TIFFs remain
 # property-tested only.
+# Fixture contract: every PNG/TIFF/BMP/WAV payload in the fixture MUST
+# conform to the layout its oracle arm models — an out-of-contract
+# payload (e.g. a compressed-IDAT PNG, which Spark decodes fine) would
+# match no oracle arm and surface as a row-count mismatch. The guards
+# are string-equality/bounds checks, so such a payload degrades to a
+# visible diff, never a query abort. Degrade-path rows (truncated /
+# unrecognized) are modeled only where byte math can decide them (the
+# netpbm truncation and the magic-byte 'unknown' arm).
 # Floats are quantized to scaled BIGINT (×1e6, round) and NULL
 # not-applicable fields coalesce to -1 on both sides, per the driver's
 # dtype-exact hashing contract.
@@ -4589,11 +4597,17 @@ _MEDIA_ORACLE = f"""
              {_hxb(24)} // 8 AS bps,                  -- sample bytes
              CASE WHEN {_hxb(25)} = 2 THEN 3 ELSE 1 END AS ch
       FROM payloads
+      -- string-equality guards ONLY (the arm convention): substr on a
+      -- truncated payload just fails to match, while a byte CAST in a
+      -- WHERE aborts the whole query on '0x' || '' — and the matched
+      -- guards (byte 43 in particular) guarantee the header bytes the
+      -- SELECT casts read all exist
       WHERE substr(hx, 1, 16) = '89504e470d0a1a0a'
-        AND substr(hx, 2 * 12 + 1, 8) = '49484452'   -- IHDR
-        AND {_hxb(24)} IN (8, 16) AND {_hxb(25)} IN (0, 2)
-        AND substr(hx, 2 * 37 + 1, 8) = '49444154'   -- IDAT
-        AND {_hxb(43)} = 1                            -- final stored block
+        AND substr(hx, 2 * 12 + 1, 8) = '49484452'        -- IHDR
+        AND substr(hx, 2 * 24 + 1, 2) IN ('08', '10')     -- 8/16-bit
+        AND substr(hx, 2 * 25 + 1, 2) IN ('00', '02')     -- gray/RGB
+        AND substr(hx, 2 * 37 + 1, 8) = '49444154'        -- IDAT
+        AND substr(hx, 2 * 43 + 1, 2) = '01'   -- final stored block
     ),
     pngpix AS (
       SELECT doc_id, hx, w, ch, bps,
@@ -4619,13 +4633,18 @@ _MEDIA_ORACLE = f"""
              CAST(length(hx) // 2 AS BIGINT) AS n_bytes,
              {_hxb(4)} + 256 * {_hxb(5)} + 65536 * {_hxb(6)}
                + 16777216 * {_hxb(7)} AS ifd_off
-      FROM payloads WHERE substr(hx, 1, 8) = '49492a00'
+      -- length guard: the SELECT casts read bytes 4-7, which a
+      -- signature-only truncation would not carry
+      FROM payloads
+      WHERE substr(hx, 1, 8) = '49492a00' AND length(hx) >= 16
     ),
     tiffent AS (
+      -- bounds-checked walk: a truncated IFD yields fewer (or zero)
+      -- entry offsets instead of an out-of-range byte cast
       SELECT doc_id, hx, n_bytes,
              ifd_off + 2 + 12 * unnest(range(0,
                {_hxb('ifd_off')} + 256 * {_hxb('ifd_off + 1')})) AS eoff
-      FROM tiffh
+      FROM tiffh WHERE ifd_off + 2 <= n_bytes
     ),
     tiffrec AS (
       SELECT doc_id, hx, n_bytes, typ, cnt,
@@ -4641,7 +4660,7 @@ _MEDIA_ORACLE = f"""
                {_hxb('eoff + 4')} + 256 * {_hxb('eoff + 5')}
                  + 65536 * {_hxb('eoff + 6')}
                  + 16777216 * {_hxb('eoff + 7')} AS cnt
-        FROM tiffent
+        FROM tiffent WHERE eoff + 12 <= n_bytes
       )
     ),
     tifftags AS (
@@ -4658,6 +4677,7 @@ _MEDIA_ORACLE = f"""
       SELECT * FROM tifftags
       WHERE comp = 1 AND n_strips = 1 AND strip_off IS NOT NULL
         AND w IS NOT NULL AND h IS NOT NULL
+        AND strip_off + w * h * ch <= n_bytes   -- strip fully present
     ),
     tiffpix AS (
       SELECT doc_id, hx, strip_off, unnest(range(0, w * h * ch)) AS k
@@ -4741,7 +4761,7 @@ _MEDIA_ORACLE = f"""
     tags=("multimodal", "udf", "extension"),
 )
 def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The fixture is a bounded literal list (29 tiny payloads), not
+    # The fixture is a bounded literal list (30 tiny payloads), not
     # data: at corpus scale the payload column comes off parquet and
     # feeds the same media_features pass (x15's plumbing).
     rows = [
