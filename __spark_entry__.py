@@ -74,6 +74,34 @@ _REWRITTEN_IN: dict[str, int] = {
     # expand=False)
     "x73_edit_distance_verify": 9,
     "x102_pair_collapsed_form": 9,
+    # r9 (late): packing_stats' n_seqs/fill_rate redefined to the
+    # stream model — ceil(total/budget) compute units — on BOTH
+    # engines (the distinct-seq-id rule let fill_rate exceed 1 when a
+    # doc outspans the budget); the driver has only hashed the old
+    # semantics
+    "x93_packing_stats": 9,
+    # r9 (late): zero-norm guards on the cosine surface — zero vectors
+    # NaN-ranked first in top-k/pairs/prototype/separation windows —
+    # plus the count-reuse in cosine_pairs' path pick; oracles mirrored
+    "x07_dedup_embedding_cosine": 9,
+    "x08_sim_topk_bruteforce": 9,
+    "x09_sim_ann_lsh": 9,
+    "x16_sim_ivf": 9,
+    "x67_prototype_prune": 9,
+    "x97_embedding_separation": 9,
+    # r9 (late): sketch keys hash through a NULL sentinel on both
+    # engines (md5(NULL) silently dropped NULL keys from builds and
+    # probes); heavy_hitters candidates now pre-filter map-side
+    # against the broadcast cell map (no full-cardinality distinct,
+    # no NULL-dropping semi join) — qs15's serve path shares it
+    "x19_sketch_countmin": 9,
+    "x20_sketch_countmin_estimate": 9,
+    "x26_sketch_hll": 9,
+    "x33_sketch_bloom": 9,
+    "x52_heavy_hitters": 9,
+    "x58_hll_merge": 9,
+    "x61_hll_accuracy": 9,
+    "qs15_stream_heavy_hitters": 9,
 }
 
 

@@ -333,6 +333,49 @@ def test_topk_bruteforce_is_exact(spark, sf_dir):
     assert all(-1.0 <= s <= 1.0 for s in sims)
 
 
+def test_zero_norm_vectors_never_rank_or_pair(spark):
+    """Cosine is undefined for zero-norm vectors, and Spark ranks NaN
+    ABOVE every real double — unguarded, zero vectors won the top-k
+    outright, passed `NaN >= threshold` on the LSH pair path (while
+    the blocked numpy path dropped them — path divergence), NaN-ranked
+    first in prototype windows, and a zero centroid poisoned every
+    label's nearest-neighbor audit (r9 review findings). Zero vectors
+    must never surface; a zero-norm query returns empty."""
+    import math
+
+    dim = 8
+    rows = []
+    for i in range(40):
+        base = [0.0] * dim
+        base[i % dim] = 1.0
+        base[(i + 1) % dim] = 0.5 + (i % 3) * 0.1
+        rows.append((i, base, i % 2))
+    rows += [(100, [0.0] * dim, 0), (101, [0.0] * dim, 1)]  # zero vectors
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    for fn in (S.topk_bruteforce, S.topk_lsh, S.topk_ivf):
+        got = fn(emb, query_id=0, k=5).collect()
+        assert got, fn.__name__
+        assert all(r.vec_id not in (100, 101) for r in got), fn.__name__
+        assert all(not math.isnan(r.cos_sim) for r in got), fn.__name__
+        # a zero-norm query returns empty, not k arbitrary rows
+        assert fn(emb, query_id=100, k=5).collect() == [], fn.__name__
+    for force in (True, False):
+        pairs = S.cosine_pairs(
+            emb, threshold=0.5, use_lsh_prefilter=force
+        ).collect()
+        ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+        assert ids and not ids & {100, 101}, force
+        assert all(not math.isnan(r.cos_sim) for r in pairs), force
+    proto = S.prototype_scores(emb, keep_frac=0.5)
+    kept = {r.vec_id for r in proto.filter(F.col("keep") == 1).collect()}
+    assert kept and not kept & {100, 101}
+    sep = S.embedding_separation(emb).collect()
+    assert sep and all(not math.isnan(r.inter_cos) for r in sep)
+    assert all(not math.isnan(r.margin) for r in sep)
+
+
 def test_lsh_bucket_contains_query_neighbors(spark, sf_dir):
     """ANN results must be a subset of brute-force candidates' score space."""
     emb = read_table(spark, sf_dir, "embeddings")
@@ -1204,6 +1247,38 @@ def test_heavy_hitters_exact_and_prunes(spark):
     assert got == want == {("hot", 50), ("warm", 10)}
 
 
+def test_sketches_count_null_keys(spark):
+    """md5(NULL) is NULL, so an unguarded sketch silently dropped NULL
+    keys from builds AND probes — heavy_hitters then missed a true
+    NULL heavy hitter the naive groupBy+HAVING reports, breaking its
+    bitwise-exact contract (r9 review finding). NULL keys now hash
+    through a 'NULL' sentinel on both engines and count like any key."""
+    from twitter_kafka_etl_spark.operators import sketches as K
+
+    rows = [(None,)] * 40 + [("hot",)] * 30 + [
+        (f"cold{i}",) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k string")
+    got = {(r.k, r.counts) for r in K.heavy_hitters(df, "k", 20).collect()}
+    assert got == {(None, 40), ("hot", 30)}
+    # count-min estimate of the NULL key upper-bounds its true count
+    est = {
+        r.k: r.est_count
+        for r in K.count_min_estimate(
+            K.count_min_build(df, "k"), df.select("k").distinct(), "k"
+        ).collect()
+    }
+    assert est[None] >= 40
+    # bloom: a built NULL member must never be a definite miss
+    probed = {
+        r.k: r.bloom_hit
+        for r in K.bloom_probe(
+            K.bloom_build(df, "k"), df.select("k").distinct(), "k"
+        ).collect()
+    }
+    assert probed[None] is True
+
+
 def test_duplicated_spans_flags_shared_blocks(spark):
     """Two docs sharing an exact 16-token block are flagged; a doc with
     unique blocks is not; short docs emit zeros."""
@@ -1926,15 +2001,37 @@ def test_components_working_set_builds_once_across_consumers(spark, sf_dir):
 def test_packing_stats_fill_rate_exact(spark):
     from twitter_kafka_etl_spark.operators import curation as C
 
-    # start-offset rule: doc2 STARTS at offset 300 (< 512) so both
-    # docs share seq 0 — 600 tokens in one 512 budget, fill > 1 (the
-    # overpacking signal); a doc starting past the boundary opens seq 1
+    # stream model: n_seqs = ceil(total_tokens / budget) per source —
+    # a doc LONGER than the budget still counts every unit it streams
+    # through (the pre-r9 distinct-seq-id rule skipped them and let
+    # fill_rate exceed 1); fill_rate is a true fraction <= 1
     rows = [(1, "t " * 299 + "t", "sA"), (2, "t " * 299 + "t", "sA"),
-            (3, "t " * 511 + "t", "sB"), (4, "t " * 99 + "t", "sB")]
+            (3, "t " * 511 + "t", "sB"), (4, "t " * 99 + "t", "sB"),
+            (5, "t " * 1999 + "t", "sC"), (6, "t " * 99 + "t", "sC")]
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     got = {r.source: r for r in C.packing_stats(df, budget=512).collect()}
-    assert got["sA"].n_seqs == 1 and abs(got["sA"].fill_rate - 600/512) < 1e-6
+    assert got["sA"].n_seqs == 2 and abs(got["sA"].fill_rate - 600/1024) < 1e-6
     assert got["sB"].n_seqs == 2 and abs(got["sB"].fill_rate - 612/1024) < 1e-6
+    # the review scenario: 2000+100 tokens span ceil(2100/512) = 5 units
+    assert got["sC"].n_seqs == 5
+    assert abs(got["sC"].fill_rate - 2100 / (5 * 512)) < 1e-6
+    assert all(r.fill_rate <= 1.0 for r in got.values())
+
+
+def test_chunk_spans_rejects_degenerate_stride(spark):
+    """overlap >= size would silently DROP every long document (NULL
+    chunk count -> explode emits nothing) or emit negative spans —
+    reject loudly instead (r9 review finding)."""
+    from twitter_kafka_etl_spark.operators import curation as C
+
+    df = spark.createDataFrame([(1, 200)], "doc_id long, n_tok long")
+    for size, overlap in [(128, 128), (128, 200), (0, 0), (128, -1)]:
+        with pytest.raises(ValueError, match="overlap"):
+            C.chunk_spans(df, "n_tok", size=size, overlap=overlap)
+    # valid args still chunk: 200 tokens, size 128, overlap 32 -> starts
+    # 0 and 96 cover every token
+    rows = C.chunk_spans(df, "n_tok", size=128, overlap=32).collect()
+    assert [(r.start_tok, r.chunk_tokens) for r in rows] == [(0, 128), (96, 104)]
 
 
 def test_feature_correlation_planted_linear_and_constant(spark):

@@ -22,14 +22,21 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _hash32(salt: str, c: Column) -> Column:
+    """First 8 md5 hex chars of salt||id as a BIGINT in [0, 2^32) — the
+    one salted-hash primitive behind hash_bucket / weighted_sample
+    (single definition so the engine-portability recipe cannot drift
+    between inline copies; r9 review finding)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c)), 1, 8), 16, 10
+    ).cast("bigint")
+
+
 def hash_bucket(id_col: str | Column, salt: str, buckets: int = 100) -> Column:
     """Deterministic bucket in [0, buckets): md5 of salt+id, first 8 hex
     chars, mod buckets. Stable across engines, runs, and partitionings."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8), 16, 10
-    ).cast("bigint")
-    return h % buckets
+    return _hash32(salt, c.cast("string")) % buckets
 
 
 def hash_sample(
@@ -97,7 +104,18 @@ def chunk_spans(
     at 0, size-overlap, 2(size-overlap), … while the start is < T (so
     every token is covered and consecutive chunks share ``overlap``
     tokens). Pure array arithmetic + explode — no shuffle, no Python.
-    Output: (id, chunk_idx, start_tok, chunk_tokens)."""
+    Output: (id, chunk_idx, start_tok, chunk_tokens).
+
+    ``overlap`` must be smaller than ``size``: a zero stride would make
+    the chunk count NULL (non-ANSI division by zero) and explode would
+    then silently DROP every document longer than one window, and a
+    negative stride would emit descending/negative spans — both are
+    caller bugs, rejected loudly (r9 review finding)."""
+    if size <= 0 or overlap < 0 or overlap >= size:
+        raise ValueError(
+            f"chunk_spans needs 0 <= overlap < size; got size={size}, "
+            f"overlap={overlap}"
+        )
     stride = size - overlap
     t = F.col(token_col)
     n_chunks = F.when(t <= size, F.lit(1)).otherwise(
@@ -605,9 +623,7 @@ def weighted_sample(
     LIGHTEST rows certain winners).
     """
     c = F.col(id_col).cast("string")
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), c)), 1, 8), 16, 10
-    ).cast("bigint")
+    h = _hash32(salt, c)
     u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
     key = F.log(u) / F.col(weight_col).cast("double")
     w = Window.partitionBy(group_col).orderBy(
@@ -861,34 +877,43 @@ def packing_stats(
     group_col: str = "source",
 ) -> DataFrame:
     """Per-source packing yield at a given sequence budget: ``(source,
-    n_docs, n_tokens, n_seqs, fill_rate)`` where ``fill_rate`` =
-    tokens / (sequences × budget) — the fraction of the training
-    compute that is real data rather than padding/waste under the
-    ``pack_sequences`` offset rule. The number a batch-shape decision
-    actually optimizes: x49 accounts padding for FIXED buckets, this
-    accounts the packed alternative, and the two together are the
-    bucket-vs-pack tradeoff table.
+    n_docs, n_tokens, n_seqs, fill_rate)`` where ``n_seqs`` is the
+    number of ``budget``-token compute units the source's concatenated
+    token stream spans (``ceil(total_tokens / budget)``, exact integer
+    arithmetic) and ``fill_rate`` = tokens / (n_seqs × budget) — the
+    fraction of the training compute that is real data rather than the
+    final partial block, under the ``pack_sequences`` offset rule
+    (documents stream contiguously; seq ids label where each doc
+    STARTS). The number a batch-shape decision actually optimizes:
+    x49 accounts padding for FIXED buckets, this accounts the packed
+    alternative, and the two together are the bucket-vs-pack tradeoff
+    table.
 
-    One window shuffle on (source, doc order) — identical to
-    ``pack_sequences``, whose seq assignment this re-derives through
-    the same single-site rule — then one partial-agg pass. Output is
-    |sources| rows.
+    Counting DISTINCT seq ids (the pre-r9 rule) undercounts compute:
+    a document longer than the budget skips the intermediate seq
+    labels it streams through, so ``fill_rate`` could exceed 1 — a
+    nonsense "fraction" that inverted the tradeoff comparison (r9
+    review finding). One partial-agg pass, no window shuffle. Output
+    is |sources| rows.
     """
     from twitter_kafka_etl_spark.operators.text import tokenize
 
     t = df.select(
         F.col(group_col),
-        F.col(id_col),
         F.size(tokenize(text_col)).alias("__tok"),
     )
-    packed = pack_sequences(t, "__tok", budget, [group_col], [id_col])
-    return packed.groupBy(group_col).agg(
+    # exact ceil on BIGINTs: (sum + budget-1) div budget — float
+    # division could land a hair under an exact quotient and truncate
+    units = F.expr(f"(sum(__tok) + {budget - 1}) div {budget}")
+    return t.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("__tok").cast("bigint").alias("n_tokens"),
-        F.countDistinct("seq_id").cast("bigint").alias("n_seqs"),
+        units.cast("bigint").alias("n_seqs"),
         F.round(
-            F.sum("__tok")
-            / (F.countDistinct("seq_id") * F.lit(budget)).cast("double"),
+            F.when(
+                F.sum("__tok") > 0,
+                F.sum("__tok") / (units * budget).cast("double"),
+            ).otherwise(F.lit(0.0)),
             6,
         ).alias("fill_rate"),
     )
@@ -1084,22 +1109,16 @@ def bootstrap_source_ci(
         F.col(metric_col).cast("bigint").alias("__x"),
         F.col(id_col).cast("string").alias("__id"),
     ).select(F.col(group_col), "__x", "__id", reps)
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(salt),
-                    F.col("__id"),
-                    F.lit("_"),
-                    F.col("__rep").cast("string"),
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    from twitter_kafka_etl_spark.operators.dedup import token_hash60
+
+    h = token_hash60(
+        F.concat(
+            F.lit(salt),
+            F.col("__id"),
+            F.lit("_"),
+            F.col("__rep").cast("string"),
+        )
+    )
     u = h / F.lit(_HASH60_DEN)
     w = F.lit(5)
     for k in range(len(_POIS1_CDF) - 1, -1, -1):

@@ -1063,11 +1063,23 @@ def _auto_collapse(df: DataFrame, key: Column) -> bool:
     over a semantics-preserving rewrite — output is identical whichever
     path is picked — so the estimate error can never change a result,
     only (rarely, near the 5% duplication threshold) the plan."""
+    return _auto_collapse_n(df, key)[0]
+
+
+def _auto_collapse_n(df: DataFrame, key: Column) -> tuple[bool, int]:
+    """``(_auto_collapse decision, row count)`` — the probe aggregates
+    ``count(1)`` alongside the HLL anyway, so callers that also need
+    the cardinality (cosine_pairs' LSH-vs-blocked path pick) reuse it
+    instead of paying a second full pass (r9 review finding)."""
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct(key, rsd=0.03).alias("nd"),
     ).first()
-    return bool(row and row["nd"] and row["n"] >= COLLAPSE_DUP_FACTOR * row["nd"])
+    n = int(row["n"]) if row else 0
+    return (
+        bool(row and row["nd"] and n >= COLLAPSE_DUP_FACTOR * row["nd"]),
+        n,
+    )
 
 
 def ngram_jaccard_pairs(

@@ -122,13 +122,22 @@ def topk_bruteforce(
     The one-row query side is broadcast; ordering uses the 6-dp-rounded
     similarity with the id as tie-break, so results are stable under any
     float summation regime. Output: (vec_id, cos_sim) — k rows.
+
+    Zero-norm vectors are excluded on both sides: cosine is undefined
+    there (0/0 = NaN, and Spark ranks NaN ABOVE every real similarity,
+    so unguarded zero vectors would win the top-k outright — r9 review
+    finding); a zero-norm query returns an empty result.
     """
     q = df.filter(F.col(id_col) == query_id).select(
         as_double(vec_col).alias("qvec")
-    )
+    ).filter(dot(F.col("qvec"), F.col("qvec")) > 0)
     scored = df.join(F.broadcast(q)).select(
         F.col(id_col),
-        F.round(cosine(as_double(vec_col), F.col("qvec")), 6).alias("cos_sim"),
+        as_double(vec_col).alias("__v"),
+        F.col("qvec"),
+    ).filter(dot(F.col("__v"), F.col("__v")) > 0).select(
+        F.col(id_col),
+        F.round(cosine(F.col("__v"), F.col("qvec")), 6).alias("cos_sim"),
     )
     return (
         scored.filter(F.col(id_col) != query_id)
@@ -167,12 +176,19 @@ def topk_lsh(
     the query's (sum C(b,r) buckets), trading a linear candidate
     increase for recall without rebuilding anything. The candidate set
     grows monotonically with the radius, so recall@k vs brute force is
-    nondecreasing in ``probe_radius`` (asserted in tests)."""
+    nondecreasing in ``probe_radius`` (asserted in tests).
+
+    Zero-norm guard: same rule as :func:`topk_bruteforce` — zero
+    vectors (which all hash to bucket 0 in every table and would
+    NaN-rank first) never score, and a zero-norm query returns empty."""
     planes = planes or hyperplanes()
     assigned = lsh_assign(df, vec_col, planes)
     masks = _probe_masks(len(planes), probe_radius)
     q = assigned.filter(F.col(id_col) == query_id).select(
         as_double(vec_col).alias("qvec"),
+        F.col("bucket"),
+    ).filter(dot(F.col("qvec"), F.col("qvec")) > 0).select(
+        "qvec",
         F.explode(
             F.array(*[F.col("bucket").bitwiseXOR(m) for m in masks])
         ).alias("qbucket"),
@@ -182,7 +198,13 @@ def topk_lsh(
         .filter(F.col(id_col) != query_id)
         .select(
             F.col(id_col),
-            F.round(cosine(as_double(vec_col), F.col("qvec")), 6).alias("cos_sim"),
+            as_double(vec_col).alias("__v"),
+            F.col("qvec"),
+        )
+        .filter(dot(F.col("__v"), F.col("__v")) > 0)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col("__v"), F.col("qvec")), 6).alias("cos_sim"),
         )
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
@@ -243,15 +265,24 @@ def ivf_assign(
     A pure-JVM fold over all n×C pairs scored 10× slower at sf1 and
     O(n²/61) at fixed mod; this path is O(n·√n) BLAS FLOPs + O(n)
     JVM folds, and every tie-break is decided by the same exact
-    arithmetic the oracle uses."""
+    arithmetic the oracle uses.
+
+    Zero-norm vectors have no angle to any centroid — unassignable —
+    and under Spark's default ANSI mode the cosine's 0/0 is a hard
+    DIVIDE_BY_ZERO error, so they are excluded here at the source
+    (likewise zero centroids from the quantizer); consumers' own
+    zero-norm guards (topk_ivf, semantic_dedup, prototype_scores)
+    already drop them from outputs (r9 review finding)."""
     if centroid_mod is None:
         centroid_mod = centroid_mod_for(df.count())
     cents = df.filter(F.pmod(F.col(id_col), F.lit(centroid_mod)) == 0).select(
         F.col(id_col).alias("cent_id"),
         as_double(vec_col).alias("cvec"),
         norm(as_double(vec_col)).alias("cnorm"),
+    ).filter(F.col("cnorm") > 0)
+    vecs = df.select(F.col(id_col), as_double(vec_col).alias("v")).filter(
+        dot(F.col("v"), F.col("v")) > 0
     )
-    vecs = df.select(F.col(id_col), as_double(vec_col).alias("v"))
 
     import numpy as np
 
@@ -318,16 +349,21 @@ def topk_ivf(
     adapt to the data distribution where LSH buckets are data-oblivious.
     ``nprobe`` is the recall dial: cells are scanned in decreasing
     query-centroid similarity, so the candidate set (and recall@k vs
-    brute force) grows monotonically with it."""
+    brute force) grows monotonically with it.
+
+    Zero-norm guard: same rule as :func:`topk_bruteforce` — zero
+    corpus vectors and zero coarse centroids never rank (cosine is
+    undefined, NaN would sort first), a zero-norm query returns
+    empty."""
     if centroid_mod is None:
         centroid_mod = centroid_mod_for(df.count())
     assigned = ivf_assign(df, vec_col, id_col, centroid_mod)
     qvec = df.filter(F.col(id_col) == query_id).select(
         as_double(vec_col).alias("qvec")
-    )
+    ).filter(dot(F.col("qvec"), F.col("qvec")) > 0)
     cents = df.filter(F.pmod(F.col(id_col), F.lit(centroid_mod)) == 0).select(
         F.col(id_col).alias("cent_id"), as_double(vec_col).alias("cvec")
-    )
+    ).filter(dot(F.col("cvec"), F.col("cvec")) > 0)
     probe_cells = (
         cents.join(F.broadcast(qvec))
         .select("cent_id", cosine(F.col("cvec"), F.col("qvec")).alias("qc_sim"))
@@ -339,6 +375,7 @@ def topk_ivf(
         assigned.join(F.broadcast(probe_cells), "cent_id")
         .join(F.broadcast(qvec))
         .filter(F.col(id_col) != query_id)
+        .filter(dot(F.col("v"), F.col("v")) > 0)
         .select(
             F.col(id_col),
             F.round(cosine(F.col("v"), F.col("qvec")), 6).alias("cos_sim"),
@@ -488,11 +525,23 @@ def cosine_pairs(
         double-precision fold — bitwise-identical to DuckDB's
         ``list_dot_product`` oracle, so numpy's pairwise-summation
         drift can never change an emitted value.
-    """
-    if collapse_exact is None:
-        from twitter_kafka_etl_spark.operators.dedup import _auto_collapse
 
-        collapse_exact = _auto_collapse(df, _vec_fp(vec_col))
+    Zero-norm vectors are excluded up front: cosine is undefined there,
+    and the two candidate paths disagreed on them — numpy's
+    ``NaN >= margin`` is False (blocked path drops the pair) while
+    Spark's ``NaN >= threshold`` is TRUE (the LSH path emitted
+    ``cos_sim = NaN`` rows, since zero vectors collide in bucket 0 of
+    every table) — breaking the documented path-equivalence contract
+    (r9 review finding).
+    """
+    df = df.filter(
+        dot(as_double(vec_col), as_double(vec_col)) > 0
+    )
+    n_rows = None
+    if collapse_exact is None:
+        from twitter_kafka_etl_spark.operators.dedup import _auto_collapse_n
+
+        collapse_exact, n_rows = _auto_collapse_n(df, _vec_fp(vec_col))
     if collapse_exact:
         return _cosine_pairs_collapsed(
             df, threshold, vec_col, id_col, use_lsh_prefilter, planes,
@@ -505,9 +554,11 @@ def cosine_pairs(
         F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb")
     )
     if use_lsh_prefilter is None:
-        # parquet-backed counts are row-group metadata reads: deciding
-        # the plan costs one cheap job, not a data scan
-        use_lsh_prefilter = df.count() > lsh_auto_rows
+        # the collapse probe already counted the (filtered) corpus —
+        # reuse it; only an explicit collapse_exact pays a count job
+        if n_rows is None:
+            n_rows = df.count()
+        use_lsh_prefilter = n_rows > lsh_auto_rows
     if use_lsh_prefilter:
         vecs = df.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_v"))
         tables = None
@@ -834,8 +885,17 @@ def prototype_scores(
     with ``semantic_dedup`` via ``_assigned_shared``: the mean pass
     and the scoring pass both read the one cached copy the x66+x67
     pair builds.
+
+    Zero-norm vectors are excluded (cosine to the mean is undefined —
+    unguarded they'd NaN-rank FIRST and be kept in every cluster,
+    displacing genuinely prototypical rows; r9 review finding), as is
+    any cell whose mean degenerates to the zero vector (all its
+    members' scores would be undefined). x92's ``n_zero`` counts what
+    this drops.
     """
-    assigned = _assigned_shared(df, vec_col, id_col, centroid_mod)
+    assigned = _assigned_shared(df, vec_col, id_col, centroid_mod).filter(
+        dot(F.col("v"), F.col("v")) > 0
+    )
     means = (
         assigned.select("cent_id", F.posexplode("v").alias("pos", "val"))
         .groupBy("cent_id", "pos")
@@ -853,6 +913,7 @@ def prototype_scores(
         .select(
             "cent_id", F.transform("pm", lambda x: x["m"]).alias("cvec")
         )
+        .filter(dot(F.col("cvec"), F.col("cvec")) > 0)
     )
     scored = assigned.join(F.broadcast(means), "cent_id").select(
         F.col(id_col),
@@ -966,8 +1027,12 @@ def embedding_separation(
     discipline), quantized to scaled BIGINT before the per-label mean so
     the sum is exact-integer in any partition order; the nearest-other
     choice orders by (rounded cosine DESC, label) — no float tie-break.
-    Zero-norm vectors are excluded from cohesion (cosine undefined —
-    x92 counts them).
+    Zero-norm vectors are excluded from cohesion, and a label whose
+    CENTROID degenerates to the zero vector is excluded entirely
+    (cosine against it is undefined; unguarded, its NaN inter_cos
+    would rank first in EVERY label's nearest-neighbor window and
+    poison the whole audit — r9 review finding; x92 counts the zero
+    members).
 
     Plan shape: one posexplode partial-agg shuffle for the centroids
     (output labels × dims — broadcast-sized at any corpus scale), a
@@ -985,6 +1050,7 @@ def embedding_separation(
         .select(
             label_col, F.transform("pm", lambda x: x["centroid"]).alias("cvec")
         )
+        .filter(dot(F.col("cvec"), F.col("cvec")) > 0)
     )
     vd = as_double(F.col(vec_col))
     base = df.select(F.col(label_col), vd.alias("__v")).filter(

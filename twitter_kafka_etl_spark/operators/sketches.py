@@ -34,6 +34,18 @@ CM_DEPTH = 4
 CM_SEED = 7
 
 
+def _key_str(col: str) -> Column:
+    """Sentinel-coalesced string rendering of a sketch key: NULL keys
+    hash as the literal ``'NULL'`` (the ams_f2_sketch convention)
+    instead of vanishing — ``md5(NULL)`` is NULL, which silently
+    dropped NULL keys from every build and probe (a count-min/bloom/
+    HLL miss, and a heavy_hitters false negative that broke its
+    bitwise-exact contract; r9 review finding). The sentinel conflates
+    a NULL key with the literal string ``'NULL'`` — deterministic,
+    documented, and mirrored in the DuckDB twins."""
+    return F.coalesce(F.col(col).cast("string"), F.lit("NULL"))
+
+
 def _cells(h: Column, width: int, depth: int, seed: int) -> list[Column]:
     return [
         ((F.lit(a) * h + F.lit(b)) % MERSENNE) % width
@@ -54,7 +66,7 @@ def count_min_build(
     ``depth`` (depth, cell) coordinates via one array explode; the
     groupBy partial-aggregates map-side. Output rows <= depth × width
     regardless of input size."""
-    h = token_hash(F.col(col).cast("string"))
+    h = token_hash(_key_str(col))
     coords = F.explode(
         F.array(
             *[
@@ -93,7 +105,7 @@ def count_min_estimate(
     """Frequency estimate per item: min over depths of the item's cell
     counts. ``items`` joins the (tiny, <= depth×width rows) sketch via
     broadcast — no scan of the original data."""
-    h = token_hash(F.col(col).cast("string"))
+    h = token_hash(_key_str(col))
     coords = F.explode(
         F.array(
             *[
@@ -147,7 +159,7 @@ def hll_build(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     one shuffle, max folds map-side; <= m rows per group at any scale.
     Registers MERGE by cell-wise max (hll_merge), so per-partition
     sketches roll up without rescanning raw data."""
-    h = token_hash(F.col(value_col).cast("string"))
+    h = token_hash(_key_str(value_col))
     return (
         df.select(
             F.col(group_col),
@@ -237,7 +249,7 @@ def bloom_build(
     explode; the groupBy ORs words map-side. Output <= m/32 rows no
     matter the input size — the whole point of a membership sketch at
     100 TB: ship the bitmap, not the key set."""
-    h = token_hash(F.col(col).cast("string"))
+    h = token_hash(_key_str(col))
     coords = F.explode(
         F.array(
             *[
@@ -272,7 +284,7 @@ def bloom_probe(
     bits are set. The <= m/32-row sketch broadcasts; probing never scans
     the build data. One-sided error only: misses are definite, hits may
     be false positives at the classic (1 - e^{-kn/m})^k rate."""
-    h = token_hash(F.col(col).cast("string"))
+    h = token_hash(_key_str(col))
     coords = F.explode(
         F.array(
             *[
@@ -356,29 +368,79 @@ def heavy_hitters(
 
     1. count-min over the column (O(width × depth) state, map-side
        partial agg — no per-key shuffle);
-    2. candidate keys = distinct keys whose SKETCH estimate clears the
-       threshold. Count-min never underestimates, so no true heavy
-       hitter is pruned (no false negatives); collisions only ADD
-       spurious candidates, bounded by the sketch error n/width;
-    3. exact counts for the (small) candidate set only — the groupBy
-       shuffles just the rows that semi-join a broadcast candidate
-       list, and the final filter removes the false positives.
+    2. every ROW computes its key's sketch estimate map-side against
+       the broadcast cell map and rows below the threshold are
+       filtered before any exchange. Count-min never underestimates,
+       so no true heavy hitter is pruned (no false negatives);
+       collisions only ADD spurious candidates, bounded by the sketch
+       error n/width;
+    3. exact counts over the surviving (candidate-key) rows only — the
+       sole shuffle in the plan — and the final filter removes the
+       false positives. NULL keys count like any other key (sentinel
+       hashing + groupBy's NULL group), matching the naive form.
 
     The result is bitwise EXACT (identical to the naive full groupBy +
     HAVING), which is what makes the approximate machinery safely
     substitutable at scale.
     """
     sketch = count_min_build(df, col, width, depth, seed)
-    keys = df.select(col).distinct()
-    cands = (
-        count_min_estimate(sketch, keys, col, width, depth, seed)
-        .filter(F.col("est_count") >= threshold)
-        .select(col)
+    return heavy_hitters_from_sketch(
+        df, sketch, col, threshold, width, depth, seed
     )
-    exact = (
-        df.join(F.broadcast(cands), col, "left_semi")
+
+
+def heavy_hitters_from_sketch(
+    df: DataFrame,
+    sketch: DataFrame,
+    col: str,
+    threshold: int,
+    width: int = CM_WIDTH,
+    depth: int = CM_DEPTH,
+    seed: int = CM_SEED,
+) -> DataFrame:
+    """Step 2+3 of :func:`heavy_hitters` against an externally built
+    (possibly merged) sketch — the streaming serve path (qs15).
+
+    The candidate pass is MAP-SIDE: the <= width×depth sketch cells
+    collect into a literal map (same bounded-collect justification as
+    the IVF centroid matrix), each row computes its own min-over-depths
+    estimate as a pure JVM expression, and rows below the threshold are
+    filtered BEFORE any exchange — so the only shuffle is the exact
+    groupBy over candidate-key rows. The r9-review predecessor derived
+    candidates from ``df.select(col).distinct()``, which was itself the
+    full-cardinality shuffle the sketch exists to avoid; it also
+    semi-joined on the raw key, silently dropping a NULL heavy hitter
+    (NULL never equi-joins). The estimate is a pure function of the
+    key, so every occurrence of a candidate key survives the filter and
+    the groupBy counts are exact — bitwise the naive groupBy+HAVING."""
+    cells = {
+        f"{r['depth']}:{r['cell']}": int(r["counts"])
+        for r in sketch.collect()
+    }
+    if not cells:
+        return (
+            df.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("counts"))
+            .filter(F.lit(False))
+        )
+    cell_map = F.create_map(
+        *[x for kv in cells.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    h = token_hash(_key_str(col))
+    ests = [
+        F.coalesce(
+            F.element_at(
+                cell_map,
+                F.concat_ws(":", F.lit(str(d)), c.cast("string")),
+            ),
+            F.lit(0),
+        )
+        for d, c in enumerate(_cells(h, width, depth, seed))
+    ]
+    est = ests[0] if len(ests) == 1 else F.least(*ests)
+    return (
+        df.filter(est >= threshold)
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("counts"))
         .filter(F.col("counts") >= threshold)
     )
-    return exact

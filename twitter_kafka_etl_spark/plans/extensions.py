@@ -235,7 +235,9 @@ _COS_SQL = (
     "x07_dedup_embedding_cosine",
     "embedding near-dup pairs: exact cosine >= 0.35 over id-ordered join",
     f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           -- zero-norm guard: cosine undefined, same rule as the engine
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            {_COS_SQL.format(v='a.v', q='b.v')} AS cos_sim
     FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -251,7 +253,9 @@ def x07(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x08_sim_topk_bruteforce",
     "exact cosine top-10 neighbors of vec_id=0 (brute-force baseline)",
     f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           -- zero-norm guard: cosine undefined, same rule as the engine
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
     q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
     SELECT vec_id, {_COS_SQL.format(v='v', q='qv')} AS cos_sim
     FROM e, q WHERE vec_id <> 0
@@ -278,7 +282,9 @@ _BUCKET_SQL = " + ".join(
     "ANN top-5 via sign-random-projection LSH: score only the query's "
     "bucket (the 100 TB scale path; brute-force is the recall baseline)",
     f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           -- zero-norm guard: cosine undefined, same rule as the engine
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
     assigned AS (
       SELECT vec_id, v, ({_BUCKET_SQL.format(v='v')}) AS bucket FROM e
     ),
@@ -457,7 +463,9 @@ def x15(spark: SparkSession, sf_dir: str) -> DataFrame:
     "above 61² rows), nearest-centroid assignment, exact cosine rerank "
     "inside the query's cell (nprobe=1)",
     f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           -- zero-norm guard: cosine undefined, same rule as the engine
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
     -- centroid stride mirrors similarity.centroid_mod_for: max(61, isqrt(n))
     cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e
               WHERE vec_id % (SELECT GREATEST({S.CENTROID_MOD},
@@ -576,7 +584,7 @@ def _cm_coords_sql(hash_expr: str) -> str:
 
 _CM_BUILD_SQL = f"""
     WITH h AS (
-      SELECT {_HASH_SQL.format(col='CAST(user_id AS VARCHAR)')} AS hv
+      SELECT {_HASH_SQL.format(col="COALESCE(CAST(user_id AS VARCHAR), 'NULL')")} AS hv
       FROM events
     ),
     coords AS (
@@ -614,7 +622,7 @@ _cm_probe_branches = "\n      UNION ALL\n      ".join(
     "the raw data; estimates upper-bound the true counts",
     f"""
     WITH h AS (
-      SELECT {_HASH_SQL.format(col='event_type')} AS hv FROM events
+      SELECT {_HASH_SQL.format(col="COALESCE(event_type, 'NULL')")} AS hv FROM events
     ),
     coords AS (
       {_cm_coords_sql('hv').format(src='h')}
@@ -625,7 +633,7 @@ _cm_probe_branches = "\n      UNION ALL\n      ".join(
     ),
     items AS (
       SELECT DISTINCT event_type,
-             {_HASH_SQL.format(col='event_type')} AS ih
+             {_HASH_SQL.format(col="COALESCE(event_type, 'NULL')")} AS ih
       FROM events
     ),
     probes AS (
@@ -807,7 +815,7 @@ def x25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x26 — deterministic HyperLogLog distinct-count sketch
 # ---------------------------------------------------------------------------
 
-_HLL_HASH = _HASH_SQL.format(col="CAST(user_id AS VARCHAR)")
+_HLL_HASH = _HASH_SQL.format(col="COALESCE(CAST(user_id AS VARCHAR), 'NULL')")
 _HLL_RHO = "CASE " + " ".join(
     f"WHEN v >= {1 << (K.HLL_W - 1 - i)} THEN {i + 1}" for i in range(K.HLL_W)
 ) + f" ELSE {K.HLL_W + 1} END"
@@ -1190,7 +1198,7 @@ def _bloom_coords_sql(table: str, hcol: str, carry: str = "") -> str:
     "misses definite, hits may be false positives)",
     f"""
     WITH bh AS (
-      SELECT {_HASH_SQL.format(col='CAST(o_custkey AS VARCHAR)')} AS h
+      SELECT {_HASH_SQL.format(col="COALESCE(CAST(o_custkey AS VARCHAR), 'NULL')")} AS h
       FROM orders WHERE o_orderdate < {_BLOOM_CUT}
     ),
     coords AS (
@@ -1199,7 +1207,7 @@ def _bloom_coords_sql(table: str, hcol: str, carry: str = "") -> str:
     sketch AS (SELECT word, bit_or(v) AS bits FROM coords GROUP BY word),
     items AS (
       SELECT c_custkey AS custkey,
-             {_HASH_SQL.format(col='CAST(c_custkey AS VARCHAR)')} AS h
+             {_HASH_SQL.format(col="COALESCE(CAST(c_custkey AS VARCHAR), 'NULL')")} AS h
       FROM customer
     ),
     probes AS (
@@ -2808,11 +2816,15 @@ def x66(spark: SparkSession, sf_dir: str) -> DataFrame:
     "at any corpus scale",
     f"""
     WITH {_IVF_ASSIGN_CTE.format(mod=S.CENTROID_MOD)},
+    -- zero-norm guard, same rule as the engine: members with no cosine
+    -- are excluded from the mean AND the ranking, and a cell whose
+    -- mean degenerates to the zero vector drops entirely
+    nz AS (SELECT * FROM assign WHERE list_dot_product(v, v) > 0),
     comp AS (
       SELECT cent_id,
              unnest(list_transform(range(1, len(v) + 1),
                     i -> {{'p': i, 'v': v[i]}})) AS s
-      FROM assign
+      FROM nz
     ),
     m AS (
       SELECT cent_id, s.p - 1 AS pos,
@@ -2820,11 +2832,13 @@ def x66(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / COUNT(*), 6) AS m
       FROM comp GROUP BY 1, 2
     ),
-    cv AS (SELECT cent_id, list(m ORDER BY pos) AS cvec FROM m GROUP BY 1),
+    cv AS (SELECT cent_id, list(m ORDER BY pos) AS cvec FROM m GROUP BY 1
+           HAVING list_dot_product(list(m ORDER BY pos),
+                                   list(m ORDER BY pos)) > 0),
     scored AS (
       SELECT a.vec_id, a.cent_id AS cluster_id,
              {_COS_SQL.format(v='a.v', q='cv.cvec')} AS proto_cos
-      FROM assign a JOIN cv ON a.cent_id = cv.cent_id
+      FROM nz a JOIN cv ON a.cent_id = cv.cent_id
     ),
     ranked AS (
       SELECT vec_id, cluster_id, proto_cos,
@@ -3857,31 +3871,28 @@ def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @_register(
     "x93_packing_stats",
-    "per-source packing yield at a 512-token budget: sequences, tokens "
-    "and fill_rate = tokens/(seqs*budget) under the pack_sequences "
+    "per-source packing yield at a 512-token budget: n_seqs = budget "
+    "units the concatenated token stream spans (exact integer ceil) "
+    "and fill_rate = tokens/(n_seqs*budget) under the pack_sequences "
     "offset rule — the compute-utilization half of the bucket-vs-pack "
-    "batch-shape decision (x49 accounts the fixed-bucket half); one "
-    "window shuffle + one partial agg",
+    "batch-shape decision (x49 accounts the fixed-bucket half). "
+    "Counting distinct seq ids undercounted compute when a document "
+    "spans multiple budget units (fill_rate > 1, r9 review finding); "
+    "one partial agg, no window",
     """
     WITH t AS (
-      SELECT source, doc_id, len(string_split(text, ' ')) AS tok
+      SELECT source, len(string_split(text, ' ')) AS tok
       FROM documents
-    ),
-    c AS (
-      SELECT source, tok,
-             COALESCE(SUM(tok) OVER (
-               PARTITION BY source ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-      FROM t
-    ),
-    p AS (SELECT source, tok, CAST(cb // 512 AS BIGINT) AS seq FROM c)
+    )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(tok) AS BIGINT) AS n_tokens,
-           CAST(COUNT(DISTINCT seq) AS BIGINT) AS n_seqs,
-           round(SUM(tok) / CAST(COUNT(DISTINCT seq) * 512 AS DOUBLE), 6)
-             AS fill_rate
-    FROM p GROUP BY source
+           CAST((SUM(tok) + 511) // 512 AS BIGINT) AS n_seqs,
+           round(CASE WHEN SUM(tok) > 0
+                      THEN SUM(tok)
+                           / CAST(((SUM(tok) + 511) // 512) * 512 AS DOUBLE)
+                      ELSE 0.0 END, 6) AS fill_rate
+    FROM t GROUP BY source
     """,
     tags=("curation", "extension"),
 )
@@ -4046,7 +4057,13 @@ _CENT_COS = (
                    / COUNT(*), 6) AS m
       FROM comp GROUP BY 1, 2
     ),
-    cv AS (SELECT label, list(m ORDER BY pos) AS cvec FROM m GROUP BY 1),
+    -- zero-norm centroid guard, same rule as the engine: a label whose
+    -- centroid degenerates to the zero vector has no defined cosine to
+    -- anything and is excluded entirely (its NaN inter_cos would
+    -- otherwise NaN-rank first in every label's nearest window)
+    cv AS (SELECT label, list(m ORDER BY pos) AS cvec FROM m GROUP BY 1
+           HAVING list_dot_product(list(m ORDER BY pos),
+                                   list(m ORDER BY pos)) > 0),
     coh AS (
       SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n_scored,
              SUM(CAST(round(list_dot_product(e.v, cv.cvec)

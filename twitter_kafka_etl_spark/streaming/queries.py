@@ -1653,26 +1653,18 @@ def _register_qs15() -> None:
             stream, [fold], checkpoint=os.path.join(work, "ckpt")
         )
         q.awaitTermination()
-        # serve time: merge = cell-wise sum (CM additivity), candidates
-        # from the merged sketch, exact confirm against the landed raw
+        # serve time: merge = cell-wise sum (CM additivity), then the
+        # map-side candidate filter + exact confirm against the landed
+        # raw layer (heavy_hitters_from_sketch: rows pre-filter against
+        # the broadcast cell map, so only candidate-key rows shuffle —
+        # no full-cardinality distinct, no NULL-dropping semi join)
         merged = (
             spark.read.parquet(cells)
             .groupBy("depth", "cell")
             .agg(F.sum("counts").alias("counts"))
         )
         landed = spark.read.parquet(raw)
-        keys = landed.select("user_id").distinct()
-        cands = (
-            K.count_min_estimate(merged, keys, "user_id")
-            .filter(F.col("est_count") >= _HH_T)
-            .select("user_id")
-        )
-        return (
-            landed.join(F.broadcast(cands), "user_id", "left_semi")
-            .groupBy("user_id")
-            .agg(F.count(F.lit(1)).alias("counts"))
-            .filter(F.col("counts") >= _HH_T)
-        )
+        return K.heavy_hitters_from_sketch(landed, merged, "user_id", _HH_T)
 
 
 _register_qs15()
