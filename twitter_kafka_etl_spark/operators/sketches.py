@@ -413,28 +413,23 @@ def heavy_hitters_from_sketch(
     (NULL never equi-joins). The estimate is a pure function of the
     key, so every occurrence of a candidate key survives the filter and
     the groupBy counts are exact — bitwise the naive groupBy+HAVING."""
-    cells = {
-        f"{r['depth']}:{r['cell']}": int(r["counts"])
-        for r in sketch.collect()
-    }
-    if not cells:
+    rows = sketch.collect()
+    if not rows:
         return (
             df.groupBy(col)
             .agg(F.count(F.lit(1)).alias("counts"))
             .filter(F.lit(False))
         )
-    cell_map = F.create_map(
-        *[x for kv in cells.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
-    )
+    # flat depth-major array literal: element_at by INDEX is O(1) per
+    # probe (a literal map would linear-scan its width*depth entries
+    # for every row — measured ~2x on x52)
+    flat = [0] * (width * depth)
+    for r in rows:
+        flat[int(r["depth"]) * width + int(r["cell"])] = int(r["counts"])
+    arr = F.array(*[F.lit(v) for v in flat])
     h = token_hash(_key_str(col))
     ests = [
-        F.coalesce(
-            F.element_at(
-                cell_map,
-                F.concat_ws(":", F.lit(str(d)), c.cast("string")),
-            ),
-            F.lit(0),
-        )
+        F.element_at(arr, (c + F.lit(d * width + 1)).cast("int"))
         for d, c in enumerate(_cells(h, width, depth, seed))
     ]
     est = ests[0] if len(ests) == 1 else F.least(*ests)
