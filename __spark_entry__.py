@@ -41,10 +41,11 @@ def entry(spark: SparkSession) -> DataFrame:
 _REWRITTEN_IN: dict[str, int] = {
     "x98_dedup_method_agreement": 7,  # collapse-on-md5 rewrite (r7)
     # r7 bloom pre-probe + exact confirm; r8 side-file-before-append
-    # ordering + footer-walk short-circuit
-    "qs14_stream_novelty": 8,
-    # r8: bloom side-file now written before the index/corpus appends
-    "qs12_stream_incremental_dedup": 8,
+    # ordering; r9 NULL-sentinel rewrite of the embedded bloom_build
+    # subtree (r9 advisor finding — the sentinel change landed after
+    # their r8 driver checks)
+    "qs14_stream_novelty": 9,
+    "qs12_stream_incremental_dedup": 9,
     # r8 collapsed-pair-form refactor (expand=False) restructured the
     # shared internals of the four pair families after their last
     # driver checks (r6/r6/r6/r5); r9 adds the expand/collapse_exact
@@ -86,8 +87,7 @@ _REWRITTEN_IN: dict[str, int] = {
     "x07_dedup_embedding_cosine": 9,
     "x08_sim_topk_bruteforce": 9,
     "x09_sim_ann_lsh": 9,
-    "x16_sim_ivf": 9,
-    "x67_prototype_prune": 9,
+    # (x16/x67's r9 entries superseded by their r10 ones below)
     "x97_embedding_separation": 9,
     # r9 (late): sketch keys hash through a NULL sentinel on both
     # engines (md5(NULL) silently dropped NULL keys from builds and
@@ -98,10 +98,26 @@ _REWRITTEN_IN: dict[str, int] = {
     "x20_sketch_countmin_estimate": 9,
     "x26_sketch_hll": 9,
     "x33_sketch_bloom": 9,
-    "x52_heavy_hitters": 9,
+    # (x52's r9 entry superseded by its r10 one below)
     "x58_hll_merge": 9,
     "x61_hll_accuracy": 9,
-    "qs15_stream_heavy_hitters": 9,
+    # (qs15's r9 entry superseded by its r10 one below)
+    # r10: IVF centroid stride now computed from the zero-norm-FILTERED
+    # count on the engine side, and the shared x66/x67 oracle CTE
+    # filters zero-norm rows at the source (r9 advisor medium+low) —
+    # every query embedding the ivf_assign quantizer must re-hash.
+    # x66 also covers the r9 advisor note that it embeds the r9
+    # zero-norm ivf_assign rewrite but missed the r9 window.
+    "x16_sim_ivf": 10,
+    "x66_semantic_dedup": 10,
+    "x67_prototype_prune": 10,
+    # r10: heavy_hitters_from_sketch validates sketch rows against the
+    # passed width/depth before populating the flat array (loud error
+    # instead of silent mis-slotting; plan-neutral for in-registry
+    # callers, but internals changed post-check — same convention as
+    # the r9 x73/x102 entries)
+    "x52_heavy_hitters": 10,
+    "qs15_stream_heavy_hitters": 10,
 }
 
 

@@ -376,6 +376,54 @@ def test_zero_norm_vectors_never_rank_or_pair(spark):
     assert all(not math.isnan(r.margin) for r in sep)
 
 
+def test_ivf_stride_basis_is_zero_norm_filtered_count(spark):
+    """The adaptive centroid stride must be sized from the zero-norm-
+    FILTERED count, matching the oracle's COUNT(*) over the filtered
+    ``e`` CTE (r9 advisor finding). 3968 nonzero rows + 1 zero vector
+    straddle the 63² boundary: the filtered basis gives stride
+    max(61, isqrt(3968)) = 62, the raw basis isqrt(3969) = 63 — a
+    different centroid set and different assignments."""
+    df = spark.range(3969).select(
+        F.col("id").alias("vec_id"),
+        F.when(
+            F.col("id") == 3968, F.array(F.lit(0.0), F.lit(0.0))
+        ).otherwise(
+            F.array(F.cos(F.col("id") * 0.01), F.sin(F.col("id") * 0.01))
+        ).alias("embedding"),
+    )
+    assert S.centroid_mod_for(3968) == 62 and S.centroid_mod_for(3969) == 63
+    auto = S.ivf_assign(df)
+    cents = {r.cent_id for r in auto.select("cent_id").distinct().collect()}
+    assert cents and all(c % 62 == 0 for c in cents)
+    assert any(c % 63 != 0 for c in cents)  # not the raw-count stride
+    pinned = S.ivf_assign(df, centroid_mod=62)
+    key = lambda r: (r.vec_id, r.cent_id)  # noqa: E731
+    got = sorted(auto.select("vec_id", "cent_id").collect(), key=key)
+    want = sorted(pinned.select("vec_id", "cent_id").collect(), key=key)
+    assert got == want
+    assert all(r.vec_id != 3968 for r in got)  # zero vector unassignable
+
+
+def test_heavy_hitters_sketch_param_mismatch_raises(spark):
+    """A sketch built with different width/depth than the probe must
+    fail loudly — a smaller-width sketch would otherwise silently land
+    counts in wrong slots (r9 advisor finding)."""
+    from twitter_kafka_etl_spark.operators import sketches as K
+
+    df = spark.createDataFrame([(i % 5,) for i in range(50)], ["user_id"])
+    sk = K.count_min_build(df, "user_id", width=64, depth=4)
+    with pytest.raises(ValueError, match="different parameters"):
+        K.heavy_hitters_from_sketch(df, sk, "user_id", 5, width=32, depth=4)
+    # matching params still serve: bitwise the naive groupBy + HAVING
+    got = {
+        r.user_id: r.counts
+        for r in K.heavy_hitters_from_sketch(
+            df, sk, "user_id", 10, width=64, depth=4
+        ).collect()
+    }
+    assert got == {k: 10 for k in range(5)}
+
+
 def test_lsh_bucket_contains_query_neighbors(spark, sf_dir):
     """ANN results must be a subset of brute-force candidates' score space."""
     emb = read_table(spark, sf_dir, "embeddings")

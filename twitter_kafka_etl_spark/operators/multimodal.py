@@ -610,9 +610,11 @@ def media_features(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
     """REAL multimodal feature extraction in one Arrow-batched
-    mapInPandas pass: netpbm + 8-bit PNG images and PCM WAV audio decode
-    natively (dimensions / mean pixel value; rate / duration / peak /
-    RMS); payloads none of those can parse emit byte-level features
+    mapInPandas pass: netpbm, 8/16-bit PNG (incl. palette), 24/32-bit
+    BMP (both row orders), baseline TIFF (both byte orders), and PCM
+    WAV (8/16/24-bit) decode natively (dimensions / mean pixel value;
+    rate / duration / peak / RMS); payloads none of those can parse
+    emit byte-level features
     under media_type 'unknown' — a 100 TB pass must degrade per-row,
     never die on one corrupt file. Output is metadata-only; the payload
     never crosses a shuffle."""

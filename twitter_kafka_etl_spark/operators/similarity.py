@@ -273,16 +273,21 @@ def ivf_assign(
     (likewise zero centroids from the quantizer); consumers' own
     zero-norm guards (topk_ivf, semantic_dedup, prototype_scores)
     already drop them from outputs (r9 review finding)."""
+    vecs = df.select(F.col(id_col), as_double(vec_col).alias("v")).filter(
+        dot(F.col("v"), F.col("v")) > 0
+    )
     if centroid_mod is None:
-        centroid_mod = centroid_mod_for(df.count())
+        # stride basis is the zero-norm-FILTERED count: the oracles size
+        # the centroid set from the filtered `e` CTE, and a stride
+        # computed over raw rows would pick a different centroid set the
+        # moment a zero vector pushes n past the floor² boundary
+        # (r9 advisor finding)
+        centroid_mod = centroid_mod_for(vecs.count())
     cents = df.filter(F.pmod(F.col(id_col), F.lit(centroid_mod)) == 0).select(
         F.col(id_col).alias("cent_id"),
         as_double(vec_col).alias("cvec"),
         norm(as_double(vec_col)).alias("cnorm"),
     ).filter(F.col("cnorm") > 0)
-    vecs = df.select(F.col(id_col), as_double(vec_col).alias("v")).filter(
-        dot(F.col("v"), F.col("v")) > 0
-    )
 
     import numpy as np
 
@@ -356,7 +361,14 @@ def topk_ivf(
     undefined, NaN would sort first), a zero-norm query returns
     empty."""
     if centroid_mod is None:
-        centroid_mod = centroid_mod_for(df.count())
+        # same filtered-count stride basis as ivf_assign (the two must
+        # agree on the centroid set, and both must agree with the
+        # oracle's zero-norm-filtered COUNT(*))
+        centroid_mod = centroid_mod_for(
+            df.filter(
+                dot(as_double(vec_col), as_double(vec_col)) > 0
+            ).count()
+        )
     assigned = ivf_assign(df, vec_col, id_col, centroid_mod)
     qvec = df.filter(F.col(id_col) == query_id).select(
         as_double(vec_col).alias("qvec")

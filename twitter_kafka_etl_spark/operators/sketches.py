@@ -425,7 +425,18 @@ def heavy_hitters_from_sketch(
     # for every row — measured ~2x on x52)
     flat = [0] * (width * depth)
     for r in rows:
-        flat[int(r["depth"]) * width + int(r["cell"])] = int(r["counts"])
+        cell, depth_i = int(r["cell"]), int(r["depth"])
+        # a sketch built with other params must fail LOUDLY: a larger
+        # width/depth would raise a bare IndexError below, but a SMALLER
+        # one would silently land counts in wrong slots and serve bogus
+        # estimates (r9 advisor finding)
+        if not (0 <= cell < width and 0 <= depth_i < depth):
+            raise ValueError(
+                f"sketch cell (depth={depth_i}, cell={cell}) out of range "
+                f"for width={width}, depth={depth} — the sketch was built "
+                "with different parameters than this probe"
+            )
+        flat[depth_i * width + cell] = int(r["counts"])
     arr = F.array(*[F.lit(v) for v in flat])
     h = token_hash(_key_str(col))
     ests = [

@@ -2757,8 +2757,14 @@ def x65(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: IVF coarse-assignment CTEs shared by the cluster-then-score family —
 #: the same deterministic quantizer the x16 oracle embeds (stride
 #: max(61, isqrt(n)); nearest centroid by exact cosine, ties to the
-#: lowest cent_id).
-_IVF_ASSIGN_CTE = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+#: lowest cent_id). Zero-norm rows are filtered at the source exactly
+#: as the engine's ivf_assign does (r9 advisor finding): they can be
+#: neither members (no angle to any centroid) nor centroids (a
+#: zero-norm vector at a stride id would reroute every assignment),
+#: and the stride COUNT(*) is therefore the filtered count on both
+#: engines.
+_IVF_ASSIGN_CTE = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
     cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e
               WHERE vec_id % (SELECT GREATEST({{mod}},
                        CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM e) = 0),
