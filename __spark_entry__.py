@@ -35,9 +35,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # Queries whose Spark plan was rewritten in the named round AFTER their
 # last driver verification: the driver has never hashed the new plan, so
 # they jump the rotation queue until a driver check at-or-after the
-# rewrite round lands. Maintained by hand (one line per rewrite) — the
-# rest of the ordering is derived from the CORRECTNESS_r0*.json history
-# so a bookkeeping slip can no longer starve a query of re-verification.
+# rewrite round lands. Historical entries (≤ r9) are per-query, as
+# maintained by hand at the time; from r10 on, rewrites are declared at
+# the operator level in _REWRITTEN_OPS below and expanded to consumers
+# mechanically — see _effective_rewritten().
 _REWRITTEN_IN: dict[str, int] = {
     "x98_dedup_method_agreement": 7,  # collapse-on-md5 rewrite (r7)
     # r7 bloom pre-probe + exact confirm; r8 side-file-before-append
@@ -101,24 +102,43 @@ _REWRITTEN_IN: dict[str, int] = {
     # (x52's r9 entry superseded by its r10 one below)
     "x58_hll_merge": 9,
     "x61_hll_accuracy": 9,
-    # (qs15's r9 entry superseded by its r10 one below)
-    # r10: IVF centroid stride now computed from the zero-norm-FILTERED
-    # count on the engine side, and the shared x66/x67 oracle CTE
-    # filters zero-norm rows at the source (r9 advisor medium+low) —
-    # every query embedding the ivf_assign quantizer must re-hash.
-    # x66 also covers the r9 advisor note that it embeds the r9
-    # zero-norm ivf_assign rewrite but missed the r9 window.
-    "x16_sim_ivf": 10,
-    "x66_semantic_dedup": 10,
-    "x67_prototype_prune": 10,
-    # r10: heavy_hitters_from_sketch validates sketch rows against the
-    # passed width/depth before populating the flat array (loud error
-    # instead of silent mis-slotting; plan-neutral for in-registry
-    # callers, but internals changed post-check — same convention as
-    # the r9 x73/x102 entries)
-    "x52_heavy_hitters": 10,
-    "qs15_stream_heavy_hitters": 10,
+    # (qs15's r9 entry superseded by the r10 _REWRITTEN_OPS expansion)
 }
+
+# Rewrites declared at the OPERATOR level, expanded to the registered
+# consumers mechanically by the package reference graph
+# (twitter_kafka_etl_spark/plans/impact.py) — replaces the hand scan
+# for "every registered consumer that EMBEDS the touched subtree"
+# that r9's review had to derive manually (r9 verdict finding #2; the
+# advisor caught the x66 it missed). Targets may be engine functions
+# OR module-level oracle constants (shared SQL CTEs are graph nodes
+# too). A typo'd target raises loudly at expansion time and the unit
+# tests exercise the expansion, so a bookkeeping slip can no longer
+# silently starve a consumer of re-verification.
+_REWRITTEN_OPS: dict[str, int] = {
+    # r10: IVF centroid stride now computed from the zero-norm-FILTERED
+    # count on the engine side (r9 advisor medium) → x16/x66/x67
+    "operators.similarity.ivf_assign": 10,
+    "operators.similarity.topk_ivf": 10,
+    # r10: the shared x66/x67 oracle CTE filters zero-norm rows at the
+    # source to match (r9 advisor low) → x66/x67
+    "plans.extensions._IVF_ASSIGN_CTE": 10,
+    # r10: heavy_hitters_from_sketch validates sketch rows against the
+    # passed width/depth (loud error instead of silent mis-slotting;
+    # internals changed post-check) → x52/qs15
+    "operators.sketches.heavy_hitters_from_sketch": 10,
+}
+
+
+def _effective_rewritten() -> dict[str, int]:
+    """Manual per-query entries ∪ the mechanical expansion of
+    ``_REWRITTEN_OPS`` (max round wins on overlap)."""
+    from twitter_kafka_etl_spark.plans.impact import rewritten_queries
+
+    out = dict(_REWRITTEN_IN)
+    for name, rnd in rewritten_queries(_REWRITTEN_OPS).items():
+        out[name] = max(out.get(name, 0), rnd)
+    return out
 
 
 def _latest_green(history_dir: str | None = None) -> dict[str, int]:
@@ -188,7 +208,7 @@ def _rotation_order(
 
 
 def _ordered() -> list[str]:
-    return _rotation_order(REGISTRY, _latest_green())
+    return _rotation_order(REGISTRY, _latest_green(), _effective_rewritten())
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

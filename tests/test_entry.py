@@ -119,7 +119,7 @@ def test_live_window_fronts_oldest_debt():
     stale rewrites first, then latest-green ascending."""
     names = list(entry_mod.queries())
     latest = entry_mod._latest_green()
-    rewritten = entry_mod._REWRITTEN_IN
+    rewritten = entry_mod._effective_rewritten()
     stale = {n for n in names
              if rewritten.get(n, 0) > latest.get(n, 0)}
     k = len(stale)
@@ -132,6 +132,53 @@ def test_live_window_fronts_oldest_debt():
         assert max(latest.get(n, 0) for n in window[k:]) <= min(
             latest.get(n, 0) for n in tail
         )
+
+
+def test_impact_scan_fronts_every_consumer_of_a_rewrite():
+    """Planting a synthetic rewrite marker on one dedup function must
+    front EVERY registry query that transitively embeds it — the
+    mechanical replacement for the r9 hand scan (r9 verdict #2)."""
+    import pytest
+
+    from twitter_kafka_etl_spark.plans import impact
+
+    target = "operators.dedup.minhash_lsh_pairs"
+    consumers = impact.consumers_of(target)
+    # the r9 review's hand-derived embedding list, as committed in the
+    # r9-era _REWRITTEN_IN — the scan must find at least all of those
+    assert {
+        "x03_dedup_minhash_lsh_pairs", "x25_dedup_components",
+        "x46_dedup_jaccard_estimate", "x59_lsh_eval",
+        "x60_nearest_duplicate", "x63_pair_graph_degree",
+        "x65_split_leakage", "x91_cross_source_leakage",
+        "x99_dedup_source_yield", "x73_edit_distance_verify",
+        "x102_pair_collapsed_form",
+    } <= consumers
+    names = list(entry_mod.queries())
+    latest = entry_mod._latest_green()
+    marked = entry_mod.sys.maxsize  # newer than any real round
+    order = entry_mod._rotation_order(
+        names, latest, impact.rewritten_queries({target: marked})
+    )
+    assert set(order[: len(consumers)]) == consumers
+    # a typo'd target fails LOUDLY instead of silently unfronting
+    with pytest.raises(ValueError, match="matches no definition"):
+        impact.consumers_of("operators.dedup.no_such_function")
+
+
+def test_rewritten_ops_expansion_is_the_r10_hand_list():
+    """The r10 operator-level declarations expand to exactly the
+    consumer set a hand scan derives: ivf_assign/topk_ivf + the shared
+    oracle CTE → x16/x66/x67, heavy_hitters_from_sketch → x52/qs15.
+    Function-LOCAL imports must be resolved (qs15 imports sketches
+    inside its builder) and oracle CTE constants must be graph nodes."""
+    expanded = {
+        n for n, r in entry_mod._effective_rewritten().items() if r == 10
+    }
+    assert expanded == {
+        "x16_sim_ivf", "x66_semantic_dedup", "x67_prototype_prune",
+        "x52_heavy_hitters", "qs15_stream_heavy_hitters",
+    }
 
 
 def test_end_to_end_example(spark, sf_dir, tmp_path):
