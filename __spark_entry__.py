@@ -127,6 +127,11 @@ _REWRITTEN_OPS: dict[str, int] = {
     # passed width/depth (loud error instead of silent mis-slotting;
     # internals changed post-check) → x52/qs15
     "operators.sketches.heavy_hitters_from_sketch": 10,
+    # r10: x103 fixture grew Sub/Up-filtered PNG payloads and the
+    # oracle PNG arm became filter-aware (prefix-sum reconstruction) —
+    # the driver has hashed neither the 34-row fixture nor the new
+    # oracle → x103
+    "operators.multimodal.media_fixture_payloads": 10,
 }
 
 

@@ -178,6 +178,7 @@ def test_rewritten_ops_expansion_is_the_r10_hand_list():
     assert expanded == {
         "x16_sim_ivf", "x66_semantic_dedup", "x67_prototype_prune",
         "x52_heavy_hitters", "qs15_stream_heavy_hitters",
+        "x103_media_decode",
     }
 
 

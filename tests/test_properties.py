@@ -1548,6 +1548,35 @@ def test_fixture_png_roundtrips_through_real_decoder(w, h, seed, ch, depth):
     w=st.integers(1, 9),
     h=st.integers(1, 9),
     seed=st.integers(0, 2**31 - 1),
+    ch=st.sampled_from([1, 3]),
+    ftype=st.sampled_from([1, 2]),
+)
+@settings(max_examples=25, deadline=None)
+def test_fixture_png_sub_up_roundtrips_through_real_decoder(
+    w, h, seed, ch, ftype
+):
+    """The Sub/Up-filtered x103 fixture arms must decode EXACTLY
+    through the real decode path — forward filtering in the generator
+    inverted by the real _unfilter_scanline types 1/2 — and the
+    payload must really carry the claimed filter type on every
+    scanline (offset 48 + y*(1+w*ch) under the stored-deflate
+    layout)."""
+    import numpy as np
+
+    from twitter_kafka_etl_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    raster = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    payload = M._fixture_png(w, h, ch, raster.tobytes(), filter_type=ftype)
+    for y in range(h):
+        assert payload[48 + y * (1 + w * ch)] == ftype
+    assert (M.decode_png_raster(payload) == raster).all()
+
+
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    seed=st.integers(0, 2**31 - 1),
     ch=st.sampled_from([1, 3, 4]),
 )
 @settings(max_examples=25, deadline=None)

@@ -742,27 +742,55 @@ def _fixture_bmp(
 
 
 def _fixture_png(
-    w: int, h: int, ch: int, raster: bytes, bit_depth: int = 8
+    w: int,
+    h: int,
+    ch: int,
+    raster: bytes,
+    bit_depth: int = 8,
+    filter_type: int = 0,
 ) -> bytes:
-    """Oracle-parseable PNG: 8/16-bit gray (ch=1) / RGB (ch=3), filter
-    type 0 on every scanline, and the IDAT zlib stream STORED
+    """Oracle-parseable PNG: 8/16-bit gray (ch=1) / RGB (ch=3), ONE
+    uniform filter type on every scanline (0=None, or — 8-bit only —
+    1=Sub / 2=Up, forward-filtered here from the reconstructed
+    ``raster``), and the IDAT zlib stream STORED
     (``zlib.compress(body, 0)``) — a level-0 stream is one or more
     uncompressed blocks, so for a fixture small enough to fit one
     block the raw scanlines sit at a fixed offset inside the payload
     (zlib header 2 B, stored-block header 5 B) and pure byte
-    arithmetic can reach every pixel (16-bit samples are big-endian
-    byte pairs). ``raster`` is the raw sample byte stream (already
-    big-endian for 16-bit). The DECODER path exercised is the real one
-    (zlib inflate + scanline walk); only the fixture's byte layout is
+    arithmetic can reach every FILTERED byte (16-bit samples are
+    big-endian byte pairs); Sub/Up reconstruction is then a modular
+    prefix sum the oracle expresses as a SQL window. ``raster`` is the
+    raw RECONSTRUCTED sample byte stream (already big-endian for
+    16-bit). The DECODER path exercised is the real one (zlib inflate
+    + scanline unfilter); only the fixture's byte layout is
     constrained. Layout is asserted here so a zlib behavior change
     fails the generator loudly, not the oracle quietly."""
     import struct
 
+    if filter_type not in (0, 1, 2):
+        raise ValueError("fixture supports filter types 0/1/2 only")
+    if filter_type and bit_depth != 8:
+        raise ValueError("Sub/Up fixture arms are 8-bit only")
     row_bytes = w * ch * (bit_depth // 8)
-    body = b"".join(
-        b"\x00" + raster[y * row_bytes : (y + 1) * row_bytes]
-        for y in range(h)
-    )
+    bpp = ch * (bit_depth // 8)
+    lines: list[bytes] = []
+    prev = bytes(row_bytes)
+    for y in range(h):
+        recon = raster[y * row_bytes : (y + 1) * row_bytes]
+        if filter_type == 1:  # Sub: raw[x] = recon[x] - recon[x-bpp]
+            filt = bytes(
+                (recon[i] - (recon[i - bpp] if i >= bpp else 0)) % 256
+                for i in range(row_bytes)
+            )
+        elif filter_type == 2:  # Up: raw[x] = recon[x] - prior_recon[x]
+            filt = bytes(
+                (recon[i] - prev[i]) % 256 for i in range(row_bytes)
+            )
+        else:
+            filt = recon
+        lines.append(bytes([filter_type]) + filt)
+        prev = recon
+    body = b"".join(lines)
     z = zlib.compress(body, 0)
     if not (
         z[:2] == b"\x78\x01"
@@ -820,9 +848,10 @@ def media_fixture_payloads() -> list[tuple[int, str]]:
     """Deterministic cross-engine media fixture: tiny netpbm images
     (P5 gray / P6 RGB), uncompressed 24/32-bit BMPs (bottom-up and
     top-down), canonical mono PCM WAV clips at 8/16/24-bit sample
-    widths, stored-deflate filter-0 PNGs (8-bit gray and RGB — the
-    real zlib-inflate + scanline-walk decode path, with raw pixels
-    at oracle-computable offsets; see :func:`_fixture_png`),
+    widths, stored-deflate PNGs (8/16-bit gray and RGB at filter 0,
+    plus 8-bit Sub- and Up-filtered rows — the real zlib-inflate +
+    scanline-unfilter decode path, with filtered bytes at
+    oracle-computable offsets; see :func:`_fixture_png`),
     single-strip little-endian TIFFs in gray/RGB/RGBA (the real IFD
     walk, with an IFD a SQL query can itself walk; see
     :func:`_fixture_tiff`), one unrecognized payload, and one
@@ -840,7 +869,9 @@ def media_fixture_payloads() -> list[tuple[int, str]]:
     fixed-offset little-endian fields (the oracle parses width / height
     / bit depth / data offset / sample width from the header bytes, it
     does not assume the generator's values); PNG rows must keep the
-    stored-deflate filter-0 single-IDAT layout and TIFF rows the
+    stored-deflate single-IDAT layout with ONE uniform filter type in
+    0/1/2 per image (the oracle detects it per image and picks
+    the fixed-offset or prefix-sum arm) and TIFF rows the
     single-strip little-endian layout (an out-of-contract payload —
     e.g. a compressed-IDAT PNG, which Spark decodes fine — matches no
     oracle arm and surfaces as a row-count diff, never a query abort).
@@ -890,6 +921,21 @@ def media_fixture_payloads() -> list[tuple[int, str]]:
     )
     rows.append((did, _fixture_png(w16, h16, 1, r16, bit_depth=16).hex()))
     did += 1
+    # Sub- and Up-filtered PNGs (8-bit gray and RGB): the REAL
+    # _unfilter_scanline types 1/2 under the oracle gate — their
+    # reconstruction is a modular prefix sum, which the SQL twin
+    # expresses as a window (per-lane within the row for Sub, down the
+    # byte column for Up). Average/Paeth stay property-tested: their
+    # left-PIXEL recurrence mixes both axes and is not expressible as
+    # a SQL window over the filtered bytes.
+    for i, (w, h, ch, ft) in enumerate(
+        [(5, 4, 1, 1), (3, 4, 3, 1), (6, 3, 1, 2), (4, 5, 3, 2)]
+    ):
+        raster = bytes((i * 61 + k * 23) % 256 for k in range(w * h * ch))
+        rows.append(
+            (did, _fixture_png(w, h, ch, raster, filter_type=ft).hex())
+        )
+        did += 1
     for i, (w, h, ch) in enumerate([(7, 3, 1), (2, 6, 3), (5, 5, 4)]):
         raster = bytes((i * 53 + k * 19) % 256 for k in range(w * h * ch))
         rows.append((did, _fixture_tiff(w, h, ch, raster).hex()))

@@ -4473,7 +4473,8 @@ def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A deterministic fixture of raw media bytes (multimodal.
 # media_fixture_payloads: netpbm P5/P6 images, uncompressed 24/32-bit
 # BMPs in both row orders, canonical mono PCM WAV at 8/16/24-bit
-# sample widths, stored-deflate filter-0 PNGs in gray and RGB, one
+# sample widths, stored-deflate PNGs in gray and RGB — filter 0 plus
+# 8-bit Sub/Up-filtered rows — one
 # unrecognized payload, one truncated image) is shared as hex literals
 # between the two engines. Spark decodes the bytes with the REAL
 # decode_netpbm / decode_bmp / decode_wav / decode_png kernels inside
@@ -4484,11 +4485,14 @@ def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
 # little-endian header fields, PNG by parsing IHDR big-endian fields
 # and walking the scanlines of the level-0 zlib stream (a stored
 # block is raw bytes at a fixed offset — so the engine's real inflate
-# path IS oracle-gated), and TIFF by actually walking the IFD in SQL
+# path IS oracle-gated; Sub/Up-filtered scanlines reconstruct as
+# modular prefix-sum WINDOWS over those bytes, gating the real
+# unfilter kernel for types 1/2), and TIFF by actually walking the IFD in SQL
 # (unnest over the fixed-width entry records → width/height/spp/
 # compression/strip offset, then the raw single strip). Compressed-
-# Huffman/filtered PNGs and big-endian/multi-strip TIFFs remain
-# property-tested only.
+# Huffman and Average/Paeth-filtered PNGs (the left-PIXEL recurrence
+# mixes both axes — not a SQL window over the filtered bytes) and
+# big-endian/multi-strip TIFFs remain property-tested only.
 # Fixture contract: every PNG/TIFF/BMP/WAV payload in the fixture MUST
 # conform to the layout its oracle arm models — an out-of-contract
 # payload (e.g. a compressed-IDAT PNG, which Spark decodes fine) would
@@ -4632,19 +4636,70 @@ _MEDIA_ORACLE = f"""
         AND substr(hx, 2 * 37 + 1, 8) = '49444154'        -- IDAT
         AND substr(hx, 2 * 43 + 1, 2) = '01'   -- final stored block
     ),
+    -- per-image filter discipline: the fixture contract is ONE uniform
+    -- filter type per image, detected from the per-scanline filter
+    -- bytes; a mixed-filter or Average/Paeth payload matches no arm
+    -- and surfaces as a visible row diff
+    pngflt AS (
+      SELECT doc_id, MIN(fb) AS fmin, MAX(fb) AS fmax
+      FROM (SELECT doc_id,
+                   {_hxb('48 + y * (1 + w * ch * bps)')} AS fb
+            FROM (SELECT *, unnest(range(0, h)) AS y FROM pngh))
+      GROUP BY doc_id
+    ),
+    pnguni AS (
+      SELECT doc_id, fmin AS fu FROM pngflt
+      WHERE fmin = fmax AND fmin IN (0, 1, 2)
+    ),
+    png0 AS (
+      SELECT p.* FROM pngh p JOIN pnguni u USING (doc_id) WHERE u.fu = 0
+    ),
     pngpix AS (
       SELECT doc_id, hx, w, ch, bps,
              48 + (k // (w * ch)) * (1 + w * ch * bps)
                 + 1 + bps * (k % (w * ch)) AS soff
-      FROM (SELECT *, unnest(range(0, w * h * ch)) AS k FROM pngh)
+      FROM (SELECT *, unnest(range(0, w * h * ch)) AS k FROM png0)
     ),
-    pngmean AS (
+    pngmean0 AS (
       -- 16-bit PNG samples are big-endian pairs; 8-bit is one byte
       SELECT doc_id,
              AVG(CASE WHEN bps = 2
                       THEN 256 * {_hxb('soff')} + {_hxb('soff + 1')}
                       ELSE {_hxb('soff')} END) AS meanv
       FROM pngpix GROUP BY doc_id
+    ),
+    -- Sub/Up reconstruction (8-bit arms): recon chains are modular
+    -- prefix sums of the filtered bytes — per (row, lane-within-pixel)
+    -- along x for Sub (recon[x] = raw[x] + recon[x-bpp], left pixel
+    -- zero at the row start), per byte-column down y for Up
+    -- (recon[y] = raw[y] + recon[y-1], prior row zero at the top) —
+    -- so a SQL window SUM ... % 256 reproduces the engine's
+    -- _unfilter_scanline exactly
+    png12 AS (
+      SELECT p.*, u.fu FROM pngh p JOIN pnguni u USING (doc_id)
+      WHERE u.fu IN (1, 2) AND p.bps = 1
+    ),
+    pngrb AS (
+      SELECT doc_id, fu, ch,
+             k // (w * ch) AS y, k % (w * ch) AS x,
+             {_hxb('48 + (k // (w * ch)) * (1 + w * ch) + 1 + (k % (w * ch))')} AS b
+      FROM (SELECT *, unnest(range(0, w * h * ch)) AS k FROM png12)
+    ),
+    pngrec AS (
+      SELECT doc_id,
+             CASE WHEN fu = 1
+                  THEN SUM(b) OVER (PARTITION BY doc_id, y, x % ch
+                                    ORDER BY x) % 256
+                  ELSE SUM(b) OVER (PARTITION BY doc_id, x
+                                    ORDER BY y) % 256
+             END AS v
+      FROM pngrb
+    ),
+    pngmean12 AS (
+      SELECT doc_id, AVG(v) AS meanv FROM pngrec GROUP BY doc_id
+    ),
+    pngmean AS (
+      SELECT * FROM pngmean0 UNION ALL SELECT * FROM pngmean12
     ),
     -- TIFF (little-endian fixture): an ACTUAL IFD walk in SQL — the
     -- entry count and every 12-byte tag record are fixed-width LE
@@ -4772,19 +4827,22 @@ _MEDIA_ORACLE = f"""
     "8+16+24-bit PCM WAV / PNG / TIFF kernels inside the "
     "media_features Arrow mapInPandas pass vs a DuckDB twin that "
     "re-parses the same bytes with pure byte arithmetic. The PNG rows "
-    "use stored-deflate (zlib level 0) filter-0 payloads so the REAL "
-    "inflate + scanline-walk decode runs on Spark while the oracle "
-    "reaches the raw pixels at fixed offsets; the TIFF rows are "
-    "single-strip little-endian baseline files whose IFD the oracle "
-    "ACTUALLY walks (unnest over the entry records). Compressed-"
-    "Huffman/filtered PNGs, big-endian or multi-strip TIFFs remain "
-    "property-tested. Unknown/truncated payloads exercise the "
-    "degrade-per-row path",
+    "use stored-deflate (zlib level 0) payloads so the REAL inflate + "
+    "scanline-unfilter decode runs on Spark while the oracle reaches "
+    "the filtered bytes at fixed offsets — filter-0 rows read "
+    "directly, Sub/Up-filtered rows reconstruct as modular prefix-sum "
+    "windows (per-lane along the row / down the byte column); the "
+    "TIFF rows are single-strip little-endian baseline files whose "
+    "IFD the oracle ACTUALLY walks (unnest over the entry records). "
+    "Compressed-Huffman and Average/Paeth PNGs (left-pixel recurrence "
+    "is not a window over filtered bytes), big-endian or multi-strip "
+    "TIFFs remain property-tested. Unknown/truncated payloads "
+    "exercise the degrade-per-row path",
     _MEDIA_ORACLE,
     tags=("multimodal", "udf", "extension"),
 )
 def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The fixture is a bounded literal list (30 tiny payloads), not
+    # The fixture is a bounded literal list (34 tiny payloads), not
     # data: at corpus scale the payload column comes off parquet and
     # feeds the same media_features pass (x15's plumbing).
     rows = [
