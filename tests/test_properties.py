@@ -1574,6 +1574,38 @@ def test_fixture_png_sub_up_roundtrips_through_real_decoder(
 
 
 @given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+    bpp=st.sampled_from([1, 2, 3, 4, 6, 8]),
+)
+@settings(max_examples=40, deadline=None)
+def test_unfilter_wavefront_matches_scanline_reference(w, h, seed, bpp):
+    """The anti-diagonal wavefront unfilter must agree BYTE-FOR-BYTE
+    with the per-scanline reference (_unfilter_scanline) on arbitrary
+    filtered input — any byte values, any per-row mix of filter types
+    0-4, every bpp the supported color types produce. Unfiltering is
+    total over arbitrary bytes, so no PNG encoder is needed to drive
+    it."""
+    import numpy as np
+
+    from twitter_kafka_etl_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    raw = rng.integers(0, 256, size=(h, w * bpp), dtype=np.uint8)
+    ftypes = rng.integers(0, 5, size=h)
+    ref = np.zeros((h, w * bpp), dtype=np.uint8)
+    prev = np.zeros(w * bpp, dtype=np.int64)
+    for y in range(h):
+        ref[y] = M._unfilter_scanline(
+            int(ftypes[y]), raw[y].astype(np.int64), prev, bpp
+        )
+        prev = ref[y].astype(np.int64)
+    got = M._unfilter_wavefront(raw, ftypes.astype(np.int64), bpp)
+    assert (got == ref).all()
+
+
+@given(
     w=st.integers(1, 9),
     h=st.integers(1, 9),
     seed=st.integers(0, 2**31 - 1),
