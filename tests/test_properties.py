@@ -1390,6 +1390,42 @@ def test_collapsed_components_equivalence_property(spark, spec):
     assert got == expected
 
 
+def test_collapsed_components_membership_edge_cases(spark):
+    """The membership table is the scope contract: a doc absent from
+    it is OUT of scope (absent from the output, nothing else shifts),
+    and a member whose rep has no collapsed row stays a SINGLETON
+    labelled with its own id — not its rep's (r9 verdict follow-up:
+    the missing-doc membership case had no direct test)."""
+    from twitter_kafka_etl_spark.operators import dedup as D
+
+    collapsed = spark.createDataFrame(
+        [(1, 5, 2, 1), (10, 10, 3, 3)], ["rep_a", "rep_b", "c_a", "c_b"]
+    )
+    membership = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (10, 10), (11, 10), (12, 10), (20, 20)],
+        ["m_id", "rep_id"],
+    )
+    full = {
+        (r.doc_id, r.component_id)
+        for r in D.collapsed_components(collapsed, membership).collect()
+    }
+    assert full == {
+        (1, 1), (2, 1), (5, 1),          # cross row joins groups 1 and 5
+        (10, 10), (11, 10), (12, 10),    # within row: clique on rep 10
+        (20, 20),                        # edge-free rep: singleton
+    }
+    # membership missing doc 2: it drops out of scope; no other
+    # assignment moves (in particular rep 1's component label is
+    # unchanged — labels come from rep ids, not member enumeration)
+    partial = {
+        (r.doc_id, r.component_id)
+        for r in D.collapsed_components(
+            collapsed, membership.filter(F.col("m_id") != 2)
+        ).collect()
+    }
+    assert partial == full - {(2, 1)}
+
+
 def _encode_bmp(raster, top_down=False):
     """Test-side BMP writer: BITMAPINFOHEADER, BI_RGB, 24/32-bit,
     RGB(A) in → BGR(A) rows padded to 4 bytes, bottom-up by default."""
