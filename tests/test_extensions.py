@@ -278,7 +278,7 @@ def test_x103_fixture_exercises_real_decoders_and_degrade_paths(spark, sf_dir):
     from twitter_kafka_etl_spark.plans import REGISTRY
 
     rows = REGISTRY["x103_media_decode"].build(spark, sf_dir).collect()
-    assert len(rows) == 34
+    assert len(rows) == 36
     hist = {}
     for r in rows:
         hist[r.media_type] = hist.get(r.media_type, 0) + 1
@@ -287,7 +287,8 @@ def test_x103_fixture_exercises_real_decoders_and_degrade_paths(spark, sf_dir):
         "image/x-portable-pixmap": 4,
         "audio/wav": 8,
         "image/bmp": 4,
-        "image/png": 9,  # 4 filter-0 + 1 16-bit + 2 Sub + 2 Up
+        # 4 filter-0 + 1 16-bit + 2 Sub + 2 Up + 2 palette
+        "image/png": 11,
         "image/tiff": 3,
         "unknown": 1,
         "corrupt": 1,

@@ -1610,6 +1610,33 @@ def test_fixture_png_sub_up_roundtrips_through_real_decoder(
 
 
 @given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    seed=st.integers(0, 2**31 - 1),
+    n_pal=st.integers(1, 256),
+)
+@settings(max_examples=25, deadline=None)
+def test_fixture_png_palette_roundtrips_through_real_decoder(
+    w, h, seed, n_pal
+):
+    """The palette x103 fixture arm must decode EXACTLY through the
+    real PLTE-expansion path for any dims/seed/palette size, and the
+    decoded raster must equal the palette lookup of the index
+    raster."""
+    import numpy as np
+
+    from twitter_kafka_etl_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(n_pal, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_pal, size=(h, w), dtype=np.uint8)
+    payload = M._fixture_png_palette(w, h, idx.tobytes(), pal.tobytes())
+    assert (M.decode_png_raster(payload) == pal[idx]).all()
+    d = M.decode_png(payload)
+    assert (d["width"], d["height"], d["n_channels"]) == (w, h, 3)
+
+
+@given(
     w=st.integers(1, 24),
     h=st.integers(1, 24),
     seed=st.integers(0, 2**31 - 1),

@@ -809,6 +809,43 @@ def media_features(
     return df.mapInPandas(run, schema=MEDIA_FEATURE_SCHEMA)
 
 
+def _fixture_png_palette(
+    w: int, h: int, indices: bytes, palette: bytes
+) -> bytes:
+    """Oracle-parseable PALETTE PNG (color type 3, 8-bit indices, no
+    tRNS): the PLTE chunk sits at the fixed post-IHDR offset (data at
+    payload offset 41), the IDAT stream is stored-deflate with
+    filter-0 scanlines, so the SQL twin can walk index byte -> three
+    palette bytes at 41 + 3*idx with pure byte arithmetic while the
+    engine runs the real palette-expansion decode. Layout asserted
+    like :func:`_fixture_png`."""
+    import struct
+
+    if len(palette) % 3 or not palette:
+        raise ValueError("palette must be non-empty RGB triples")
+    if indices and max(indices) >= len(palette) // 3:
+        raise ValueError("palette index out of range in fixture")
+    body = b"".join(
+        b"\x00" + indices[y * w : (y + 1) * w] for y in range(h)
+    )
+    z = zlib.compress(body, 0)
+    if not (
+        z[:2] == b"\x78\x01"
+        and z[2] == 0x01
+        and int.from_bytes(z[3:5], "little") == len(body)
+        and z[7 : 7 + len(body)] == body
+    ):
+        raise AssertionError("level-0 zlib stream is not one stored block")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette)
+        + _png_chunk(b"IDAT", z)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _fixture_wav(rate: int, samples: list[int], width: int) -> bytes:
     """Canonical 44-byte-header mono PCM WAV: ``width``-byte samples
     (1 = unsigned 8-bit, 2/3 = signed little-endian)."""
@@ -967,9 +1004,11 @@ def media_fixture_payloads() -> list[tuple[int, str]]:
     (P5 gray / P6 RGB), uncompressed 24/32-bit BMPs (bottom-up and
     top-down), canonical mono PCM WAV clips at 8/16/24-bit sample
     widths, stored-deflate PNGs (8/16-bit gray and RGB at filter 0,
-    plus 8-bit Sub- and Up-filtered rows — the real zlib-inflate +
-    scanline-unfilter decode path, with filtered bytes at
-    oracle-computable offsets; see :func:`_fixture_png`),
+    8-bit Sub- and Up-filtered rows, and 8-bit palette images — the
+    real zlib-inflate + scanline-unfilter + PLTE-expansion decode
+    paths, with filtered bytes and palette entries at
+    oracle-computable offsets; see :func:`_fixture_png` and
+    :func:`_fixture_png_palette`),
     single-strip little-endian TIFFs in gray/RGB/RGBA (the real IFD
     walk, with an IFD a SQL query can itself walk; see
     :func:`_fixture_tiff`), one unrecognized payload, and one
@@ -1053,6 +1092,14 @@ def media_fixture_payloads() -> list[tuple[int, str]]:
         rows.append(
             (did, _fixture_png(w, h, ch, raster, filter_type=ft).hex())
         )
+        did += 1
+    # palette PNGs (color type 3, no tRNS): the real PLTE-expansion
+    # decode under the oracle gate — the SQL twin maps each index byte
+    # to its three palette bytes at the fixed PLTE offset
+    for i, (w, h, np_) in enumerate([(6, 4, 7), (4, 6, 16)]):
+        pal = bytes((i * 47 + k * 31) % 256 for k in range(3 * np_))
+        idx = bytes((i * 13 + k * 5) % np_ for k in range(w * h))
+        rows.append((did, _fixture_png_palette(w, h, idx, pal).hex()))
         did += 1
     for i, (w, h, ch) in enumerate([(7, 3, 1), (2, 6, 3), (5, 5, 4)]):
         raster = bytes((i * 53 + k * 19) % 256 for k in range(w * h * ch))

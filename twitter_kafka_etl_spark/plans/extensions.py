@@ -4474,7 +4474,7 @@ def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
 # media_fixture_payloads: netpbm P5/P6 images, uncompressed 24/32-bit
 # BMPs in both row orders, canonical mono PCM WAV at 8/16/24-bit
 # sample widths, stored-deflate PNGs in gray and RGB — filter 0 plus
-# 8-bit Sub/Up-filtered rows — one
+# 8-bit Sub/Up-filtered rows and 8-bit palette images — one
 # unrecognized payload, one truncated image) is shared as hex literals
 # between the two engines. Spark decodes the bytes with the REAL
 # decode_netpbm / decode_bmp / decode_wav / decode_png kernels inside
@@ -4701,6 +4701,56 @@ _MEDIA_ORACLE = f"""
     pngmean AS (
       SELECT * FROM pngmean0 UNION ALL SELECT * FROM pngmean12
     ),
+    -- palette PNGs (color type 3, fixture layout: PLTE directly after
+    -- IHDR, so its length field is at offset 33 and its RGB triples
+    -- at 41; the IDAT/stored-block offsets then shift by the palette
+    -- length): each index byte maps to its three palette bytes at
+    -- 41 + 3*idx — the engine's real PLTE expansion re-done as byte
+    -- arithmetic. Guards stay string-equality; the computed-offset
+    -- substr checks are safe on any length (no CAST aborts).
+    pngph AS (
+      SELECT doc_id, hx, n_bytes, w, h, plen FROM (
+        SELECT doc_id, hx, CAST(length(hx) // 2 AS BIGINT) AS n_bytes,
+               16777216 * {_hxb(16)} + 65536 * {_hxb(17)}
+                 + 256 * {_hxb(18)} + {_hxb(19)} AS w,
+               16777216 * {_hxb(20)} + 65536 * {_hxb(21)}
+                 + 256 * {_hxb(22)} + {_hxb(23)} AS h,
+               16777216 * {_hxb(33)} + 65536 * {_hxb(34)}
+                 + 256 * {_hxb(35)} + {_hxb(36)} AS plen
+        FROM payloads
+        WHERE substr(hx, 1, 16) = '89504e470d0a1a0a'
+          AND substr(hx, 2 * 12 + 1, 8) = '49484452'      -- IHDR
+          AND substr(hx, 2 * 24 + 1, 2) = '08'            -- 8-bit
+          AND substr(hx, 2 * 25 + 1, 2) = '03'            -- palette
+          AND substr(hx, 2 * 37 + 1, 8) = '504c5445')     -- PLTE
+      WHERE substr(hx, 2 * (49 + plen) + 1, 8) = '49444154'  -- IDAT
+        AND substr(hx, 2 * (55 + plen) + 1, 2) = '01'  -- final stored
+    ),
+    pngpflt AS (
+      -- filter-0 contract for the palette arm (a filtered palette
+      -- payload would match no arm and surface as a row diff)
+      SELECT doc_id FROM (
+        SELECT doc_id, {_hxb('60 + plen + y * (1 + w)')} AS fb
+        FROM (SELECT *, unnest(range(0, h)) AS y FROM pngph))
+      GROUP BY doc_id HAVING MIN(fb) = 0 AND MAX(fb) = 0
+    ),
+    pngpmean AS (
+      -- mean over the EXPANDED RGB raster = mean over the 3 palette
+      -- bytes of every pixel's index, exactly the engine's
+      -- raster.mean() after PLTE expansion
+      SELECT doc_id, AVG(pb) AS meanv FROM (
+        SELECT doc_id,
+               unnest([{_hxb('41 + 3 * idx')},
+                       {_hxb('42 + 3 * idx')},
+                       {_hxb('43 + 3 * idx')}]) AS pb
+        FROM (
+          SELECT doc_id, hx, plen,
+                 {_hxb('60 + plen + (k // w) * (1 + w) + 1 + (k % w)')}
+                   AS idx
+          FROM (SELECT *, unnest(range(0, w * h)) AS k
+                FROM pngph JOIN pngpflt USING (doc_id))))
+      GROUP BY doc_id
+    ),
     -- TIFF (little-endian fixture): an ACTUAL IFD walk in SQL — the
     -- entry count and every 12-byte tag record are fixed-width LE
     -- integers, so unnest(range(n)) + CASE-per-tag recovers width /
@@ -4800,6 +4850,14 @@ _MEDIA_ORACLE = f"""
            na, na, na, na, na
     FROM pngh p JOIN pngmean m USING (doc_id) CROSS JOIN neg
     UNION ALL
+    -- palette rows report the EXPANDED channel count (3: no tRNS in
+    -- the fixture family), matching the engine's decode contract
+    SELECT p.doc_id, 'image/png', p.n_bytes,
+           CAST(p.w AS BIGINT), CAST(p.h AS BIGINT), CAST(3 AS BIGINT),
+           CAST(ROUND(m.meanv * 1000000) AS BIGINT),
+           na, na, na, na, na
+    FROM pngph p JOIN pngpmean m USING (doc_id) CROSS JOIN neg
+    UNION ALL
     SELECT t.doc_id, 'image/tiff', t.n_bytes,
            CAST(t.w AS BIGINT), CAST(t.h AS BIGINT), CAST(t.ch AS BIGINT),
            CAST(ROUND(m.meanv * 1000000) AS BIGINT),
@@ -4831,7 +4889,8 @@ _MEDIA_ORACLE = f"""
     "scanline-unfilter decode runs on Spark while the oracle reaches "
     "the filtered bytes at fixed offsets — filter-0 rows read "
     "directly, Sub/Up-filtered rows reconstruct as modular prefix-sum "
-    "windows (per-lane along the row / down the byte column); the "
+    "windows (per-lane along the row / down the byte column), and "
+    "palette rows map each index byte to its PLTE triples; the "
     "TIFF rows are single-strip little-endian baseline files whose "
     "IFD the oracle ACTUALLY walks (unnest over the entry records). "
     "Compressed-Huffman and Average/Paeth PNGs (left-pixel recurrence "
@@ -4842,7 +4901,7 @@ _MEDIA_ORACLE = f"""
     tags=("multimodal", "udf", "extension"),
 )
 def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The fixture is a bounded literal list (34 tiny payloads), not
+    # The fixture is a bounded literal list (36 tiny payloads), not
     # data: at corpus scale the payload column comes off parquet and
     # feeds the same media_features pass (x15's plumbing).
     rows = [
