@@ -244,13 +244,14 @@ def _unfilter_wavefront(
     Sweeping d therefore computes each diagonal — up to min(h, w)
     pixels x bpp byte lanes — as one vectorized numpy step, h + w - 1
     sequential steps total instead of h*w*bpp. Measured on a 1024 sq
-    RGB frame (r10): Paeth 3.3 -> 10.1 MB/s, Average 6.3 -> 21.3 MB/s,
-    vs 115 MB/s for a filter-0 frame through the cumsum row pass
-    (which 0/1/2-only rasters and thin rasters keep using). The
-    remaining gap is per-diagonal numpy-call overhead (~0.1 ms x 2047
-    diagonals), not element work — uniform-filter diagonals take a
-    specialized 2-4-ufunc arm, and a raster mixing filter types WITHIN
-    a diagonal falls to the generic np.select arm (~5 MB/s).
+    RGB frame (r10): Paeth 3.3 -> 12.5 MB/s, Average 6.3 -> 24.3 MB/s,
+    a 3-segment 0/Paeth/Average raster 17.9 MB/s, vs 115 MB/s for a
+    filter-0 frame through the cumsum row pass (which 0/1/2-only
+    rasters and thin rasters keep using). The remaining gap is
+    per-diagonal numpy-call overhead (~0.1 ms x 2047 diagonals), not
+    element work — few-run diagonals take a specialized 1-4-ufunc arm
+    per run, and a raster alternating filter types row-by-row falls
+    to the generic np.select arm (6.8 MB/s).
 
     ``raw`` is the filtered bytes (h, width*bpp); ``ftypes`` the
     per-row filter types (all <= 4). Returns uint8 (h, w*bpp).
@@ -282,43 +283,65 @@ def _unfilter_wavefront(
             flat[off:], shape=(k, bpp), strides=(stride * isz, isz)
         )
 
-    # run-id per row: a diagonal whose rows all share one filter type
-    # takes a specialized arm (2-4 ufunc calls) instead of the generic
-    # np.select over every predictor — per-diagonal numpy-call overhead
-    # is the cost model here, not element arithmetic
+    # filter-type RUNS down the rows: per-diagonal numpy-call overhead
+    # is the cost model here (not element arithmetic), so a diagonal
+    # whose rows span few runs applies a specialized 1-4-ufunc arm per
+    # run on sliced sub-views. Note the reach: a full diagonal covers
+    # ~min(h, w) consecutive rows, so this helps rasters whose rows
+    # form a handful of filter SEGMENTS (uniform, or header rows +
+    # one body filter) — an encoder alternating filters row-by-row
+    # crosses many runs per diagonal and falls to the generic
+    # all-predictors np.select arm
     seg = np.concatenate(([0], np.cumsum(ftypes[1:] != ftypes[:-1])))
+    rstart = np.flatnonzero(
+        np.concatenate(([True], ftypes[1:] != ftypes[:-1]))
+    )
+    rend = np.append(rstart[1:] - 1, h - 1)
     for d in range(h + w - 1):
         y0, y1 = max(0, d - (w - 1)), min(h - 1, d)
         k = y1 - y0 + 1
         base = d * bpp + y0 * (rw - bpp)
         a = dview(R, base + rw, rw - bpp, k)  # left
         b = dview(R, base + bpp, rw - bpp, k)  # up
+        c = dview(R, base, rw - bpp, k)  # upper-left
         cur = dview(cflat, d * bpp + y0 * (rb - bpp), rb - bpp, k)
         out = dview(R, base + rw + bpp, rw - bpp, k)
-        f = int(ftypes[y0]) if seg[y0] == seg[y1] else -1
-        if f == 0:
-            out[...] = cur
+        r0, r1 = int(seg[y0]), int(seg[y1])
+        if r1 - r0 < 4:
+            for r in range(r0, r1 + 1):
+                lo = max(y0, int(rstart[r])) - y0
+                hi = min(y1, int(rend[r])) - y0
+                s = slice(lo, hi + 1)
+                f = int(ftypes[y0 + lo])
+                if f == 0:
+                    out[s] = cur[s]
+                elif f == 1:
+                    np.bitwise_and(cur[s] + a[s], 255, out=out[s])
+                elif f == 2:
+                    np.bitwise_and(cur[s] + b[s], 255, out=out[s])
+                elif f == 3:
+                    np.bitwise_and(
+                        cur[s] + ((a[s] + b[s]) >> 1), 255, out=out[s]
+                    )
+                else:
+                    av, bv, cv = a[s], b[s], c[s]
+                    pa = np.abs(bv - cv)
+                    pb = np.abs(av - cv)
+                    pc = np.abs(av + bv - 2 * cv)
+                    paeth = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        av,
+                        np.where(pb <= pc, bv, cv),
+                    )
+                    np.bitwise_and(cur[s] + paeth, 255, out=out[s])
             continue
-        if f == 1:
-            np.bitwise_and(cur + a, 255, out=out)
-            continue
-        if f == 2:
-            np.bitwise_and(cur + b, 255, out=out)
-            continue
-        if f == 3:
-            np.bitwise_and(cur + ((a + b) >> 1), 255, out=out)
-            continue
-        c = dview(R, base, rw - bpp, k)  # upper-left
         pa = np.abs(b - c)
         pb = np.abs(a - c)
         pc = np.abs(a + b - 2 * c)
         paeth = np.where(
             (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
         )
-        if f == 4:
-            np.bitwise_and(cur + paeth, 255, out=out)
-            continue
-        ft = ft16[y0 : y1 + 1, None]  # mixed-filter diagonal
+        ft = ft16[y0 : y1 + 1, None]  # many-run diagonal
         pred = np.select(
             [ft == 1, ft == 2, ft == 3, ft == 4],
             [a, b, (a + b) >> 1, paeth],
