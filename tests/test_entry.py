@@ -166,6 +166,44 @@ def test_impact_scan_fronts_every_consumer_of_a_rewrite():
         impact.consumers_of("operators.dedup.no_such_function")
 
 
+def test_no_dynamic_dispatch_blinds_the_impact_graph():
+    """impact.py documents dynamic dispatch (getattr over a module,
+    globals()/locals() lookups) as out of scope because the engine has
+    none — this test turns that claim into an invariant. A getattr
+    whose first argument is a package-module alias, or a
+    globals()/locals() subscript, could route a call the reference
+    graph cannot see, silently unfronting rewritten consumers.
+    (Attribute-flag reads like getattr(spark, '_tkes_pinned', False)
+    are fine: the first argument is not a module.)"""
+    import ast
+
+    from twitter_kafka_etl_spark.plans import impact
+
+    offenders = []
+    modules = impact._modules()
+    for mod, path in sorted(modules.items()):
+        scan = impact._ModuleScan(mod, path, modules)
+        for node in ast.walk(scan.tree):
+            if not isinstance(node, ast.Call):
+                continue
+            fn = node.func
+            if isinstance(fn, ast.Name) and fn.id == "getattr":
+                arg0 = node.args[0] if node.args else None
+                if isinstance(arg0, ast.Name) and (
+                    arg0.id in scan.alias_mod
+                ):
+                    offenders.append(f"{mod}:{node.lineno} getattr(module)")
+            if isinstance(fn, ast.Name) and fn.id in (
+                "globals", "locals", "vars"
+            ):
+                offenders.append(f"{mod}:{node.lineno} {fn.id}()")
+    assert not offenders, (
+        "dynamic dispatch found — the impact reference graph cannot "
+        f"track these; add manual _REWRITTEN_IN entries or refactor: "
+        f"{offenders}"
+    )
+
+
 def test_rewritten_ops_expansion_is_the_r10_hand_list():
     """The r10 operator-level declarations expand to exactly the
     consumer set a hand scan derives: ivf_assign/topk_ivf + the shared
