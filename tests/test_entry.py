@@ -166,6 +166,34 @@ def test_impact_scan_fronts_every_consumer_of_a_rewrite():
         impact.consumers_of("operators.dedup.no_such_function")
 
 
+def test_impact_graph_internals():
+    """Pin the graph-construction primitives directly: dotted-chain
+    flattening, relative-import resolution, nested-builder
+    attribution, and oracle-constant nodes reachable through a
+    registration decorator's f-string."""
+    import ast
+
+    from twitter_kafka_etl_spark.plans import impact
+
+    assert impact._dotted(ast.parse("a.b.c", mode="eval").body) == "a.b.c"
+    assert impact._dotted(ast.parse("f().b", mode="eval").body) is None
+    assert impact._resolve_from("p.q.r", 1, "s") == "p.q.s"
+    assert impact._resolve_from("p.q.r", 2, None) == "p"
+    assert impact._resolve_from("p.q.r", 0, "x.y") == "x.y"
+    g = impact.reference_graph()
+    # nested builders attribute to their enclosing top-level register
+    # helper (the _register_qs15 pattern), and the registry maps the
+    # query to that node
+    helper = "twitter_kafka_etl_spark.streaming.queries._register_qs15"
+    assert helper in g
+    assert impact._query_nodes()["qs15_stream_heavy_hitters"] == helper
+    # module-level oracle constants are graph nodes, and a builder
+    # reaches them through its decorator's oracle f-string
+    cte = "twitter_kafka_etl_spark.plans.extensions._IVF_ASSIGN_CTE"
+    assert cte in g
+    assert cte in g[impact._query_nodes()["x66_semantic_dedup"]]
+
+
 def test_no_dynamic_dispatch_blinds_the_impact_graph():
     """impact.py documents dynamic dispatch (getattr over a module,
     globals()/locals() lookups) as out of scope because the engine has
