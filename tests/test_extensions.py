@@ -407,14 +407,29 @@ def test_ivf_stride_basis_is_zero_norm_filtered_count(spark):
 
 def test_heavy_hitters_sketch_param_mismatch_raises(spark):
     """A sketch built with different width/depth than the probe must
-    fail loudly — a smaller-width sketch would otherwise silently land
-    counts in wrong slots (r9 advisor finding)."""
+    fail loudly in EVERY direction — larger builds land cells out of
+    range (r9 advisor finding); smaller builds pass the range check but
+    would silently mis-slot counts (r10 advisor mirrored finding), so
+    a smaller depth is caught by depth-level completeness and a
+    smaller width by the sampled-key coverage probe."""
     from twitter_kafka_etl_spark.operators import sketches as K
 
     df = spark.createDataFrame([(i % 5,) for i in range(50)], ["user_id"])
     sk = K.count_min_build(df, "user_id", width=64, depth=4)
     with pytest.raises(ValueError, match="different parameters"):
         K.heavy_hitters_from_sketch(df, sk, "user_id", 5, width=32, depth=4)
+    # mirrored direction 1: built depth=2, probed depth=4 — every level
+    # 0..3 must exist in a matching build, so 2 levels missing is loud
+    sk_d2 = K.count_min_build(df, "user_id", width=64, depth=2)
+    with pytest.raises(ValueError, match="smaller depth"):
+        K.heavy_hitters_from_sketch(df, sk_d2, "user_id", 5, width=64, depth=4)
+    # mirrored direction 2: built width=32, probed width=64 — all cells
+    # in range, all depth levels present; only the coverage probe
+    # (df keys re-hashed under the probe params must hit nonzero cells)
+    # can catch it
+    sk_w32 = K.count_min_build(df, "user_id", width=32, depth=4)
+    with pytest.raises(ValueError, match="empty sketch cell"):
+        K.heavy_hitters_from_sketch(df, sk_w32, "user_id", 5, width=64, depth=4)
     # matching params still serve: bitwise the naive groupBy + HAVING
     got = {
         r.user_id: r.counts

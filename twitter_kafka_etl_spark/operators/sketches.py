@@ -412,7 +412,29 @@ def heavy_hitters_from_sketch(
     semi-joined on the raw key, silently dropping a NULL heavy hitter
     (NULL never equi-joins). The estimate is a pure function of the
     key, so every occurrence of a candidate key survives the filter and
-    the groupBy counts are exact — bitwise the naive groupBy+HAVING."""
+    the groupBy counts are exact — bitwise the naive groupBy+HAVING.
+
+    CONTRACT (validated): the sketch must have absorbed at least every
+    key occurrence in ``df`` under this exact (width, depth, seed) —
+    that is what makes the estimate an over-approximation of the true
+    ``df`` count and the result bitwise-exact. Both call sites satisfy
+    it by construction (x52 builds the sketch from ``df``; qs15's
+    landed raw layer is exactly what its per-batch sketches folded).
+    Parameter mismatches fail LOUDLY in every direction:
+
+    - larger build width/depth -> a cell lands out of range (checked
+      below);
+    - smaller build depth -> a depth level in 0..depth-1 is absent
+      from the sketch (every inserted row touches every level, so a
+      non-empty depth-D' build has exactly levels 0..D'-1);
+    - smaller build width (cells all in range, counts silently
+      mis-slotted — the r10 advisor's mirrored case) -> caught by the
+      sampled-key coverage probe: a few ``df`` keys are re-hashed
+      driver-side (the md5 token hash is engine-portable) and each
+      must hit a nonzero cell at every depth, which coverage
+      guarantees under matching parameters and which a mismatched
+      width makes vanishingly unlikely to pass by collision.
+    """
     rows = sketch.collect()
     if not rows:
         return (
@@ -424,6 +446,7 @@ def heavy_hitters_from_sketch(
     # probe (a literal map would linear-scan its width*depth entries
     # for every row — measured ~2x on x52)
     flat = [0] * (width * depth)
+    depths_seen: set[int] = set()
     for r in rows:
         cell, depth_i = int(r["cell"]), int(r["depth"])
         # a sketch built with other params must fail LOUDLY: a larger
@@ -436,7 +459,35 @@ def heavy_hitters_from_sketch(
                 f"for width={width}, depth={depth} — the sketch was built "
                 "with different parameters than this probe"
             )
+        depths_seen.add(depth_i)
         flat[depth_i * width + cell] = int(r["counts"])
+    if depths_seen != set(range(depth)):
+        raise ValueError(
+            f"sketch depth levels {sorted(depths_seen)} != expected "
+            f"0..{depth - 1} — the sketch was built with a smaller depth "
+            "than this probe (r10 advisor mirrored-mismatch finding)"
+        )
+    # sampled-key coverage probe (closes the smaller-WIDTH direction):
+    # keys are collected ALREADY RENDERED by the engine's own cast
+    # (_key_str), so the Python re-hash sees byte-identical strings.
+    # Bounded work: one take() of a handful of single-column rows.
+    import hashlib
+
+    params = hash_params(depth, seed=seed)
+    for r in df.select(_key_str(col).alias("__k")).take(8):
+        h_py = int(
+            hashlib.md5(r["__k"].encode("utf-8")).hexdigest()[:8], 16
+        ) % MERSENNE
+        for d, (a, b) in enumerate(params):
+            if flat[d * width + ((a * h_py + b) % MERSENNE) % width] == 0:
+                raise ValueError(
+                    f"df key {r['__k']!r} probes to an empty sketch cell "
+                    f"at depth {d} under (width={width}, depth={depth}, "
+                    f"seed={seed}) — the sketch was built with different "
+                    "parameters, or does not cover df's keys (both break "
+                    "the over-approximation contract this serve path "
+                    "relies on)"
+                )
     arr = F.array(*[F.lit(v) for v in flat])
     h = token_hash(_key_str(col))
     ests = [
