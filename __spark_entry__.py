@@ -35,75 +35,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # Queries whose Spark plan was rewritten in the named round AFTER their
 # last driver verification: the driver has never hashed the new plan, so
 # they jump the rotation queue until a driver check at-or-after the
-# rewrite round lands. Historical entries (≤ r9) are per-query, as
-# maintained by hand at the time; from r10 on, rewrites are declared at
-# the operator level in _REWRITTEN_OPS below and expanded to consumers
-# mechanically — see _effective_rewritten().
-_REWRITTEN_IN: dict[str, int] = {
-    "x98_dedup_method_agreement": 7,  # collapse-on-md5 rewrite (r7)
-    # r7 bloom pre-probe + exact confirm; r8 side-file-before-append
-    # ordering; r9 NULL-sentinel rewrite of the embedded bloom_build
-    # subtree (r9 advisor finding — the sentinel change landed after
-    # their r8 driver checks)
-    "qs14_stream_novelty": 9,
-    "qs12_stream_incremental_dedup": 9,
-    # r8 collapsed-pair-form refactor (expand=False) restructured the
-    # shared internals of the four pair families after their last
-    # driver checks (r6/r6/r6/r5); r9 adds the expand/collapse_exact
-    # conflict guard on the same entry points
-    "x03_dedup_minhash_lsh_pairs": 9,
-    "x05_dedup_simhash_pairs": 9,
-    "x06_dedup_ngram_jaccard": 9,
-    "x77_containment_pairs": 9,
-    # ... and every registered consumer that EMBEDS those subtrees and
-    # whose last green predates the refactor (transitive scan over the
-    # dedup module, r9 review finding): direct pair-fn callers checked
-    # r7, plus the r6-checked wrappers that fell outside the r9 window
-    "x25_dedup_components": 9,
-    "x46_dedup_jaccard_estimate": 9,
-    "x59_lsh_eval": 9,
-    "x60_nearest_duplicate": 9,
-    "x63_pair_graph_degree": 9,
-    "x65_split_leakage": 9,
-    "x91_cross_source_leakage": 9,
-    "x99_dedup_source_yield": 9,
-    # r9 (late): the _pin_lazy reuse guard replaced the unconditional
-    # lazy checkpoint in the expand=False and auto-probe branches of
-    # minhash_lsh_pairs/simhash_pairs (plan-neutral for queries, which
-    # never pre-pin, but internals changed post-check). All default-
-    # branch callers above are already flagged 9; these two were green
-    # at r8 and embed the touched branches (x73 default probe, x102
-    # expand=False)
-    "x73_edit_distance_verify": 9,
-    "x102_pair_collapsed_form": 9,
-    # r9 (late): packing_stats' n_seqs/fill_rate redefined to the
-    # stream model — ceil(total/budget) compute units — on BOTH
-    # engines (the distinct-seq-id rule let fill_rate exceed 1 when a
-    # doc outspans the budget); the driver has only hashed the old
-    # semantics
-    "x93_packing_stats": 9,
-    # r9 (late): zero-norm guards on the cosine surface — zero vectors
-    # NaN-ranked first in top-k/pairs/prototype/separation windows —
-    # plus the count-reuse in cosine_pairs' path pick; oracles mirrored
-    "x07_dedup_embedding_cosine": 9,
-    "x08_sim_topk_bruteforce": 9,
-    "x09_sim_ann_lsh": 9,
-    # (x16/x67's r9 entries superseded by their r10 ones below)
-    "x97_embedding_separation": 9,
-    # r9 (late): sketch keys hash through a NULL sentinel on both
-    # engines (md5(NULL) silently dropped NULL keys from builds and
-    # probes); heavy_hitters candidates now pre-filter map-side
-    # against the broadcast cell map (no full-cardinality distinct,
-    # no NULL-dropping semi join) — qs15's serve path shares it
-    "x19_sketch_countmin": 9,
-    "x20_sketch_countmin_estimate": 9,
-    "x26_sketch_hll": 9,
-    "x33_sketch_bloom": 9,
-    # (x52's r9 entry superseded by its r10 one below)
-    "x58_hll_merge": 9,
-    "x61_hll_accuracy": 9,
-    # (qs15's r9 entry superseded by the r10 _REWRITTEN_OPS expansion)
-}
+# rewrite round lands.
+#
+# DO NOT hand-add per-query entries here. Since r10, rewrites are
+# declared at the OPERATOR level in _REWRITTEN_OPS below and expanded
+# to consumer queries mechanically — see _effective_rewritten(). This
+# dict exists only for the (rare) case the impact graph cannot express:
+# a semantic change with no touched engine function or oracle constant
+# (none so far). The r7–r9 hand-maintained history that used to live
+# here became dead weight once every entry's round was ≤ its latest
+# driver green (r10 verdict process nit); see git history for the
+# entries and their rationales.
+_REWRITTEN_IN: dict[str, int] = {}
 
 # Rewrites declared at the OPERATOR level, expanded to the registered
 # consumers mechanically by the package reference graph
@@ -114,25 +57,32 @@ _REWRITTEN_IN: dict[str, int] = {
 # OR module-level oracle constants (shared SQL CTEs are graph nodes
 # too). A typo'd target raises loudly at expansion time and the unit
 # tests exercise the expansion, so a bookkeeping slip can no longer
-# silently starve a consumer of re-verification.
+# silently starve a consumer of re-verification. Entries become dead
+# weight once every expanded consumer's latest driver green is ≥ the
+# entry's round; dead entries may be deleted (git history keeps the
+# record — the r10 batch was removed in r11 after CORRECTNESS_r10
+# hashed all six consumers green).
 _REWRITTEN_OPS: dict[str, int] = {
-    # r10: IVF centroid stride now computed from the zero-norm-FILTERED
-    # count on the engine side (r9 advisor medium) → x16/x66/x67
-    "operators.similarity.ivf_assign": 10,
-    "operators.similarity.topk_ivf": 10,
-    # r10: the shared x66/x67 oracle CTE filters zero-norm rows at the
-    # source to match (r9 advisor low) → x66/x67
-    "plans.extensions._IVF_ASSIGN_CTE": 10,
-    # r10: heavy_hitters_from_sketch validates sketch rows against the
-    # passed width/depth (loud error instead of silent mis-slotting;
-    # internals changed post-check) → x52/qs15
-    "operators.sketches.heavy_hitters_from_sketch": 10,
-    # r10: x103 fixture grew Sub/Up-filtered PNG payloads and the
-    # oracle PNG arm became filter-aware (prefix-sum reconstruction) —
-    # the driver has hashed neither the 34-row fixture nor the new
-    # oracle → x103
-    "operators.multimodal.media_fixture_payloads": 10,
+    # r11: heavy_hitters_from_sketch grew two-directional build/probe
+    # parameter validation (depth-level completeness + sampled-key
+    # coverage probe — r10 advisor mirrored-mismatch finding); the
+    # serve-path internals changed post-check → x52/qs15
+    "operators.sketches.heavy_hitters_from_sketch": 11,
+    # r11: the four state-heavy ingest builders read their arrival
+    # batch count from $SPARK_GRAFT_STREAM_BATCHES (default 4 — the
+    # oracle contract) so the long-horizon probe can drive the
+    # REGISTERED paths at ~100 batches; default-path plans are
+    # unchanged but the builder internals moved post-check
+    "streaming.queries.qs12": 11,
+    "streaming.queries.qs14": 11,
+    "streaming.queries._register_qs15": 11,
+    "streaming.queries._register_qs17": 11,
 }
+# NOT registered: _order_files' numeric-aware sort — for every staging
+# the committed queries produce (≤10 single-digit "__f=N" dirs) the
+# numeric and lexicographic orders are identical, so no registered
+# plan changed; the divergence is only reachable at probe batch
+# counts (>10 files).
 
 
 def _effective_rewritten() -> dict[str, int]:

@@ -192,6 +192,71 @@ def test_impact_graph_internals():
     cte = "twitter_kafka_etl_spark.plans.extensions._IVF_ASSIGN_CTE"
     assert cte in g
     assert cte in g[impact._query_nodes()["x66_semantic_dedup"]]
+    # relative-import resolution is package-aware: `from . import x`
+    # inside pkg/sub/__init__.py is pkg.sub.x, NOT pkg.x (r10 advisor
+    # finding — conflating the two silently severs edges)
+    assert impact._resolve_from("p.q", 1, None, is_pkg=True) == "p.q"
+    assert impact._resolve_from("p.q", 1, None, is_pkg=False) == "p"
+    assert impact._resolve_from("p.q", 2, "s", is_pkg=True) == "p.s"
+
+
+def test_impact_graph_package_init_and_tuple_targets(tmp_path):
+    """Synthetic-module regression tests for the two r10 advisor
+    under-approximation hazards: (a) a relative import inside a
+    package __init__ resolves against the package itself; (b) tuple-
+    unpacking assignments register every bound name as a graph node
+    carrying the value expression's references."""
+    from twitter_kafka_etl_spark.plans import impact
+
+    pkg = impact._PKG
+    # (a) fakepkg/sub/__init__.py does `from . import helper` and a
+    # function in it references helper.target — the edge must land on
+    # {pkg}.sub.helper.target, not {pkg}.helper.target
+    init_src = (
+        "from . import helper\n"
+        "def caller():\n"
+        "    return helper.target()\n"
+    )
+    helper_src = "def target():\n    return 1\n"
+    init_path = tmp_path / "__init__.py"
+    helper_path = tmp_path / "helper.py"
+    init_path.write_text(init_src)
+    helper_path.write_text(helper_src)
+    modules = {
+        f"{pkg}.sub": str(init_path),
+        f"{pkg}.sub.helper": str(helper_path),
+    }
+    packages = frozenset({f"{pkg}.sub"})
+    scan = impact._ModuleScan(
+        f"{pkg}.sub", str(init_path), modules, packages
+    )
+    assert scan.alias_mod.get("helper") == f"{pkg}.sub.helper"
+    assert f"{pkg}.sub.helper.target" in scan.edges()[f"{pkg}.sub.caller"]
+    # without package-awareness the same source resolves to the broken
+    # {pkg}.helper (not a module here → alias_sym), severing the edge —
+    # pin the contrast so a regression is visible
+    broken = impact._ModuleScan(
+        f"{pkg}.sub", str(init_path), modules, frozenset()
+    )
+    assert broken.alias_mod.get("helper") != f"{pkg}.sub.helper"
+    # (b) tuple unpacking: A, B = _build_pair() must register A and B
+    # as nodes whose refs include _build_pair, so rewrites of
+    # _build_pair reach consumers of A or B
+    tup_src = (
+        "def _build_pair():\n"
+        "    return 1, 2\n"
+        "A, B = _build_pair()\n"
+        "def consumer():\n"
+        "    return A\n"
+    )
+    tup_path = tmp_path / "tup.py"
+    tup_path.write_text(tup_src)
+    tmod = f"{pkg}.tup"
+    tscan = impact._ModuleScan(tmod, str(tup_path), {tmod: str(tup_path)})
+    edges = tscan.edges()
+    assert f"{tmod}._build_pair" in edges[f"{tmod}.A"]
+    assert f"{tmod}._build_pair" in edges[f"{tmod}.B"]
+    assert f"{tmod}.A" in edges[f"{tmod}.consumer"]
 
 
 def test_no_dynamic_dispatch_blinds_the_impact_graph():
@@ -208,9 +273,9 @@ def test_no_dynamic_dispatch_blinds_the_impact_graph():
     from twitter_kafka_etl_spark.plans import impact
 
     offenders = []
-    modules = impact._modules()
+    modules, packages = impact._modules()
     for mod, path in sorted(modules.items()):
-        scan = impact._ModuleScan(mod, path, modules)
+        scan = impact._ModuleScan(mod, path, modules, packages)
         for node in ast.walk(scan.tree):
             if not isinstance(node, ast.Call):
                 continue
@@ -233,15 +298,24 @@ def test_no_dynamic_dispatch_blinds_the_impact_graph():
 
 
 def test_rewritten_ops_expansion_is_the_r10_hand_list():
-    """The r10 operator-level declarations expand to exactly the
-    consumer set a hand scan derives: ivf_assign/topk_ivf + the shared
-    oracle CTE → x16/x66/x67, heavy_hitters_from_sketch → x52/qs15.
-    Function-LOCAL imports must be resolved (qs15 imports sketches
-    inside its builder) and oracle CTE constants must be graph nodes."""
-    expanded = {
-        n for n, r in entry_mod._effective_rewritten().items() if r == 10
-    }
-    assert expanded == {
+    """The r10 operator-level declarations (fed literally — the live
+    dict was pruned in r11 once CORRECTNESS_r10 hashed every consumer
+    green) expand to exactly the consumer set a hand scan derives:
+    ivf_assign/topk_ivf + the shared oracle CTE → x16/x66/x67,
+    heavy_hitters_from_sketch → x52/qs15. Function-LOCAL imports must
+    be resolved (qs15 imports sketches inside its builder) and oracle
+    CTE constants must be graph nodes."""
+    from twitter_kafka_etl_spark.plans.impact import rewritten_queries
+
+    expanded = rewritten_queries({
+        # _REWRITTEN_OPS as committed at the r10 driver run
+        "operators.similarity.ivf_assign": 10,
+        "operators.similarity.topk_ivf": 10,
+        "plans.extensions._IVF_ASSIGN_CTE": 10,
+        "operators.sketches.heavy_hitters_from_sketch": 10,
+        "operators.multimodal.media_fixture_payloads": 10,
+    })
+    assert {n for n, r in expanded.items() if r == 10} == {
         "x16_sim_ivf", "x66_semantic_dedup", "x67_prototype_prune",
         "x52_heavy_hitters", "qs15_stream_heavy_hitters",
         "x103_media_decode",
@@ -249,7 +323,11 @@ def test_rewritten_ops_expansion_is_the_r10_hand_list():
 
 
 def test_end_to_end_example(spark, sf_dir, tmp_path):
-    """The reference's full 3-stage pipeline shape runs green."""
+    """The reference's full pipeline shape runs green with the
+    enrichment stage backed by LEARNED .npz artifacts (r10 verdict #3):
+    two checkpoints are trained and persisted at setup, loaded
+    executor-side through the make_classifier seam, and their labels
+    flow through topic_aggregates with the serving schema unchanged."""
     import importlib.util
     import os
 
@@ -260,7 +338,22 @@ def test_end_to_end_example(spark, sf_dir, tmp_path):
     spec = importlib.util.spec_from_file_location("e2e", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    pdf = mod.main(sf_dir, work=str(tmp_path / "e2e"))
+    work = str(tmp_path / "e2e")
+    pdf = mod.main(sf_dir, work=work)
     assert len(pdf) > 0
     assert set(pdf.columns) == {"topic_agg", "emotion", "counts"}
     assert (pdf["counts"] >= 0).all()
+    # the artifacts the enrichment stage loaded are real files with the
+    # documented checkpoint layout
+    import numpy as np
+
+    for name, classes in (
+        ("sentiment", mod.SENTIMENTS), ("emotion", mod.EMOTIONS)
+    ):
+        art = np.load(os.path.join(work, "models", f"{name}.npz"))
+        assert art["W"].shape == (int(art["n_buckets"]), len(classes))
+        assert sorted(str(c) for c in art["classes"]) == sorted(classes)
+    # artifact-backed labels reached the serving layer: every emotion
+    # column of the long-form output is a model class, and counts sum
+    # to the enriched row count only if labels stayed within the set
+    assert set(pdf["emotion"]) <= set(mod.EMOTIONS)

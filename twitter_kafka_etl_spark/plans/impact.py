@@ -51,9 +51,16 @@ _PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _PKG = os.path.basename(_PKG_DIR)
 
 
-def _modules() -> dict[str, str]:
-    """Module qualname -> source path for every .py in the package."""
+def _modules() -> tuple[dict[str, str], frozenset[str]]:
+    """(module qualname -> source path, package qualnames) for every
+    .py in the package. Package-ness must travel with the name:
+    ``pkg.sub`` names both ``pkg/sub/__init__.py`` and a hypothetical
+    ``pkg/sub.py``, and relative imports resolve one component
+    differently between the two (``from . import x`` inside an
+    __init__ is ``pkg.sub.x``, inside a plain module ``pkg.x`` — r10
+    advisor finding: conflating them silently severed edges)."""
     out: dict[str, str] = {}
+    pkgs: set[str] = set()
     parent = os.path.dirname(_PKG_DIR)
     for dirpath, _dirs, files in os.walk(_PKG_DIR):
         for fname in files:
@@ -64,8 +71,22 @@ def _modules() -> dict[str, str]:
             mod = rel[: -len(".py")].replace(os.sep, ".")
             if mod.endswith(".__init__"):
                 mod = mod[: -len(".__init__")]
+                pkgs.add(mod)
             out[mod] = path
-    return out
+    return out, frozenset(pkgs)
+
+
+def _target_names(t: ast.expr) -> list[str]:
+    """Plain names bound by an assignment target, recursing through
+    tuple/list unpacking (``A, B = ...`` and starred elements).
+    Attribute/subscript targets bind no module-level name."""
+    if isinstance(t, ast.Name):
+        return [t.id]
+    if isinstance(t, ast.Starred):
+        return _target_names(t.value)
+    if isinstance(t, (ast.Tuple, ast.List)):
+        return [n for e in t.elts for n in _target_names(e)]
+    return []
 
 
 def _dotted(node: ast.expr) -> str | None:
@@ -81,19 +102,34 @@ def _dotted(node: ast.expr) -> str | None:
     return ".".join(reversed(parts))
 
 
-def _resolve_from(mod: str, level: int, target: str | None) -> str:
-    """Resolve a possibly-relative ``from`` base to an absolute module."""
+def _resolve_from(
+    mod: str, level: int, target: str | None, is_pkg: bool = False
+) -> str:
+    """Resolve a possibly-relative ``from`` base to an absolute module.
+
+    ``is_pkg``: ``mod`` names a package (its ``__init__``), whose
+    "current package" for level 1 is ``mod`` ITSELF — a plain module's
+    is its parent. Python's own import machinery makes the same
+    distinction via ``__package__``."""
     if level == 0:
         return target or ""
     base = mod.split(".")
-    # level 1 = current package: for a module a.b.c that's a.b
-    base = base[: len(base) - level]
+    # level 1 = current package: a.b for module a.b.c, but a.b.c for
+    # package a.b.c (strip one component fewer from an __init__)
+    base = base[: len(base) - level + (1 if is_pkg else 0)]
     return ".".join(base + ([target] if target else []))
 
 
 class _ModuleScan:
-    def __init__(self, mod: str, path: str, modules: dict[str, str]):
+    def __init__(
+        self,
+        mod: str,
+        path: str,
+        modules: dict[str, str],
+        packages: frozenset[str] = frozenset(),
+    ):
         self.mod = mod
+        is_pkg = mod in packages
         with open(path, encoding="utf-8") as fh:
             self.tree = ast.parse(fh.read(), filename=path)
         self.alias_mod: dict[str, str] = {}  # local name -> module qualname
@@ -116,7 +152,7 @@ class _ModuleScan:
                         a.name if a.asname else a.name.split(".")[0]
                     )
             elif isinstance(node, ast.ImportFrom):
-                base = _resolve_from(mod, node.level, node.module)
+                base = _resolve_from(mod, node.level, node.module, is_pkg)
                 if not base.startswith(_PKG):
                     continue
                 for a in node.names:
@@ -133,8 +169,8 @@ class _ModuleScan:
                 self.local_defs.add(node.name)
             elif isinstance(node, ast.Assign):
                 for t in node.targets:
-                    if isinstance(t, ast.Name):
-                        self.local_defs.add(t.id)
+                    for name in _target_names(t):
+                        self.local_defs.add(name)
             elif isinstance(node, ast.AnnAssign):
                 if isinstance(node.target, ast.Name):
                     self.local_defs.add(node.target.id)
@@ -176,8 +212,15 @@ class _ModuleScan:
                 )
                 refs = self._refs(node.value) if node.value else set()
                 for t in targets:
-                    if isinstance(t, ast.Name):
-                        out.setdefault(f"{self.mod}.{t.id}", set()).update(
+                    # tuple/list unpacking (A, B = ...) registers every
+                    # element as a node carrying the value's refs — an
+                    # unregistered element would silently drop
+                    # references flowing THROUGH it (r10 advisor
+                    # finding). Per-element refs can't be split
+                    # statically, so each element over-approximates
+                    # with the full set (the safe bias).
+                    for name in _target_names(t):
+                        out.setdefault(f"{self.mod}.{name}", set()).update(
                             refs
                         )
         # a node must never self-reference (recursion would be a
@@ -190,10 +233,11 @@ class _ModuleScan:
 @lru_cache(maxsize=1)
 def reference_graph() -> dict[str, frozenset[str]]:
     """``node -> referenced nodes`` over the whole package (cached)."""
-    modules = _modules()
+    modules, packages = _modules()
     graph: dict[str, set[str]] = {}
     for mod, path in sorted(modules.items()):
-        for name, refs in _ModuleScan(mod, path, modules).edges().items():
+        scan = _ModuleScan(mod, path, modules, packages)
+        for name, refs in scan.edges().items():
             graph.setdefault(name, set()).update(refs)
     return {k: frozenset(v) for k, v in graph.items()}
 
