@@ -1,0 +1,224 @@
+#!/usr/bin/env python
+"""Long-horizon streaming-state probe (r10 verdict item 4).
+
+Drives the REGISTERED qs12/qs14/qs15/qs17 builders — not replicas of
+their fold logic — at ~100 micro-batches over a replicated corpus, via
+the ``$SPARK_GRAFT_STREAM_BATCHES`` arrival-schedule knob, and records
+what the 100 TB crawl-ingest story rests on:
+
+- per-batch wall time from the streaming CHECKPOINT the run leaves
+  behind: ``offsets/<k>`` records the trigger-start batchTimestampMs,
+  ``commits/<k>``'s mtime marks completion — duration_k is their
+  difference (the Python StreamingQueryListener is not delivered
+  events in this classic-mode deployment, so the checkpoint is the
+  ground truth). The claim is a FLAT slope once the bloom bitmap caps
+  the per-batch index-scan cost;
+- state growth per batch, read back exactly from the ``__b=<batch>``
+  hive partitions each ingest fold writes (parquet footer row counts,
+  no data scan) — the claim is growth linear in KEPT rows only;
+- bloom side-file stats (m, set-bit words, crossover batch) for
+  qs12/qs14 — the crossover is forced mid-run via the documented env
+  overrides so both the pre-crossover anti-join mode and the
+  bitmap-capped mode appear in one run.
+
+Usage::
+
+    python scripts/probe_stream_state.py [sf_dir] [n_batches] [q ...]
+
+Defaults: a 50x replication of sf0.1 (built on first use with
+``make_sf_scale.py`` into /tmp/tkes_probe_sf5), 100 batches, all four
+queries. Emits one JSON document on stdout; the summary lands in
+SURVEY.md §6.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_HERE)
+sys.path.insert(0, _REPO)
+
+DEFAULT_SF = "/tmp/tkes_probe_sf5"
+QUERIES = (
+    "qs12_stream_incremental_dedup",
+    "qs14_stream_novelty",
+    "qs15_stream_heavy_hitters",
+    "qs17_stream_neardup_ingest",
+)
+#: state table(s) each query's fold appends per batch, relative to its
+#: work dir (derived from the result frame's input files)
+STATE_TABLES = {
+    "qs12_stream_incremental_dedup": ("index", "corpus"),
+    "qs14_stream_novelty": ("shindex", "stats"),
+    "qs15_stream_heavy_hitters": ("cells", "raw"),
+    "qs17_stream_neardup_ingest": ("corpus", "bandidx"),
+}
+BLOOM_QUERIES = {
+    "qs12_stream_incremental_dedup",
+    "qs14_stream_novelty",
+}
+
+
+def _ensure_corpus(sf_dir: str, factor: int = 50) -> str:
+    if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        return sf_dir
+    import subprocess
+
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(_HERE, "make_sf_scale.py"),
+            str(factor),
+            "/root/testdata/sf0.1",
+            sf_dir,
+        ],
+        check=True,
+    )
+    return sf_dir
+
+
+def _partition_rows(table_dir: str) -> dict[int, int]:
+    """__b=<batch> -> row count, from parquet footers only."""
+    import pyarrow.parquet as pq
+
+    out: dict[int, int] = {}
+    if not os.path.isdir(table_dir):
+        return out
+    for d in os.listdir(table_dir):
+        if not d.startswith("__b="):
+            continue
+        n = 0
+        for root, _dirs, files in os.walk(os.path.join(table_dir, d)):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        out[int(d.split("=", 1)[1])] = n
+    if not out:
+        # plain-append tables (qs15's cells/raw): total rows only
+        n = 0
+        for root, _dirs, files in os.walk(table_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        if n:
+            out[-1] = n
+    return out
+
+
+def _bloom_stats(work: str) -> dict | None:
+    import pyarrow.parquet as pq
+
+    path = os.path.join(work, "bloom.parquet")
+    if not os.path.exists(path):
+        return None
+    t = pq.read_table(path)
+    return {
+        "m_bits": int(t["m"][0].as_py()),
+        "nonzero_words": t.num_rows,
+        "state_bytes": t.num_rows * 12,  # int32 word + int64 bits
+    }
+
+
+def _checkpoint_durations(ckpt: str) -> list[int]:
+    """Per-batch trigger durations (ms) in batch order, from the
+    checkpoint the run left behind: start = offsets/<k>'s
+    batchTimestampMs, end = commits/<k>'s mtime."""
+    offsets_dir = os.path.join(ckpt, "offsets")
+    commits_dir = os.path.join(ckpt, "commits")
+    if not (os.path.isdir(offsets_dir) and os.path.isdir(commits_dir)):
+        return []
+    out = []
+    for k in sorted(
+        (int(f) for f in os.listdir(commits_dir) if f.isdigit())
+    ):
+        try:
+            with open(os.path.join(offsets_dir, str(k))) as fh:
+                lines = fh.read().splitlines()
+            start_ms = json.loads(lines[1])["batchTimestampMs"]
+            end_ms = os.stat(os.path.join(commits_dir, str(k))).st_mtime * 1000
+            out.append(int(end_ms - start_ms))
+        except (OSError, ValueError, KeyError, IndexError):
+            out.append(-1)
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else _ensure_corpus(DEFAULT_SF)
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    names = sys.argv[3:] or list(QUERIES)
+
+    os.environ["SPARK_GRAFT_STREAM_BATCHES"] = str(n_batches)
+    # force the bloom crossover mid-run so both modes are measured:
+    # qs12's fingerprint index converges to ~#distinct texts (~5k on
+    # the replicated corpus); qs14's shingle index grows to ~1e5+
+    os.environ.setdefault("SPARK_GRAFT_QS12_BLOOM_CROSSOVER", "2000")
+    os.environ.setdefault("SPARK_GRAFT_QS14_BLOOM_CROSSOVER", "50000")
+
+    from twitter_kafka_etl_spark.plans import REGISTRY
+    from twitter_kafka_etl_spark.session import get_spark
+
+    spark = get_spark("tkes-stream-probe")
+
+    report: dict = {
+        "sf_dir": sf_dir,
+        "n_batches": n_batches,
+        "crossover": {
+            "qs12": os.environ["SPARK_GRAFT_QS12_BLOOM_CROSSOVER"],
+            "qs14": os.environ["SPARK_GRAFT_QS14_BLOOM_CROSSOVER"],
+        },
+        "queries": {},
+    }
+    for name in names:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].build(spark, sf_dir)
+        out_rows = df.count()
+        wall = time.perf_counter() - t0
+        files = [f.removeprefix("file:") for f in df.inputFiles()]
+        work = None
+        if files:
+            # walk up to the run dir (the one holding the checkpoint):
+            # partitioned state tables sit one level deeper than
+            # plain-append ones
+            d = os.path.dirname(files[0])
+            while d not in ("/", ""):
+                if os.path.isdir(os.path.join(d, "ckpt")):
+                    work = d
+                    break
+                d = os.path.dirname(d)
+        per_batch = _checkpoint_durations(os.path.join(work, "ckpt")) if work else []
+        entry = {
+            "wall_sec": round(wall, 1),
+            "result_rows": out_rows,
+            "n_batches_ran": len(per_batch),
+            "per_batch_ms": per_batch,
+            "state_rows_per_batch": {},
+        }
+        if work:
+            for t in STATE_TABLES[name]:
+                entry["state_rows_per_batch"][t] = _partition_rows(
+                    os.path.join(work, t)
+                )
+            if name in BLOOM_QUERIES:
+                entry["bloom"] = _bloom_stats(work)
+        report["queries"][name] = entry
+        # hygiene between query runs (bench.py's justification)
+        spark.catalog.clearCache()
+        try:
+            for rdd in dict(
+                spark.sparkContext._jsc.getPersistentRDDs()
+            ).values():
+                rdd.unpersist(True)
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
+        print(f"## {name}: {wall:.1f}s, {len(per_batch)} batches",
+              file=sys.stderr)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

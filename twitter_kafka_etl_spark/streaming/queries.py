@@ -37,12 +37,35 @@ from twitter_kafka_etl_spark.plans.catalog import _register
 from twitter_kafka_etl_spark.streaming import windows as W
 
 
+def _arrival_batches() -> int:
+    """Micro-batches the id-range arrival schedule stages (default 4 —
+    the committed oracles assume it: qs17's recursion is unrolled to 4
+    CTE levels and qs14/qs17's SQL width is MAX(id)//4+1).
+    ``$SPARK_GRAFT_STREAM_BATCHES`` overrides for long-horizon state
+    probes (``scripts/probe_stream_state.py`` drives the REGISTERED
+    qs12/qs14/qs15/qs17 builders at ~100 batches on a 50× corpus):
+    qs12/qs15 outputs are arrival-schedule-independent; qs14/qs17
+    derive their batch labels from the same n so outputs stay
+    internally consistent, but only n=4 matches the oracle SQL."""
+    return int(os.environ.get("SPARK_GRAFT_STREAM_BATCHES", "4"))
+
+
 def _order_files(in_dir: str) -> None:
     """Force deterministic micro-batch order: FileStreamSource picks files
     by modification time, so staged batches get strictly increasing
-    mtimes in directory-name order."""
+    mtimes in directory-name order. Numeric-aware sort: ``__f=10`` must
+    arrive after ``__f=9``, not between ``__f=1`` and ``__f=2`` (only
+    reachable when a probe stages >10 batches — the default 4 sorted
+    identically either way)."""
+    import re as _re
+
+    def natkey(name: str):
+        return [
+            int(t) if t.isdigit() else t for t in _re.split(r"(\d+)", name)
+        ]
+
     base = 1_700_000_000
-    for i, d in enumerate(sorted(os.listdir(in_dir))):
+    for i, d in enumerate(sorted(os.listdir(in_dir), key=natkey)):
         for root_, _dirs, files in os.walk(os.path.join(in_dir, d)):
             for f in files:
                 os.utime(os.path.join(root_, f), (base + i * 60, base + i * 60))
@@ -1043,11 +1066,11 @@ def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
     from twitter_kafka_etl_spark.streaming.sinks import foreach_batch_fanout
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = _arrival_batches()
 
     def write(in_dir: str) -> None:
-        # 4 equal doc_id ranges = deterministic arrival order (the
+        # n equal doc_id ranges = deterministic arrival order (the
         # oracle's first-occurrence tie-break assumes id order)
-        n = 4
         mx = docs.agg(F.max("doc_id")).first()[0] or 0
         width = mx // n + 1
         bucket = F.floor(F.col("doc_id") / width).cast("int")
@@ -1059,7 +1082,7 @@ def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(in_dir)
         )
 
-    in_dir, work = _staged_input(sf_dir, "qs12", "idrange4", write)
+    in_dir, work = _staged_input(sf_dir, "qs12", f"idrange{n}", write)
     corpus = os.path.join(work, "corpus")
     index = os.path.join(work, "index")
     bloom_file = os.path.join(work, "bloom.parquet")
@@ -1402,7 +1425,8 @@ def qs14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     mx = docs.agg(F.max("doc_id")).first()[0] or 0
-    width = mx // 4 + 1
+    n = _arrival_batches()
+    width = mx // n + 1
 
     def write(in_dir: str) -> None:
         (
@@ -1415,7 +1439,7 @@ def qs14(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(in_dir)
         )
 
-    in_dir, work = _staged_input(sf_dir, "qs14", "idrange4", write)
+    in_dir, work = _staged_input(sf_dir, "qs14", f"idrange{n}", write)
     index = os.path.join(work, "shindex")
     stats = os.path.join(work, "stats")
     bloom_file = os.path.join(work, "bloom.parquet")
@@ -1621,9 +1645,9 @@ def _register_qs15() -> None:
         from twitter_kafka_etl_spark.streaming.sinks import foreach_batch_fanout
 
         ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+        n = _arrival_batches()
 
         def write(in_dir: str) -> None:
-            n = 4
             mx = ev.agg(F.max("event_id")).first()[0] or 0
             width = mx // n + 1
             (
@@ -1636,7 +1660,7 @@ def _register_qs15() -> None:
                 .parquet(in_dir)
             )
 
-        in_dir, work = _staged_input(sf_dir, "qs15", "idrange4", write)
+        in_dir, work = _staged_input(sf_dir, "qs15", f"idrange{n}", write)
         cells = os.path.join(work, "cells")
         raw = os.path.join(work, "raw")
 
@@ -1875,7 +1899,8 @@ def _register_qs17() -> None:
 
         docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
         mx = docs.agg(F.max("doc_id")).first()[0] or 0
-        width = mx // 4 + 1
+        n = _arrival_batches()
+        width = mx // n + 1
 
         def write(in_dir: str) -> None:
             (
@@ -1888,7 +1913,7 @@ def _register_qs17() -> None:
                 .parquet(in_dir)
             )
 
-        in_dir, work = _staged_input(sf_dir, "qs17", "idrange4", write)
+        in_dir, work = _staged_input(sf_dir, "qs17", f"idrange{n}", write)
         corpus = os.path.join(work, "corpus")
         bandidx = os.path.join(work, "bandidx")
 
