@@ -64,21 +64,75 @@ BLOOM_QUERIES = {
 
 
 def _ensure_corpus(sf_dir: str, factor: int = 50) -> str:
-    if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+    if os.path.exists(os.path.join(sf_dir, ".probe_densified")):
         return sf_dir
     import subprocess
 
-    subprocess.run(
-        [
-            sys.executable,
-            os.path.join(_HERE, "make_sf_scale.py"),
-            str(factor),
-            "/root/testdata/sf0.1",
-            sf_dir,
-        ],
-        check=True,
-    )
+    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        subprocess.run(
+            [
+                sys.executable,
+                os.path.join(_HERE, "make_sf_scale.py"),
+                str(factor),
+                "/root/testdata/sf0.1",
+                sf_dir,
+            ],
+            check=True,
+        )
+    _densify(sf_dir)
     return sf_dir
+
+
+def _densify(sf_dir: str) -> None:
+    """Reshape the key-shifted replication for the long-horizon probe.
+
+    ``make_sf_scale`` shifts keys by 1e9 per copy (referential
+    integrity), which breaks the probe two ways: id-range bucketing
+    over the sparse key space collapses ~100 requested batches onto
+    ~copies buckets, and verbatim text replication means every batch
+    after the first is 100% exact duplicates — state never grows, so
+    "per-batch cost flat while state grows" is untestable. Densify:
+
+    - doc_id/event_id -> copy*base + original (contiguous, replica
+      order preserved, so n requested batches = n equal id ranges);
+    - each copy>0 document's text gets a ``' v<copy>'`` suffix: an
+      exact-dedup ingest (qs12) now sees every copy as NOVEL (state
+      grows linearly across the whole run — the bloom-bitmap stress),
+      while a near-dup ingest (qs17) still rejects them (minhash bands
+      collide on the shared prefix — the static-index probe-cost
+      stress). The two queries thus cover both growth regimes.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    offset = 1_000_000_000
+    for table, key in (("documents", "doc_id"), ("events", "event_id")):
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        t = pq.read_table(path)
+        ids = t[key].to_numpy()
+        if ids.max() < offset:
+            continue
+        copy = ids // offset
+        orig = ids % offset
+        base = int(orig.max()) + 1
+        new_ids = copy * base + orig
+        t = t.set_column(
+            t.schema.get_field_index(key),
+            t.schema.field(key),
+            pa.array(new_ids, type=t.schema.field(key).type),
+        )
+        if table == "documents":
+            texts = t["text"].to_pandas()
+            suffix = np.where(copy > 0, [f" v{c}" for c in copy], "")
+            t = t.set_column(
+                t.schema.get_field_index("text"),
+                t.schema.field("text"),
+                pa.array(texts + suffix, type=t.schema.field("text").type),
+            )
+        pq.write_table(t, path)
+    with open(os.path.join(sf_dir, ".probe_densified"), "w") as fh:
+        fh.write("1\n")
 
 
 def _partition_rows(table_dir: str) -> dict[int, int]:
@@ -147,16 +201,20 @@ def _checkpoint_durations(ckpt: str) -> list[int]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else _ensure_corpus(DEFAULT_SF)
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SF
+    if not sf_dir.startswith("/root/testdata"):
+        # never rewrites driver-provided test data; probe corpora only
+        _ensure_corpus(sf_dir)
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     names = sys.argv[3:] or list(QUERIES)
 
     os.environ["SPARK_GRAFT_STREAM_BATCHES"] = str(n_batches)
-    # force the bloom crossover mid-run so both modes are measured:
-    # qs12's fingerprint index converges to ~#distinct texts (~5k on
-    # the replicated corpus); qs14's shingle index grows to ~1e5+
-    os.environ.setdefault("SPARK_GRAFT_QS12_BLOOM_CROSSOVER", "2000")
-    os.environ.setdefault("SPARK_GRAFT_QS14_BLOOM_CROSSOVER", "50000")
+    # force the bloom crossover mid-run so both modes appear in one
+    # run, sized so the bootstrap bitmap (64 bits/key at crossover)
+    # keeps a sane fill as the densified corpus grows the qs12 index
+    # to ~#docs and the qs14 shingle index past it
+    os.environ.setdefault("SPARK_GRAFT_QS12_BLOOM_CROSSOVER", "50000")
+    os.environ.setdefault("SPARK_GRAFT_QS14_BLOOM_CROSSOVER", "200000")
 
     from twitter_kafka_etl_spark.plans import REGISTRY
     from twitter_kafka_etl_spark.session import get_spark
