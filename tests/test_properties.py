@@ -1665,157 +1665,6 @@ def test_unfilter_wavefront_matches_scanline_reference(w, h, seed, bpp):
         )
         prev = ref[y].astype(np.int64)
     got = M._unfilter_wavefront(raw, ftypes.astype(np.int64), bpp)
-    assert (got == ref).all()
-
-
-def _encode_png(
-    raster, color_type, ftypes, palette=None, trns=None, zlevel=6
-):
-    """Test-side PNG writer exercising decoder paths the oracle
-    fixtures can't (their stored-deflate + uniform-filter layout is an
-    oracle constraint, not a decoder one): REAL deflate, an arbitrary
-    per-row filter-type mix forward-filtered per the spec, every
-    supported color type including 16-bit samples and palette with
-    optional tRNS. ``raster`` is (h, w*bpp) reconstructed scanline
-    bytes (uint8, 16-bit samples already big-endian)."""
-    import struct
-    import zlib as _zlib
-
-    import numpy as np
-
-    from twitter_kafka_etl_spark.operators.multimodal import (
-        _PNG_SIG,
-        _png_chunk,
-    )
-
-    h, row_bytes = raster.shape
-    bit_depth, bpp, w = _PNG_LAYOUTS[color_type][0], None, None
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    bps = bit_depth // 8
-    bpp = channels * bps
-    w = row_bytes // bpp
-    r = raster.astype(np.int64)
-    body = bytearray()
-    prev = np.zeros(row_bytes, dtype=np.int64)
-    for y in range(h):
-        cur = r[y]
-        left = np.zeros(row_bytes, dtype=np.int64)
-        left[bpp:] = cur[:-bpp]
-        ul = np.zeros(row_bytes, dtype=np.int64)
-        ul[bpp:] = prev[:-bpp]
-        ft = int(ftypes[y])
-        if ft == 0:
-            pred = 0
-        elif ft == 1:
-            pred = left
-        elif ft == 2:
-            pred = prev
-        elif ft == 3:
-            pred = (left + prev) // 2
-        else:  # Paeth
-            p = left + prev - ul
-            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
-            pred = np.where(
-                (pa <= pb) & (pa <= pc),
-                left,
-                np.where(pb <= pc, prev, ul),
-            )
-        body += bytes([ft]) + ((cur - pred) % 256).astype(np.uint8).tobytes()
-        prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
-    chunks = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
-    if palette is not None:
-        chunks += _png_chunk(b"PLTE", palette)
-    if trns is not None:
-        chunks += _png_chunk(b"tRNS", trns)
-    chunks += _png_chunk(b"IDAT", _zlib.compress(bytes(body), zlevel))
-    return chunks + _png_chunk(b"IEND", b"")
-
-
-#: color type -> (bit depth, numpy result dtype) driven below
-_PNG_LAYOUTS = {0: (8, "u1"), 2: (8, "u1"), 3: (8, "u1"),
-                4: (16, "u2"), 6: (16, "u2")}
-
-
-@given(
-    w=st.integers(1, 12),
-    h=st.integers(1, 12),
-    seed=st.integers(0, 2**31 - 1),
-    color_type=st.sampled_from([0, 2, 4, 6]),
-)
-@settings(max_examples=30, deadline=None)
-def test_real_deflate_filtered_png_roundtrips(w, h, seed, color_type):
-    """End-to-end decoder property the fixture arms can't reach: a
-    REAL-deflate PNG with a random per-row mix of all five filter
-    types must reconstruct exactly — 8-bit gray/RGB and 16-bit
-    gray+alpha/RGBA (filters operate on BYTES, so 16-bit lanes cross
-    sample boundaries; r10 verdict item 7's suggested deepening)."""
-    import numpy as np
-
-    from twitter_kafka_etl_spark.operators import multimodal as M
-
-    bit_depth, dt = _PNG_LAYOUTS[color_type]
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
-    bpp = channels * (bit_depth // 8)
-    rng = np.random.default_rng(seed)
-    raster = rng.integers(0, 256, size=(h, w * bpp), dtype=np.uint8)
-    ftypes = rng.integers(0, 5, size=h)
-    payload = _encode_png(raster, color_type, ftypes)
-    got = M.decode_png_raster(payload)
-    if bit_depth == 8:
-        want = raster.reshape(h, w, channels)
-    else:
-        want = (
-            raster.reshape(h, w, channels, 2).astype(np.uint16)[..., 0]
-            * 256
-            + raster.reshape(h, w, channels, 2)[..., 1]
-        )
-    assert got.dtype == np.dtype(dt.replace("u1", "uint8").replace(
-        "u2", "uint16"))
-    assert (got == want).all()
-    d = M.decode_png(payload)
-    assert (d["width"], d["height"], d["n_channels"]) == (w, h, channels)
-
-
-@given(
-    w=st.integers(1, 12),
-    h=st.integers(1, 12),
-    seed=st.integers(0, 2**31 - 1),
-    n_pal=st.integers(1, 256),
-    with_trns=st.booleans(),
-)
-@settings(max_examples=30, deadline=None)
-def test_filtered_palette_png_roundtrips(w, h, seed, n_pal, with_trns):
-    """Palette PNGs in the wild filter their INDEX scanlines (bpp=1);
-    the oracle fixture arm is filter-0 only, so pin the full path —
-    real deflate, random per-row filters 0-4 over index bytes,
-    unfilter, PLTE expansion, optional tRNS alpha — byte-exactly."""
-    import numpy as np
-
-    from twitter_kafka_etl_spark.operators import multimodal as M
-
-    rng = np.random.default_rng(seed)
-    pal = rng.integers(0, 256, size=(n_pal, 3), dtype=np.uint8)
-    idx = rng.integers(0, n_pal, size=(h, w), dtype=np.uint8)
-    ftypes = rng.integers(0, 5, size=h)
-    trns = None
-    want = pal[idx]
-    if with_trns:
-        # tRNS may cover a prefix of the palette; uncovered -> 255
-        n_t = int(rng.integers(1, n_pal + 1))
-        alpha = rng.integers(0, 256, size=n_t, dtype=np.uint8)
-        trns = alpha.tobytes()
-        full = np.full(n_pal, 255, dtype=np.uint8)
-        full[:n_t] = alpha
-        want = np.dstack([want, full[idx]])
-    payload = _encode_png(
-        idx, 3, ftypes, palette=pal.tobytes(), trns=trns
-    )
-    got = M.decode_png_raster(payload)
-    assert (got == want).all()
-    d = M.decode_png(payload)
-    assert (d["width"], d["height"]) == (w, h)
-    assert d["n_channels"] == (4 if with_trns else 3)
 
 
 @given(
