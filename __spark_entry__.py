@@ -152,7 +152,13 @@ def _rotation_order(
        sorts as round 0, i.e. first), tie-broken by name for a stable,
        diffable window.
     """
-    rewritten = rewritten_in if rewritten_in is not None else _REWRITTEN_IN
+    # default to the FULL effective map (manual ∪ operator-level
+    # expansion): now that _REWRITTEN_IN is empty by policy, falling
+    # back to it would silently disable stale-rewrite fronting for any
+    # caller that omits the argument (r11 review finding)
+    rewritten = (
+        rewritten_in if rewritten_in is not None else _effective_rewritten()
+    )
 
     def key(name: str) -> tuple[int, int, str]:
         green = latest_green.get(name, 0)

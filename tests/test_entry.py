@@ -405,7 +405,35 @@ def test_end_to_end_example(spark, sf_dir, tmp_path):
         art = np.load(os.path.join(work, "models", f"{name}.npz"))
         assert art["W"].shape == (int(art["n_buckets"]), len(classes))
         assert sorted(str(c) for c in art["classes"]) == sorted(classes)
-    # artifact-backed labels reached the serving layer: every emotion
-    # column of the long-form output is a model class, and counts sum
-    # to the enriched row count only if labels stayed within the set
-    assert set(pdf["emotion"]) <= set(mod.EMOTIONS)
+    # artifact-backed labels actually reached the serving layer:
+    # topic_aggregates pivots with the EXPLICIT emotion list and
+    # fill=0, so a label outside the artifact's class set would DROP
+    # its rows from the pivot — total counts reconstruct the enriched
+    # row count only if every event's label came back in-set (the
+    # emotion column itself is the pivot's column list, so asserting
+    # on it alone would be tautological — r11 review finding)
+    import pyarrow.parquet as pq
+
+    n_events = pq.ParquetFile(
+        os.path.join(sf_dir, "events.parquet")
+    ).metadata.num_rows
+    assert int(pdf["counts"].sum()) == n_events
+    # and the artifacts are learned models, not pass-throughs: the
+    # executor-side backend reproduces the training labels on the
+    # seed corpora
+    import pandas as pd
+
+    from twitter_kafka_etl_spark.operators.model_artifact import (
+        linear_model_backend,
+    )
+
+    for name, seed in (
+        ("sentiment", mod._SENTIMENT_SEED), ("emotion", mod._EMOTION_SEED)
+    ):
+        backend = linear_model_backend(
+            os.path.join(work, "models", f"{name}.npz")
+        )
+        texts = [t for label, ts in seed.items() for t in ts]
+        want = [label for label, ts in seed.items() for _ in ts]
+        got = backend(pd.Series(texts))
+        assert list(got) == want

@@ -1665,6 +1665,7 @@ def test_unfilter_wavefront_matches_scanline_reference(w, h, seed, bpp):
         )
         prev = ref[y].astype(np.int64)
     got = M._unfilter_wavefront(raw, ftypes.astype(np.int64), bpp)
+    assert (got == ref).all()
 
 
 @given(
