@@ -86,6 +86,35 @@ def _reference_record(sf: float) -> dict[str, float] | None:
     return None
 
 
+def _median_vs_record(
+    timings: dict[str, float], ref: dict[str, float] | None
+) -> float | None:
+    """Median per-query ratio of this run against the recorded figures
+    — the host-drift diagnostic. The r10 review had to decompose a
+    1.30x total by hand to show the inflation was UNIFORM (fixed-work
+    sub-second rows moved as much as the heavy ones, i.e. machine
+    speed at measurement time, not plan regressions); this publishes
+    that decomposition with every run. ~1.0 = same machine regime as
+    the record; uniformly >1 with no individual plan change = host
+    drift; a lone outlier against a ~1.0 median = a real regression."""
+    if not ref:
+        return None
+    ratios = sorted(
+        t / ref[n]
+        for n, t in timings.items()
+        if n in ref and t > 0 and ref[n] > 0
+    )
+    if not ratios:
+        return None
+    mid = len(ratios) // 2
+    med = (
+        ratios[mid]
+        if len(ratios) % 2
+        else (ratios[mid - 1] + ratios[mid]) / 2
+    )
+    return round(med, 4)
+
+
 def _flag_outliers(
     timings: dict[str, float],
     ref: dict[str, float],
@@ -353,6 +382,10 @@ def main() -> None:
     insuite_total = round(
         sum(insuite.get(n, t) for n, t in timings.items() if t >= 0), 4
     )
+    med_ratio = _median_vs_record(
+        {n: insuite.get(n, t) for n, t in timings.items()},
+        _reference_record(sf),
+    )
     record = json.dumps({
         "metric": "total_query_sec",
         "value": total,
@@ -360,6 +393,7 @@ def main() -> None:
         "queries": timings,
         "insuite": insuite,
         "insuite_total_sec": insuite_total,
+        "median_vs_record": med_ratio,
         "sf": sf,
     })
     # File record first: survives even if stdout is truncated by the caller.
@@ -379,6 +413,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": short,
+            "median_vs_record": med_ratio,
             "sf": sf,
         },
         separators=(",", ":"),

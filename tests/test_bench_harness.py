@@ -37,3 +37,22 @@ def test_flag_outliers_cap():
     flagged = bench._flag_outliers(timings, ref)
     assert len(flagged) == 15
     assert flagged[0] == "q39"  # worst relative offender leads
+
+
+def test_median_vs_record_diagnostic():
+    """The published host-drift diagnostic: median per-query ratio vs
+    the record, ignoring errored rows and rows without a reference;
+    None when no record exists (first run at a new scale factor)."""
+    ref = {"a": 1.0, "b": 2.0, "c": 4.0, "z": 1.0}
+    timings = {
+        "a": 1.3,    # 1.3
+        "b": 2.6,    # 1.3
+        "c": 4.0,    # 1.0
+        "d": 9.9,    # no reference row — excluded
+        "z": -1.0,   # errored — excluded
+    }
+    assert bench._median_vs_record(timings, ref) == 1.3
+    # even count → mean of the middle pair
+    assert bench._median_vs_record({"a": 1.0, "b": 3.0}, ref) == 1.25
+    assert bench._median_vs_record(timings, None) is None
+    assert bench._median_vs_record({"z": -1.0}, ref) is None
