@@ -67,6 +67,13 @@ def main() -> None:
     for tb in KEY_COLS:
         replicate(src, dst, tb, factor)
         print(f"{tb}: x{factor}")
+    # provenance marker (written LAST, so a crashed partial run never
+    # looks complete): downstream tools that MUTATE a corpus in place —
+    # probe_stream_state._densify rewrites ids and texts — require it,
+    # so they can never be pointed at a dataset this script didn't
+    # build (r11 advice).
+    with open(os.path.join(dst, ".make_sf_scale"), "w") as fh:
+        fh.write(f"factor={factor} src={os.path.abspath(src)}\n")
 
 
 if __name__ == "__main__":

@@ -86,6 +86,13 @@ def _ensure_corpus(sf_dir: str, factor: int = 50) -> str:
 def _densify(sf_dir: str) -> None:
     """Reshape the key-shifted replication for the long-horizon probe.
 
+    DESTRUCTIVE — rewrites doc_id/event_id and text columns in place,
+    so it refuses to touch any directory without a ``.make_sf_scale``
+    provenance marker (r11 advice): the only corpora this probe may
+    mutate are the replicas it staged itself via make_sf_scale.py.
+    A pre-existing dataset that merely LOOKS like one (documents.parquet
+    present) is left alone with a loud error instead of being reshaped.
+
     ``make_sf_scale`` shifts keys by 1e9 per copy (referential
     integrity), which breaks the probe two ways: id-range bucketing
     over the sparse key space collapses ~100 requested batches onto
@@ -106,6 +113,13 @@ def _densify(sf_dir: str) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if not os.path.exists(os.path.join(sf_dir, ".make_sf_scale")):
+        raise SystemExit(
+            f"refusing to densify {sf_dir}: no .make_sf_scale provenance "
+            "marker — _densify rewrites key/text columns in place and "
+            "only runs on corpora this probe staged itself. Delete the "
+            "directory to let the probe restage it."
+        )
     offset = 1_000_000_000
     for table, key in (("documents", "doc_id"), ("events", "event_id")):
         path = os.path.join(sf_dir, f"{table}.parquet")
@@ -177,9 +191,9 @@ def _bloom_stats(work: str) -> dict | None:
     }
 
 
-def _checkpoint_durations(ckpt: str) -> list[int]:
-    """Per-batch trigger durations (ms) in batch order, from the
-    checkpoint the run left behind: start = offsets/<k>'s
+def _batch_windows(ckpt: str) -> list[tuple[int, int]]:
+    """Per-batch (start_ms, end_ms) epoch windows in batch order, from
+    the checkpoint the run left behind: start = offsets/<k>'s
     batchTimestampMs, end = commits/<k>'s mtime."""
     offsets_dir = os.path.join(ckpt, "offsets")
     commits_dir = os.path.join(ckpt, "commits")
@@ -194,10 +208,47 @@ def _checkpoint_durations(ckpt: str) -> list[int]:
                 lines = fh.read().splitlines()
             start_ms = json.loads(lines[1])["batchTimestampMs"]
             end_ms = os.stat(os.path.join(commits_dir, str(k))).st_mtime * 1000
-            out.append(int(end_ms - start_ms))
+            out.append((int(start_ms), int(end_ms)))
         except (OSError, ValueError, KeyError, IndexError):
-            out.append(-1)
+            out.append((-1, -1))
     return out
+
+
+class _LoadSampler:
+    """Background 1-min-loadavg sampler, mapped onto batch windows after
+    the fact — the r11 probe couldn't distinguish a mid-run cost band
+    (qs12 batches 64–72 read 3→10 s and back) from host contention, so
+    every per-batch duration now carries the mean host load over its
+    own [start, end] window (r11 verdict task 3)."""
+
+    def __init__(self, interval_s: float = 2.0) -> None:
+        import threading
+
+        self.samples: list[tuple[float, float]] = []  # (epoch_ms, load1)
+        self._stop = threading.Event()
+
+        def run() -> None:
+            while not self._stop.wait(interval_s):
+                self.samples.append(
+                    (time.time() * 1000, os.getloadavg()[0])
+                )
+
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._t.join(timeout=5)
+
+    def mean_in(self, start_ms: int, end_ms: int) -> float | None:
+        inside = [v for t, v in self.samples if start_ms <= t <= end_ms]
+        if not inside:
+            # sub-interval batch: nearest sample to the window midpoint
+            if not self.samples:
+                return None
+            mid = (start_ms + end_ms) / 2
+            return min(self.samples, key=lambda s: abs(s[0] - mid))[1]
+        return round(sum(inside) / len(inside), 2)
 
 
 def main() -> None:
@@ -231,10 +282,12 @@ def main() -> None:
         "queries": {},
     }
     for name in names:
+        sampler = _LoadSampler()
         t0 = time.perf_counter()
         df = REGISTRY[name].build(spark, sf_dir)
         out_rows = df.count()
         wall = time.perf_counter() - t0
+        sampler.stop()
         files = [f.removeprefix("file:") for f in df.inputFiles()]
         work = None
         if files:
@@ -247,12 +300,19 @@ def main() -> None:
                     work = d
                     break
                 d = os.path.dirname(d)
-        per_batch = _checkpoint_durations(os.path.join(work, "ckpt")) if work else []
+        windows = _batch_windows(os.path.join(work, "ckpt")) if work else []
+        per_batch = [
+            (e - s) if s >= 0 else -1 for s, e in windows
+        ]
         entry = {
             "wall_sec": round(wall, 1),
             "result_rows": out_rows,
             "n_batches_ran": len(per_batch),
             "per_batch_ms": per_batch,
+            "per_batch_load1": [
+                sampler.mean_in(s, e) if s >= 0 else None
+                for s, e in windows
+            ],
             "state_rows_per_batch": {},
         }
         if work:

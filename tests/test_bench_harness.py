@@ -18,6 +18,29 @@ def test_reference_record_matches_scale_factor():
     assert bench._reference_record(99.0) is None
 
 
+def test_reference_record_prefers_insuite_for_drift(tmp_path, monkeypatch):
+    """The drift diagnostic compares in-suite against in-suite: rows
+    whose published figure came from a fresh-JVM re-time keep their
+    slower in-suite value in the record's ``insuite`` map, and
+    ``prefer_insuite=True`` overlays it so the ratio distribution
+    carries no built-in >1 skew for re-timed rows (r11 advice). The
+    published map — the outlier-flagging baseline — is unchanged."""
+    import json
+
+    rec = {
+        "sf": 7.0,
+        "queries": {"a": 1.0, "b": 2.0},
+        "insuite": {"b": 3.0, "bad": -1.0},
+    }
+    (tmp_path / "bench_sf7.json").write_text(json.dumps(rec))
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    assert bench._reference_record(7.0) == {"a": 1.0, "b": 2.0}
+    assert bench._reference_record(7.0, prefer_insuite=True) == {
+        "a": 1.0,
+        "b": 3.0,  # insuite overlays published; non-positive ignored
+    }
+
+
 def test_flag_outliers_rule():
     ref = {"a": 1.0, "b": 2.0, "c": 0.05, "d": 4.0}
     timings = {

@@ -198,6 +198,17 @@ def test_impact_graph_internals():
     assert impact._resolve_from("p.q", 1, None, is_pkg=True) == "p.q"
     assert impact._resolve_from("p.q", 1, None, is_pkg=False) == "p"
     assert impact._resolve_from("p.q", 2, "s", is_pkg=True) == "p.s"
+    # beyond-top-level relative imports raise (r11 advice) — Python
+    # itself raises ImportError here; a silently empty base would mint
+    # phantom graph nodes that match nothing
+    import pytest
+
+    with pytest.raises(ValueError, match="escapes package"):
+        impact._resolve_from("p.q.r", 3, "s")
+    with pytest.raises(ValueError, match="escapes package"):
+        impact._resolve_from("p.q", 3, None, is_pkg=True)
+    # the boundary cases just inside the limit still resolve
+    assert impact._resolve_from("p.q.r", 3, "s", is_pkg=True) == "p.s"
 
 
 def test_impact_graph_package_init_and_tuple_targets(tmp_path):

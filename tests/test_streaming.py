@@ -14,6 +14,57 @@ from twitter_kafka_etl_spark.plans import REGISTRY
 from twitter_kafka_etl_spark.streaming.stateful import running_user_totals
 
 
+def test_arrival_batches_validated_and_announced(monkeypatch, capsys):
+    """$SPARK_GRAFT_STREAM_BATCHES repoints four registered queries at
+    a non-oracle arrival schedule, so a leaked probe-shell value must
+    be loud (stderr) and n<1 must fail here, not as a downstream
+    ZeroDivisionError (r11 advice)."""
+    import pytest
+
+    from twitter_kafka_etl_spark.streaming.queries import _arrival_batches
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_BATCHES", raising=False)
+    assert _arrival_batches() == 4
+    assert "SPARK_GRAFT_STREAM_BATCHES" not in capsys.readouterr().err
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_BATCHES", "100")
+    assert _arrival_batches() == 100
+    assert "non-oracle arrival schedule" in capsys.readouterr().err
+    for bad in ("0", "-3"):
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_BATCHES", bad)
+        with pytest.raises(ValueError, match="need >= 1"):
+            _arrival_batches()
+
+
+def test_probe_densify_requires_provenance_marker(tmp_path):
+    """_densify rewrites key/text columns in place — it must refuse any
+    directory lacking the .make_sf_scale marker the staging script
+    writes, so it can never mutate a dataset it didn't build
+    (r11 advice)."""
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    scripts = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+    )
+    sys.path.insert(0, scripts)
+    try:
+        from probe_stream_state import _densify
+    finally:
+        sys.path.remove(scripts)
+    t = pa.table({"doc_id": [1, 1_000_000_001], "text": ["a", "a"]})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    with pytest.raises(SystemExit, match="provenance"):
+        _densify(str(tmp_path))
+    # untouched: ids still carry the 1e9 shift
+    assert pq.read_table(str(tmp_path / "documents.parquet"))[
+        "doc_id"
+    ].to_pylist() == [1, 1_000_000_001]
+
+
 def test_qs1_kafka_shape_roundtrip(spark, sf_dir):
     out = REGISTRY["qs1_stream_kafka_shape"].build(spark, sf_dir)
     rows = out.collect()

@@ -116,7 +116,16 @@ def _resolve_from(
     base = mod.split(".")
     # level 1 = current package: a.b for module a.b.c, but a.b.c for
     # package a.b.c (strip one component fewer from an __init__)
-    base = base[: len(base) - level + (1 if is_pkg else 0)]
+    keep = len(base) - level + (1 if is_pkg else 0)
+    if keep < 1:
+        # Python raises ImportError("attempted relative import beyond
+        # top-level package") here; producing an empty/truncated base
+        # instead would mint phantom graph nodes that silently match
+        # nothing — fail loudly per this module's policy (r11 advice).
+        raise ValueError(
+            f"relative import level {level} escapes package of {mod!r}"
+        )
+    base = base[:keep]
     return ".".join(base + ([target] if target else []))
 
 

@@ -46,8 +46,30 @@ def _arrival_batches() -> int:
     qs12/qs14/qs15/qs17 builders at ~100 batches on a 50× corpus):
     qs12/qs15 outputs are arrival-schedule-independent; qs14/qs17
     derive their batch labels from the same n so outputs stay
-    internally consistent, but only n=4 matches the oracle SQL."""
-    return int(os.environ.get("SPARK_GRAFT_STREAM_BATCHES", "4"))
+    internally consistent, but only n=4 matches the oracle SQL.
+
+    A non-default value is VALIDATED and ANNOUNCED (r11 advice): the
+    env var silently repoints four registered queries at a non-oracle
+    arrival schedule, so a probe shell's leftover leaking into a bench
+    or verification run would otherwise time/hash different plans with
+    no trace. Verification fails loudly either way; the stderr line is
+    for the bench log, where nothing else would notice. n < 1 raises
+    here (n=0 previously surfaced as a ZeroDivisionError downstream).
+    """
+    n = int(os.environ.get("SPARK_GRAFT_STREAM_BATCHES", "4"))
+    if n < 1:
+        raise ValueError(
+            f"$SPARK_GRAFT_STREAM_BATCHES={n}: need >= 1 micro-batch"
+        )
+    if n != 4:
+        import sys as _sys
+
+        print(
+            f"[tkes] SPARK_GRAFT_STREAM_BATCHES={n}: non-oracle arrival "
+            "schedule (committed oracles assume 4)",
+            file=_sys.stderr,
+        )
+    return n
 
 
 def _order_files(in_dir: str) -> None:
