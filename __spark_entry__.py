@@ -63,20 +63,19 @@ _REWRITTEN_IN: dict[str, int] = {}
 # record — the r10 batch was removed in r11 after CORRECTNESS_r10
 # hashed all six consumers green).
 _REWRITTEN_OPS: dict[str, int] = {
-    # r11: heavy_hitters_from_sketch grew two-directional build/probe
-    # parameter validation (depth-level completeness + sampled-key
-    # coverage probe — r10 advisor mirrored-mismatch finding); the
-    # serve-path internals changed post-check → x52/qs15
-    "operators.sketches.heavy_hitters_from_sketch": 11,
-    # r11: the four state-heavy ingest builders read their arrival
-    # batch count from $SPARK_GRAFT_STREAM_BATCHES (default 4 — the
-    # oracle contract) so the long-horizon probe can drive the
-    # REGISTERED paths at ~100 batches; default-path plans are
-    # unchanged but the builder internals moved post-check
-    "streaming.queries.qs12": 11,
-    "streaming.queries.qs14": 11,
-    "streaming.queries._register_qs15": 11,
-    "streaming.queries._register_qs17": 11,
+    # (r11 entries pruned: every expanded consumer re-hashed green in
+    # CORRECTNESS_r11 — see git history.)
+    #
+    # r12: the four state-heavy ingest folds compact their __b=
+    # side-state partitions every N committed batches
+    # (streaming/side_state.py — checksum-gated size-tiered snapshots
+    # with an intent-journal swap; kills the +9-10 ms/batch listing
+    # growth the r11 100-batch probe isolated). Never triggers at the
+    # 4-batch oracle schedule, but the fold internals changed
+    # post-check; qs15 additionally converted its raw/cells appends to
+    # replay-idempotent per-batch overwrite partitions (its serve-time
+    # read shape changed).
+    "streaming.side_state.maybe_compact": 12,
 }
 # NOT registered: _order_files' numeric-aware sort — for every staging
 # the committed queries produce (≤10 single-digit "__f=N" dirs) the

@@ -166,7 +166,9 @@ def _partition_rows(table_dir: str) -> dict[int, int]:
                     n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
         out[int(d.split("=", 1)[1])] = n
     if not out:
-        # plain-append tables (qs15's cells/raw): total rows only
+        # tables without __b= partitions: total rows only (none of the
+        # probed folds write this shape since qs15's r12 conversion to
+        # replay-idempotent overwrite partitions; kept as a fallback)
         n = 0
         for root, _dirs, files in os.walk(table_dir):
             for f in files:

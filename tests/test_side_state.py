@@ -1,0 +1,207 @@
+"""Side-state compaction invariants (streaming/side_state.py): content
+preservation, tiered write-amplification bounds, replay safety, the
+checksum gate, and intent-journal crash roll-forward — plus the qs12
+end-to-end equivalence with compaction forced live mid-stream."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from twitter_kafka_etl_spark.streaming import side_state as S
+
+
+def _write_delta(spark, path: str, b: int, lo: int, n: int) -> None:
+    spark.range(lo, lo + n).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("v")
+    ).write.mode("overwrite").parquet(os.path.join(path, f"__b={b}"))
+
+
+def _content(spark, path: str) -> list[tuple]:
+    return sorted(
+        (r.k, r.v) for r in spark.read.parquet(path).select("k", "v").collect()
+    )
+
+
+def test_compaction_preserves_content_and_bounds_dirs(spark, tmp_path):
+    """Drive 40 batches with every=8: every row written once stays
+    visible exactly once across all folds, the live dir count stays
+    <= every + snapshots, and snapshot generations are negative so the
+    folds' own-batch ``__b != batch_id`` exclusion can never hit one."""
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    folds = 0
+    for b in range(40):
+        # compaction first, then the batch's own write — the fold-start
+        # call order the ingest callbacks use
+        folds += S.maybe_compact(spark, path, b, every=8)
+        _write_delta(spark, path, b, lo=b * 10, n=10)
+    assert folds >= 3
+    assert _content(spark, path) == sorted(
+        (i, __import__("hashlib").md5(str(i).encode()).hexdigest())
+        for i in range(400)
+    )
+    parts = S._partitions(path)
+    snaps = [b for b in parts if b < 0]
+    deltas = [b for b in parts if b >= 0]
+    assert snaps and len(deltas) < 8 + len(snaps)
+    # tiered bound: snapshot count grows logarithmically, not linearly
+    assert len(snaps) <= 4
+
+
+def test_compaction_never_folds_own_or_future_batch(spark, tmp_path):
+    """Replay safety: only strictly-earlier (checkpoint-committed)
+    batches fold. The replaying batch's own leftover partition and any
+    not-yet-committed higher id stay untouched."""
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    for b in range(6):
+        _write_delta(spark, path, b, lo=b * 10, n=10)
+    assert S.maybe_compact(spark, path, batch_id=4, every=2)
+    parts = S._partitions(path)
+    assert 4 in parts and 5 in parts  # own + future: intact
+    assert [b for b in parts if 0 <= b < 4] == []  # earlier: folded
+    assert _content(spark, path) == _content(spark, path)  # readable
+    assert len(_content(spark, path)) == 60
+
+
+def test_merge_variant_preserves_groupwise_sums(spark, tmp_path):
+    """qs15's shape: additive count-min cells fold via a groupBy-sum
+    merge, gated by a merge-preserved invariant; the folded table
+    serves the same totals as the raw history."""
+    path = str(tmp_path / "cells")
+    os.makedirs(path)
+    for b in range(4):
+        spark.createDataFrame(
+            [(d, c, 1) for d in range(2) for c in range(8)],
+            "depth int, cell int, counts long",
+        ).write.mode("overwrite").parquet(os.path.join(path, f"__b={b}"))
+    merge = lambda df: df.groupBy("depth", "cell").agg(  # noqa: E731
+        F.sum("counts").alias("counts")
+    )
+    inv = lambda df: df.agg(  # noqa: E731
+        F.sum("counts").cast("bigint").alias("s"),
+        F.countDistinct("depth", "cell").alias("d"),
+    )
+    assert S.maybe_compact(
+        spark, path, batch_id=4, every=2, merge=merge, invariant=inv
+    )
+    got = {
+        (r.depth, r.cell): r.counts
+        for r in merge(spark.read.parquet(path)).collect()
+    }
+    assert got == {(d, c): 4 for d in range(2) for c in range(8)}
+    # merged snapshot is 16 rows, not 64
+    snap = [b for b in S._partitions(path) if b < 0]
+    assert len(snap) == 1
+    assert spark.read.parquet(
+        os.path.join(path, f"__b={snap[0]}")
+    ).count() == 16
+
+
+def test_merge_without_invariant_is_refused(spark, tmp_path):
+    path = str(tmp_path / "cells")
+    os.makedirs(path)
+    for b in range(3):
+        _write_delta(spark, path, b, lo=0, n=5)
+    with pytest.raises(ValueError, match="invariant"):
+        S.maybe_compact(
+            spark, path, batch_id=3, every=2, merge=lambda df: df
+        )
+
+
+def test_checksum_gate_aborts_and_leaves_sources(spark, tmp_path):
+    """A fold whose merge drops rows goes loudly red BEFORE any source
+    dir is touched — x55's compute-from-the-rewritten-files contract."""
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    for b in range(4):
+        _write_delta(spark, path, b, lo=b * 10, n=10)
+    before = _content(spark, path)
+    bad_merge = lambda df: df.filter(F.col("k") % 2 == 0)  # noqa: E731
+    identity_inv = S._default_invariant  # NOT preserved by bad_merge
+    with pytest.raises(RuntimeError, match="content.*invariant"):
+        S.maybe_compact(
+            spark,
+            path,
+            batch_id=4,
+            every=2,
+            merge=bad_merge,
+            invariant=identity_inv,
+        )
+    assert _content(spark, path) == before
+    assert sorted(S._partitions(path)) == [0, 1, 2, 3]
+    assert not os.path.exists(os.path.join(path, S._TMP))
+
+
+def test_journal_roll_forward_after_simulated_crash(spark, tmp_path):
+    """Crash between journal write and swap completion: the next call
+    rolls the swap FORWARD — the snapshot becomes visible, the folded
+    dirs disappear, content is intact. (A crash BEFORE the journal only
+    leaves an orphan tmp, which is swept.)"""
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    for b in range(4):
+        _write_delta(spark, path, b, lo=b * 10, n=10)
+    before = _content(spark, path)
+    # manufacture the post-journal pre-swap state by hand: verified tmp
+    # + journal, sources still in place
+    union = spark.read.parquet(*[
+        os.path.join(path, f"__b={b}") for b in range(3)
+    ])
+    union.coalesce(1).write.parquet(os.path.join(path, S._TMP))
+    with open(os.path.join(path, S._JOURNAL), "w") as fh:
+        json.dump(
+            {"fold": [f"__b={b}" for b in range(3)], "dest": "__b=-1"}, fh
+        )
+    # any later fold-start call recovers first (here: no new fold runs,
+    # only 1 committed delta remains afterwards)
+    assert S.maybe_compact(spark, path, batch_id=4, every=8) is False
+    parts = S._partitions(path)
+    assert sorted(parts) == [-1, 3]
+    assert _content(spark, path) == before
+    assert not os.path.exists(os.path.join(path, S._JOURNAL))
+    # orphan-tmp variant: crash BEFORE the journal existed — the tmp is
+    # swept, nothing else moves
+    spark.range(3).write.mode("overwrite").parquet(
+        os.path.join(path, S._TMP)
+    )
+    assert S.maybe_compact(spark, path, batch_id=4, every=8) is False
+    assert not os.path.exists(os.path.join(path, S._TMP))
+
+
+def test_qs12_with_live_compaction_matches_oracle(
+    spark, sf_dir, oracle_con, monkeypatch
+):
+    """End-to-end: qs12 with compaction forced live mid-stream
+    (every=2 over the 4-batch oracle schedule) produces the exact
+    oracle result — the fold is invisible to query semantics."""
+    from twitter_kafka_etl_spark.plans import REGISTRY
+    from twitter_kafka_etl_spark.plans.oracle import compare
+
+    monkeypatch.setenv("SPARK_GRAFT_SIDE_COMPACT_EVERY", "2")
+    out = REGISTRY["qs12_stream_incremental_dedup"].build(spark, sf_dir)
+    ok, msg = compare(
+        out, oracle_con, REGISTRY["qs12_stream_incremental_dedup"].oracle
+    )
+    assert ok, msg
+
+
+def test_qs17_with_live_compaction_matches_oracle(
+    spark, sf_dir, oracle_con, monkeypatch
+):
+    """Same end-to-end gate for the near-dup ingest: both its side
+    tables (kept corpus + band index) compact mid-stream and the
+    4-level recursion oracle still matches exactly."""
+    from twitter_kafka_etl_spark.plans import REGISTRY
+    from twitter_kafka_etl_spark.plans.oracle import compare
+
+    monkeypatch.setenv("SPARK_GRAFT_SIDE_COMPACT_EVERY", "2")
+    out = REGISTRY["qs17_stream_neardup_ingest"].build(spark, sf_dir)
+    ok, msg = compare(
+        out, oracle_con, REGISTRY["qs17_stream_neardup_ingest"].oracle
+    )
+    assert ok, msg

@@ -1152,6 +1152,20 @@ def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
+        from twitter_kafka_etl_spark.streaming.side_state import (
+            maybe_compact,
+        )
+
+        # Fold-start compaction of the accumulated side tables: the r11
+        # 100-batch probe isolated the one growing per-batch cost term
+        # to the listing/footer walk over the accumulating __b= dirs
+        # (+9-10 ms/batch at 100 dirs — SURVEY §6); every N committed
+        # deltas roll into a checksum-gated snapshot partition, capping
+        # the live dir count. Never triggers at the 4-batch oracle
+        # schedule; replay-safe by construction (only __b < batch_id
+        # folds — see side_state.py).
+        maybe_compact(batch_df.sparkSession, index, batch_id)
+        maybe_compact(batch_df.sparkSession, corpus, batch_id)
         # Replay safety (round-5 advice, queries.py:1073): the index and
         # corpus writes land OUTSIDE the streaming checkpoint
         # transaction, so a crash between the index append and the
@@ -1500,6 +1514,15 @@ def qs14(spark: SparkSession, sf_dir: str) -> DataFrame:
     def monitor(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
 
+        from twitter_kafka_etl_spark.streaming.side_state import (
+            maybe_compact,
+        )
+
+        # fold-start side-state compaction (see qs12's ingest comment):
+        # caps the per-batch __b= listing walk the r11 probe isolated
+        maybe_compact(s, index, batch_id)
+        maybe_compact(s, stats, batch_id)
+
         def seen_hashes() -> DataFrame:
             return (
                 s.read.parquet(index)
@@ -1687,12 +1710,43 @@ def _register_qs15() -> None:
         raw = os.path.join(work, "raw")
 
         def fold(batch_df: DataFrame, batch_id: int) -> None:
+            from twitter_kafka_etl_spark.streaming.side_state import (
+                maybe_compact,
+            )
+
+            s = batch_df.sparkSession
+            # fold-start side-state compaction (see qs12's ingest
+            # comment). The cells table folds with a cell-wise SUM
+            # merge — count-min additivity means the snapshot IS the
+            # merged sketch, so compaction here doesn't just relabel
+            # history, it collapses it back to <= width*depth rows;
+            # the gate invariant (total count mass + distinct cell
+            # set) is exactly what the merge preserves.
+            maybe_compact(s, raw, batch_id)
+            maybe_compact(
+                s,
+                cells,
+                batch_id,
+                merge=lambda df: df.groupBy("depth", "cell").agg(
+                    F.sum("counts").alias("counts")
+                ),
+                invariant=lambda df: df.agg(
+                    F.sum("counts").cast("bigint").alias("mass"),
+                    F.countDistinct("depth", "cell").alias("cells"),
+                ),
+            )
             # land the raw batch AND its sketch cells; the monitor table
-            # grows by <= width*depth rows per batch, never per key
-            batch_df.write.mode("append").parquet(raw)
+            # grows by <= width*depth rows per batch, never per key.
+            # Per-batch OVERWRITE partitions (r12): the previous plain
+            # appends double-counted a replayed batch — this was the
+            # one ingest fold still violating the idempotent-sink
+            # contract qs12's round-5 fix established.
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(raw, f"__b={batch_id}")
+            )
             K.count_min_build(batch_df, "user_id").write.mode(
-                "append"
-            ).parquet(cells)
+                "overwrite"
+            ).parquet(os.path.join(cells, f"__b={batch_id}"))
 
         stream = _read_stream(spark, in_dir, ev)
         q = foreach_batch_fanout(
@@ -1940,7 +1994,16 @@ def _register_qs17() -> None:
         bandidx = os.path.join(work, "bandidx")
 
         def ingest(batch_df: DataFrame, batch_id: int) -> None:
+            from twitter_kafka_etl_spark.streaming.side_state import (
+                maybe_compact,
+            )
+
             s = batch_df.sparkSession
+            # fold-start side-state compaction of the kept corpus and
+            # band index (see qs12's ingest comment): caps the
+            # per-batch __b= listing walk the r11 probe isolated
+            maybe_compact(s, corpus, batch_id)
+            maybe_compact(s, bandidx, batch_id)
             # within-batch exact dedup, batch label from the DATA
             fp = batch_df.select(
                 "doc_id",
