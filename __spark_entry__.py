@@ -76,6 +76,13 @@ _REWRITTEN_OPS: dict[str, int] = {
     # replay-idempotent per-batch overwrite partitions (its serve-time
     # read shape changed).
     "streaming.side_state.maybe_compact": 12,
+    # r12: plan-capture seam for the PLANS.md streaming sections —
+    # _run_to_sink taps the per-trigger plan and the three ingest
+    # callbacks tap their inner frames when $SPARK_GRAFT_PLAN_TAP is
+    # set (no-op otherwise; default-path plans unchanged, but the
+    # builder internals moved post-check)
+    "streaming.queries._run_to_sink": 12,
+    "streaming.queries._tap_frame": 12,
 }
 # NOT registered: _order_files' numeric-aware sort — for every staging
 # the committed queries produce (≤10 single-digit "__f=N" dirs) the

@@ -287,3 +287,28 @@ def test_x57_bm25_plan_shape(spark, sf_dir):
     plan = plan_of(REGISTRY["x57_bm25_rank"].build(spark, sf_dir))
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_stream_plan_tap_captures_inner_batch_plans(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The $SPARK_GRAFT_PLAN_TAP seam (PLANS.md streaming sections)
+    must capture the foreachBatch INNER plan, and that plan must show
+    the replay-idempotence exclusion as free partition pruning: the
+    own-batch __b= partition is eliminated AT THE SCAN
+    (PartitionFilters), never as a post-scan filter. Also pins the
+    novelty anti-join as a hash equi-join — no nested-loop fallback."""
+    import os
+
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_TAP", str(tmp_path))
+    REGISTRY["qs14_stream_novelty"].build(spark, sf_dir).count()
+    tapped = os.path.join(str(tmp_path), "qs14_novel.txt")
+    assert os.path.exists(tapped)
+    with open(tapped) as fh:
+        plan = fh.read()
+    # steady-state (last) batch: index partitions exist and own-batch
+    # exclusion reached the scan's partition filters
+    assert "PartitionFilters" in plan and "__b" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

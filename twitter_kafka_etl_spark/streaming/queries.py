@@ -311,6 +311,39 @@ def _read_stream(
     )
 
 
+def _tap_dir() -> str | None:
+    """Plan-capture seam: when $SPARK_GRAFT_PLAN_TAP names a directory,
+    the streaming builders dump their STEADY-STATE micro-batch physical
+    plans there (one file per tag, overwritten per batch so the last —
+    steady-state — batch survives). The interesting plan of a streaming
+    query is the per-trigger incremental plan, which the registered
+    result frame (a batch readback of the sink) never shows;
+    scripts/dump_plans.py uses this seam for the PLANS.md streaming
+    sections (r11 verdict task 5). No-op unless the env var is set."""
+    return os.environ.get("SPARK_GRAFT_PLAN_TAP") or None
+
+
+def _tap_plan(tag: str, text: str) -> None:
+    d = _tap_dir()
+    if d:
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"{tag}.txt"), "w") as fh:
+            fh.write(text)
+
+
+def _tap_frame(df: DataFrame, tag: str) -> None:
+    """Tap a foreachBatch INNER frame (call before localCheckpoint —
+    after it the plan collapses to a scan of the checkpoint RDD)."""
+    if _tap_dir():
+        jvm = df.sparkSession._jvm
+        _tap_plan(
+            tag,
+            jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            ),
+        )
+
+
 def _run_to_sink(stream_df: DataFrame, work: str, partition_by=None) -> str:
     out = os.path.join(work, "out")
     writer = (
@@ -326,6 +359,15 @@ def _run_to_sink(stream_df: DataFrame, work: str, partition_by=None) -> str:
     # nothing here touches the caller's session conf
     q = writer.start()
     q.awaitTermination()
+    if _tap_dir():
+        import re as _re
+
+        # run dir = <...>/tkes_stream_<tag>_<sf>/run_<pid>
+        m = _re.search(r"tkes_stream_([a-z0-9]+)_", work)
+        _tap_plan(
+            f"{m.group(1) if m else 'stream'}_sink",
+            q._jsq.explainInternal(False),
+        )
     return out
 
 
@@ -1259,6 +1301,7 @@ def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
         # anti-joins the batch against itself and writes zero rows
         # (observed: index complete, corpus stuck at batch 0). The
         # checkpoint cuts lineage, freezing the rows before any write.
+        _tap_frame(novel, "qs12_novel")
         novel = novel.localCheckpoint(eager=True)
         if state["words"] is not None:
             # roll the bitmap forward: OR this batch's novel prints in
@@ -1606,6 +1649,7 @@ def qs14(spark: SparkSession, sf_dir: str) -> DataFrame:
             novel = sh.join(seen_hashes(), "sh_h", "left_anti")
         else:
             novel = sh
+        _tap_frame(novel, "qs14_novel")
         novel = novel.localCheckpoint(eager=True)
         row = (
             sh.groupBy("bk")
@@ -2052,6 +2096,7 @@ def _register_qs17() -> None:
             # pin before the two appends (qs12's re-list footgun: the
             # first append extends the file source the second plan
             # would re-list)
+            _tap_frame(kept, "qs17_kept")
             kept = kept.localCheckpoint(eager=True)
             kept.select("doc_id", "batch", "fp").write.mode(
                 "overwrite"
