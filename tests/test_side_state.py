@@ -134,7 +134,7 @@ def test_checksum_gate_aborts_and_leaves_sources(spark, tmp_path):
         )
     assert _content(spark, path) == before
     assert sorted(S._partitions(path)) == [0, 1, 2, 3]
-    assert not os.path.exists(os.path.join(path, S._TMP))
+    assert not os.path.exists(S._tmp_of(path))
 
 
 def test_journal_roll_forward_after_simulated_crash(spark, tmp_path):
@@ -152,7 +152,7 @@ def test_journal_roll_forward_after_simulated_crash(spark, tmp_path):
     union = spark.read.parquet(*[
         os.path.join(path, f"__b={b}") for b in range(3)
     ])
-    union.coalesce(1).write.parquet(os.path.join(path, S._TMP))
+    union.coalesce(1).write.parquet(S._tmp_of(path))
     with open(os.path.join(path, S._JOURNAL), "w") as fh:
         json.dump(
             {"fold": [f"__b={b}" for b in range(3)], "dest": "__b=-1"}, fh
@@ -167,10 +167,10 @@ def test_journal_roll_forward_after_simulated_crash(spark, tmp_path):
     # orphan-tmp variant: crash BEFORE the journal existed — the tmp is
     # swept, nothing else moves
     spark.range(3).write.mode("overwrite").parquet(
-        os.path.join(path, S._TMP)
+        S._tmp_of(path)
     )
     assert S.maybe_compact(spark, path, batch_id=4, every=8) is False
-    assert not os.path.exists(os.path.join(path, S._TMP))
+    assert not os.path.exists(S._tmp_of(path))
 
 
 def test_qs12_with_live_compaction_matches_oracle(

@@ -38,9 +38,10 @@ bounding the live dir count. Three properties carry the design:
 - **Intent-journal crash protocol.** POSIX gives no atomic
   "delete N dirs + rename 1"; Structured Streaming's own file sink
   solves the same problem with a metadata log. Order here: (1) write
-  the snapshot to a dot-hidden tmp dir (invisible to Spark's listing),
-  (2) verify the checksum, (3) write a journal naming the folded dirs
-  and the destination, (4) rename folded dirs to dot-hidden trash,
+  the snapshot to a SIBLING tmp dir (outside the table root, so it is
+  invisible to readers and safe to read back for the gate), (2) verify
+  the checksum, (3) write a journal naming the folded dirs and the
+  destination, (4) rename folded dirs into a sibling trash dir,
   (5) rename tmp → ``__b=-g``, (6) delete trash + journal. Every step
   after (3) is idempotent, so a crash anywhere is rolled FORWARD at the
   next call; a crash before (3) leaves only an orphan tmp that is
@@ -83,8 +84,20 @@ RATIO = 2.0
 _CK_MOD = 1_000_000_007
 
 _JOURNAL = ".compact_journal"
-_TMP = ".compact_tmp"
-_TRASH = ".compact_trash_"
+
+
+def _tmp_of(path: str) -> str:
+    """Snapshot staging dir — a SIBLING of the table root, not a
+    dot-dir inside it: Spark reads an explicitly-given dot-path
+    correctly but logs 'All paths were ignored' while doing so (the
+    hidden-file filter applies to the root too), and the checksum gate
+    must read the staged files back. Same parent dir → os.rename into
+    the table root stays an atomic same-filesystem move."""
+    return os.path.normpath(path) + ".compact_tmp"
+
+
+def _trash_of(path: str) -> str:
+    return os.path.normpath(path) + ".compact_trash"
 
 
 def _every() -> int:
@@ -153,19 +166,19 @@ def _recover(path: str) -> None:
     if os.path.exists(jpath):
         with open(jpath, encoding="utf-8") as fh:
             j = json.load(fh)
-        trash = os.path.join(path, _TRASH + j["dest"].split("=", 1)[1])
+        trash = _trash_of(path)
         os.makedirs(trash, exist_ok=True)
         for d in j["fold"]:
             src = os.path.join(path, d)
             if os.path.exists(src):
                 os.rename(src, os.path.join(trash, d))
-        tmp = os.path.join(path, _TMP)
+        tmp = _tmp_of(path)
         dest = os.path.join(path, j["dest"])
         if os.path.exists(tmp) and not os.path.exists(dest):
             os.rename(tmp, dest)
         shutil.rmtree(trash, ignore_errors=True)
         os.remove(jpath)
-    tmp = os.path.join(path, _TMP)
+    tmp = _tmp_of(path)
     if os.path.exists(tmp):  # crashed before the journal: orphan
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -229,7 +242,7 @@ def maybe_compact(
             sum(stats[d][1] for d in fold) / (target_file_mb * 1024 * 1024)
         ),
     )
-    tmp = os.path.join(path, _TMP)
+    tmp = _tmp_of(path)
     shutil.rmtree(tmp, ignore_errors=True)
     out.coalesce(n_files).write.mode("overwrite").parquet(tmp)
 
