@@ -1759,14 +1759,20 @@ def _register_qs15() -> None:
             )
 
             s = batch_df.sparkSession
-            # fold-start side-state compaction (see qs12's ingest
-            # comment). The cells table folds with a cell-wise SUM
-            # merge — count-min additivity means the snapshot IS the
-            # merged sketch, so compaction here doesn't just relabel
-            # history, it collapses it back to <= width*depth rows;
-            # the gate invariant (total count mass + distinct cell
-            # set) is exactly what the merge preserves.
-            maybe_compact(s, raw, batch_id)
+            # fold-start compaction of the CELLS table only, with a
+            # cell-wise SUM merge — count-min additivity means the
+            # snapshot IS the merged sketch, so the fold collapses
+            # history back to <= width*depth rows (the gate invariant,
+            # total count mass + distinct cell set, is exactly what
+            # the merge preserves). The RAW table is deliberately NOT
+            # compacted inline: it is a write-only landed layer —
+            # nothing reads it until serve time, so the per-batch
+            # listing growth the inline folds exist to cap never
+            # touches it, and an inline rewrite of a linearly-growing
+            # corpus is pure overhead (measured +21% on the r12
+            # 100-batch probe before this split). Its small-file
+            # maintenance is the offline x55 compaction job, like any
+            # other landed table.
             maybe_compact(
                 s,
                 cells,

@@ -57,6 +57,16 @@ batch therefore always finds its own leftover partition intact (still
 excluded from reads, still overwritten by the re-run), and a snapshot
 never absorbs rows the checkpoint might re-deliver.
 
+Call discipline: inline compaction is for tables the fold READS every
+batch (the fingerprint/shingle/band indexes and the kept corpora whose
+listing cost lands on every micro-batch's plan) plus bounded-size
+merge-collapsible state (qs15's count-min cells). A write-only landed
+layer (qs15's raw events) gets NOTHING from an inline fold — no batch
+ever lists it — and rewriting a linearly-growing corpus inline costs
+real scans (+21% on qs15's 100-batch probe before the split); its
+small-file maintenance is the offline x55 ``layout.compact`` job, like
+any other landed table.
+
 The default trigger (16 dirs) never fires in the 4-batch oracle
 harness — the committed query plans are unchanged there — and fires ~6
 times per table in the 100-batch probe, which re-measures the listing
