@@ -149,33 +149,28 @@ def _densify(sf_dir: str) -> None:
         fh.write("1\n")
 
 
-def _partition_rows(table_dir: str) -> dict[int, int]:
-    """__b=<batch> -> row count, from parquet footers only."""
-    import pyarrow.parquet as pq
+def _partition_rows(table_dir: str) -> dict:
+    """__b=<batch> -> row count, from parquet footers only (negative
+    keys = compaction snapshot generations since r12). Tables without
+    __b= partitions report one "total" entry — a STRING key, so the
+    fallback can never collide with the real __b=-1 snapshot key
+    (r12 review finding; none of the probed folds write this shape
+    since qs15's r12 conversion, kept as a fallback)."""
+    from twitter_kafka_etl_spark.streaming.side_state import _dir_stats
 
-    out: dict[int, int] = {}
+    out: dict = {}
     if not os.path.isdir(table_dir):
         return out
     for d in os.listdir(table_dir):
         if not d.startswith("__b="):
             continue
-        n = 0
-        for root, _dirs, files in os.walk(os.path.join(table_dir, d)):
-            for f in files:
-                if f.endswith(".parquet"):
-                    n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-        out[int(d.split("=", 1)[1])] = n
+        out[int(d.split("=", 1)[1])] = _dir_stats(
+            os.path.join(table_dir, d)
+        )[0]
     if not out:
-        # tables without __b= partitions: total rows only (none of the
-        # probed folds write this shape since qs15's r12 conversion to
-        # replay-idempotent overwrite partitions; kept as a fallback)
-        n = 0
-        for root, _dirs, files in os.walk(table_dir):
-            for f in files:
-                if f.endswith(".parquet"):
-                    n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        n = _dir_stats(table_dir)[0]
         if n:
-            out[-1] = n
+            out["total"] = n
     return out
 
 

@@ -5,7 +5,6 @@ end-to-end equivalence with compaction forced live mid-stream."""
 
 from __future__ import annotations
 
-import json
 import os
 
 import pytest
@@ -60,12 +59,12 @@ def test_compaction_never_folds_own_or_future_batch(spark, tmp_path):
     os.makedirs(path)
     for b in range(6):
         _write_delta(spark, path, b, lo=b * 10, n=10)
+    before = _content(spark, path)
     assert S.maybe_compact(spark, path, batch_id=4, every=2)
     parts = S._partitions(path)
     assert 4 in parts and 5 in parts  # own + future: intact
     assert [b for b in parts if 0 <= b < 4] == []  # earlier: folded
-    assert _content(spark, path) == _content(spark, path)  # readable
-    assert len(_content(spark, path)) == 60
+    assert _content(spark, path) == before
 
 
 def test_merge_variant_preserves_groupwise_sums(spark, tmp_path):
@@ -153,10 +152,10 @@ def test_journal_roll_forward_after_simulated_crash(spark, tmp_path):
         os.path.join(path, f"__b={b}") for b in range(3)
     ])
     union.coalesce(1).write.parquet(S._tmp_of(path))
-    with open(os.path.join(path, S._JOURNAL), "w") as fh:
-        json.dump(
-            {"fold": [f"__b={b}" for b in range(3)], "dest": "__b=-1"}, fh
-        )
+    S._write_journal(
+        path, {"fold": [f"__b={b}" for b in range(3)], "dest": "__b=-1",
+               "rows": 30}
+    )
     # any later fold-start call recovers first (here: no new fold runs,
     # only 1 committed delta remains afterwards)
     assert S.maybe_compact(spark, path, batch_id=4, every=8) is False
@@ -171,6 +170,93 @@ def test_journal_roll_forward_after_simulated_crash(spark, tmp_path):
     )
     assert S.maybe_compact(spark, path, batch_id=4, every=8) is False
     assert not os.path.exists(S._tmp_of(path))
+
+
+def test_crash_at_every_swap_step_preserves_content(
+    spark, tmp_path, monkeypatch
+):
+    """Systematic crash injection: kill the swap at EVERY rename step
+    (3 fold-dir renames + the tmp→dest rename), then recover via the
+    next fold-start call. Whatever the crash point, the table's visible
+    content after recovery equals the pre-fold content — the module's
+    'no row present zero times or twice' claim, exercised at every
+    reachable interruption, not just one."""
+    import itertools
+
+    real_rename = os.rename
+    for crash_at in itertools.count(1):
+        path = str(tmp_path / f"state_{crash_at}")
+        os.makedirs(path)
+        for b in range(4):
+            _write_delta(spark, path, b, lo=b * 10, n=10)
+        before = _content(spark, path)
+        calls = {"n": 0}
+
+        def bomb(src, dst, *, _ca=crash_at, _c=calls):
+            _c["n"] += 1
+            if _c["n"] == _ca:
+                raise RuntimeError("injected crash")
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(S.os, "rename", bomb)
+        try:
+            S.maybe_compact(spark, path, batch_id=4, every=2)
+            crashed = False
+        except RuntimeError as e:
+            assert "injected crash" in str(e)
+            crashed = True
+        finally:
+            monkeypatch.setattr(S.os, "rename", real_rename)
+        # recovery = the next fold-start call (no new fold triggers:
+        # at most 1 un-folded delta remains after roll-forward)
+        S.maybe_compact(spark, path, batch_id=4, every=8)
+        assert _content(spark, path) == before, f"crash point {crash_at}"
+        assert not os.path.exists(os.path.join(path, S._JOURNAL))
+        assert not os.path.exists(S._tmp_of(path))
+        if not crashed:  # rename count exceeded the protocol's total
+            break
+
+
+def test_torn_snapshot_rolls_back_not_forward(spark, tmp_path):
+    """Power-loss emulation: the journal committed but the snapshot's
+    data pages are gone (journaled row count disagrees with the tmp
+    footers). Recovery must roll BACK — sources restored bit-identical,
+    no truncated snapshot installed — including when the crash had
+    already moved some sources into trash."""
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    for b in range(4):
+        _write_delta(spark, path, b, lo=b * 10, n=10)
+    before = _content(spark, path)
+    # verified-looking tmp... with a journal claiming MORE rows than
+    # the files hold (= pages lost after the fsync the journal assumed)
+    union = spark.read.parquet(*[
+        os.path.join(path, f"__b={b}") for b in range(3)
+    ])
+    union.coalesce(1).write.parquet(S._tmp_of(path))
+    S._write_journal(
+        path, {"fold": [f"__b={b}" for b in range(3)], "dest": "__b=-1",
+               "rows": 9999}
+    )
+    # one source already in trash: recovery must restore it
+    os.makedirs(S._trash_of(path))
+    os.rename(
+        os.path.join(path, "__b=0"),
+        os.path.join(S._trash_of(path), "__b=0"),
+    )
+    assert S.maybe_compact(spark, path, batch_id=4, every=8) is False
+    assert sorted(S._partitions(path)) == [0, 1, 2, 3]
+    assert _content(spark, path) == before
+    assert not os.path.exists(S._tmp_of(path))
+    assert not os.path.exists(os.path.join(path, S._JOURNAL))
+    # torn JOURNAL variant: unparseable journal = pre-commit state
+    union2 = spark.range(5).selectExpr("id as k", "md5(string(id)) as v")
+    union2.coalesce(1).write.parquet(S._tmp_of(path))
+    with open(os.path.join(path, S._JOURNAL), "w") as fh:
+        fh.write('{"fold": ["__b=')  # torn mid-write
+    assert S.maybe_compact(spark, path, batch_id=4, every=8) is False
+    assert _content(spark, path) == before
+    assert not os.path.exists(os.path.join(path, S._JOURNAL))
 
 
 def test_qs12_with_live_compaction_matches_oracle(

@@ -374,17 +374,12 @@ def _run_to_sink(stream_df: DataFrame, work: str, partition_by=None) -> str:
 def _rows_in(path: str) -> int:
     """Row count from parquet FOOTERS, driver-side — tracking an
     accumulated index's size (the bloom-crossover decision in qs12 and
-    qs14) must not cost a Spark job per micro-batch."""
-    import pyarrow.parquet as pq
+    qs14) must not cost a Spark job per micro-batch. Delegates to the
+    single footer-walk implementation (side_state._dir_stats) so a fix
+    there propagates everywhere (r12 review finding)."""
+    from twitter_kafka_etl_spark.streaming.side_state import _dir_stats
 
-    total = 0
-    for root_, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += pq.ParquetFile(
-                    os.path.join(root_, f)
-                ).metadata.num_rows
-    return total
+    return _dir_stats(path)[0]
 
 
 def _state_partitions(df: DataFrame, big_rows: int = 500_000) -> int:
@@ -1198,16 +1193,20 @@ def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
             maybe_compact,
         )
 
-        # Fold-start compaction of the accumulated side tables: the r11
-        # 100-batch probe isolated the one growing per-batch cost term
-        # to the listing/footer walk over the accumulating __b= dirs
-        # (+9-10 ms/batch at 100 dirs — SURVEY §6); every N committed
-        # deltas roll into a checksum-gated snapshot partition, capping
-        # the live dir count. Never triggers at the 4-batch oracle
-        # schedule; replay-safe by construction (only __b < batch_id
-        # folds — see side_state.py).
+        # Fold-start compaction of the INDEX only: the r11 100-batch
+        # probe isolated the one growing per-batch cost term to the
+        # listing/footer walk over the accumulating __b= dirs
+        # (+9-10 ms/batch at 100 dirs — SURVEY §6), and the index is
+        # what every batch lists (seen_fps + the pre-crossover
+        # _rows_in walk); every N committed deltas roll into a
+        # checksum-gated snapshot partition, capping the live dir
+        # count. The CORPUS is deliberately not folded inline — it is
+        # a write-only landed layer (full document text, read only at
+        # serve time), exactly the shape side_state.py's call
+        # discipline routes to offline x55 maintenance. Never triggers
+        # at the 4-batch oracle schedule; replay-safe by construction
+        # (only __b < batch_id folds — see side_state.py).
         maybe_compact(batch_df.sparkSession, index, batch_id)
-        maybe_compact(batch_df.sparkSession, corpus, batch_id)
         # Replay safety (round-5 advice, queries.py:1073): the index and
         # corpus writes land OUTSIDE the streaming checkpoint
         # transaction, so a crash between the index append and the
@@ -1561,10 +1560,13 @@ def qs14(spark: SparkSession, sf_dir: str) -> DataFrame:
             maybe_compact,
         )
 
-        # fold-start side-state compaction (see qs12's ingest comment):
-        # caps the per-batch __b= listing walk the r11 probe isolated
+        # fold-start compaction of the shingle INDEX only (see qs12's
+        # ingest comment): every batch anti-joins against it and the
+        # pre-crossover footer walk counts it, so its dir count lands
+        # on every micro-batch plan; the STATS table (one row per
+        # batch, read only at serve) is a write-only landed layer per
+        # side_state.py's call discipline
         maybe_compact(s, index, batch_id)
-        maybe_compact(s, stats, batch_id)
 
         def seen_hashes() -> DataFrame:
             return (

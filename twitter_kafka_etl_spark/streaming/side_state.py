@@ -35,20 +35,27 @@ bounding the live dir count. Three properties carry the design:
   that drops, duplicates or mangles one row aborts loudly BEFORE any
   source dir is touched; an additive merge (qs15's count-min cells)
   passes its own merge-preserved invariant instead.
-- **Intent-journal crash protocol.** POSIX gives no atomic
-  "delete N dirs + rename 1"; Structured Streaming's own file sink
-  solves the same problem with a metadata log. Order here: (1) write
-  the snapshot to a SIBLING tmp dir (outside the table root, so it is
-  invisible to readers and safe to read back for the gate), (2) verify
-  the checksum, (3) write a journal naming the folded dirs and the
-  destination, (4) rename folded dirs into a sibling trash dir,
-  (5) rename tmp → ``__b=-g``, (6) delete trash + journal. Every step
-  after (3) is idempotent, so a crash anywhere is rolled FORWARD at the
-  next call; a crash before (3) leaves only an orphan tmp that is
-  swept. At no point is a row present zero times or twice in the
-  visible listing. On object stores without atomic rename (S3), step
-  (3)'s journal generalizes to the manifest the reads consult — same
-  protocol, different visibility primitive.
+- **Intent-journal crash protocol, power-loss safe.** POSIX gives no
+  atomic "delete N dirs + rename 1"; Structured Streaming's own file
+  sink solves the same problem with a metadata log. Order here:
+  (1) write the snapshot to a SIBLING tmp dir (outside the table root,
+  so it is invisible to readers and safe to read back for the gate),
+  (2) verify the checksum, (3) fsync the snapshot tree — data pages
+  durable BEFORE anything commits to installing them, (4) durably
+  write a journal (tmp + fsync + atomic replace + dir fsync) naming
+  the folded dirs, the destination, and the EXPECTED snapshot row
+  count, (5) rename folded dirs into a sibling trash dir, (6) rename
+  tmp → ``__b=-g``, (7) delete trash + journal. The journal is the
+  commit point: a crash before it leaves only an orphan tmp (swept);
+  a crash after it rolls FORWARD — but recovery first RE-VERIFIES the
+  tmp snapshot against the journaled row count from its parquet
+  footers, so even a snapshot torn by power loss (fsync bugs, disk
+  cache lies) rolls the swap BACK with sources restored rather than
+  installing truncated data. Every post-journal step is idempotent.
+  At no point is a row present zero times or twice in the visible
+  listing. On object stores without atomic rename (S3), the journal
+  generalizes to the manifest the reads consult — same protocol,
+  different visibility primitive.
 
 Replay safety: only partitions with ``0 <= __b < batch_id`` are ever
 folded — strictly earlier batches, which foreachBatch has already
@@ -168,22 +175,107 @@ def _default_invariant(df: DataFrame) -> DataFrame:
     )
 
 
-def _recover(path: str) -> None:
-    """Roll an interrupted swap FORWARD (journal present — the tmp
-    snapshot was verified complete before the journal was written), and
-    sweep any orphan tmp from a crash before the journal existed."""
+def _fsync_tree(path: str) -> None:
+    """fsync every file under ``path`` plus the dirs themselves, so the
+    snapshot's data pages are durable BEFORE the journal that commits
+    to installing it — without this, a power loss (not just a process
+    crash) could persist the tiny journal but lose the just-written
+    parquet pages to delayed allocation, and roll-forward would install
+    a truncated snapshot (r12 review finding)."""
+    for root_, dirs, files in os.walk(path, topdown=False):
+        for name in files:
+            fd = os.open(os.path.join(root_, name), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        fd = os.open(root_, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+
+def _write_journal(path: str, journal: dict) -> None:
+    """Durable journal write: tmp file + fsync + atomic replace + dir
+    fsync. A torn journal is therefore impossible on a POSIX fs; a
+    crash before the replace leaves no journal (pre-swap state)."""
+    jpath = os.path.join(path, _JOURNAL)
+    with open(jpath + ".tmp", "w", encoding="utf-8") as fh:
+        json.dump(journal, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(jpath + ".tmp", jpath)
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _rollback(path: str) -> None:
+    """Undo a partially-applied swap: restore anything already moved to
+    trash, then drop the tmp snapshot and the journal. Leaves the table
+    exactly as it was before the fold started."""
+    trash = _trash_of(path)
+    if os.path.isdir(trash):
+        for d in os.listdir(trash):
+            target = os.path.join(path, d)
+            if not os.path.exists(target):
+                os.rename(os.path.join(trash, d), target)
+        shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(_tmp_of(path), ignore_errors=True)
     jpath = os.path.join(path, _JOURNAL)
     if os.path.exists(jpath):
-        with open(jpath, encoding="utf-8") as fh:
-            j = json.load(fh)
+        os.remove(jpath)
+
+
+def _recover(path: str) -> None:
+    """Finish an interrupted swap. The journal names the folded dirs,
+    the destination, and the EXPECTED SNAPSHOT ROW COUNT; before any
+    destructive step the tmp snapshot (when still present) is
+    re-verified against that count from its parquet footers — a
+    snapshot torn by power loss rolls the swap BACK (sources restored
+    untouched, fold retried from scratch at the next trigger) instead
+    of being installed. A journal that fails to parse means the
+    durable-replace in _write_journal never completed, i.e. no
+    destructive step ran: also roll back. Once the tmp has been
+    verified (or already renamed into place), every remaining step is
+    idempotent and rolls FORWARD. Orphan tmp without a journal = crash
+    before the commit point: swept."""
+    jpath = os.path.join(path, _JOURNAL)
+    if os.path.exists(jpath):
+        try:
+            with open(jpath, encoding="utf-8") as fh:
+                j = json.load(fh)
+            fold, dest_name, rows = j["fold"], j["dest"], int(j["rows"])
+        except (ValueError, KeyError):
+            _rollback(path)
+            return
+        tmp = _tmp_of(path)
+        dest = os.path.join(path, dest_name)
+        if not os.path.exists(tmp) and not os.path.exists(dest):
+            # unreachable by any crash schedule (tmp is only removed
+            # after the rename or by rollback, which also removes the
+            # journal) — but if it ever occurs, rolling forward would
+            # delete sources with no snapshot; restore instead
+            _rollback(path)
+            return
+        if os.path.exists(tmp) and not os.path.exists(dest):
+            try:
+                ok = _dir_stats(tmp)[0] == rows
+            except Exception:  # unreadable footer = torn write
+                ok = False
+            if not ok:
+                _rollback(path)
+                return
+        # commit point passed and snapshot verified: roll forward
         trash = _trash_of(path)
         os.makedirs(trash, exist_ok=True)
-        for d in j["fold"]:
+        for d in fold:
             src = os.path.join(path, d)
             if os.path.exists(src):
                 os.rename(src, os.path.join(trash, d))
-        tmp = _tmp_of(path)
-        dest = os.path.join(path, j["dest"])
         if os.path.exists(tmp) and not os.path.exists(dest):
             os.rename(tmp, dest)
         shutil.rmtree(trash, ignore_errors=True)
@@ -213,6 +305,14 @@ def maybe_compact(
     checksum is only valid for pure rewrites); computed over the input
     union and over the written snapshot files, compared exactly.
     """
+    if merge is not None and invariant is None:
+        # validated BEFORE the trigger early-return: a mis-wired call
+        # site must fail on its first batch in every harness, not at
+        # batch >= every mid-production (r12 review finding)
+        raise ValueError(
+            "maybe_compact: a custom merge changes row identity — pass "
+            "the merge-preserved invariant explicitly"
+        )
     if not os.path.isdir(path):
         return False
     _recover(path)
@@ -220,11 +320,6 @@ def maybe_compact(
     deltas = {b: d for b, d in parts.items() if 0 <= b < batch_id}
     if len(deltas) < (every if every is not None else _every()):
         return False
-    if merge is not None and invariant is None:
-        raise ValueError(
-            "maybe_compact: a custom merge changes row identity — pass "
-            "the merge-preserved invariant explicitly"
-        )
     inv = invariant or _default_invariant
 
     # choose the runs: all committed deltas, plus (tiered rule) any
@@ -272,10 +367,13 @@ def maybe_compact(
             f"{tuple(got)}); sources left untouched"
         )
 
-    # intent journal, then the idempotent swap (see module docstring)
-    jpath = os.path.join(path, _JOURNAL)
-    with open(jpath + ".tmp", "w", encoding="utf-8") as fh:
-        json.dump({"fold": fold, "dest": dest}, fh)
-    os.replace(jpath + ".tmp", jpath)
+    # durability fence, then the intent journal (the commit point),
+    # then the idempotent swap (see module docstring): the snapshot's
+    # pages must be on disk before the journal that commits to
+    # installing it, and the journal carries the expected row count so
+    # recovery re-verifies the snapshot before any destructive step
+    snap_rows = _dir_stats(tmp)[0]
+    _fsync_tree(tmp)
+    _write_journal(path, {"fold": fold, "dest": dest, "rows": snap_rows})
     _recover(path)
     return True
