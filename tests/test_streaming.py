@@ -65,6 +65,63 @@ def test_probe_densify_requires_provenance_marker(tmp_path):
     ].to_pylist() == [1, 1_000_000_001]
 
 
+def test_ingest_non_contiguous_id_schedule_matches_oracle(spark, sf_dir):
+    """The ingest queries stage arrival by doc_id RANGE buckets; the
+    driver corpora have dense contiguous ids, so the committed checks
+    never exercise a sparse key space (r11 verdict idle item). Derive a
+    corpus with doc_id -> 7*id + 13 (order-preserving, gapped): range
+    buckets now cut at points unaligned with row counts, batches are
+    uneven, and the first bucket starts nowhere near 0. Both the exact
+    (qs12) and near-dup (qs17) ingests must still match their oracles
+    bit-for-bit on the derived corpus — the oracle SQL derives its
+    width from the same MAX(doc_id), so semantics (not staging luck)
+    are what's compared."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from twitter_kafka_etl_spark.plans import REGISTRY
+    from twitter_kafka_etl_spark.plans.oracle import compare, duckdb_connection
+
+    # stable derived dir (not pytest tmp): _staged_input caches by path
+    gap_dir = os.path.join(
+        tempfile.gettempdir(), f"tkes_gapids_{os.path.basename(sf_dir)}"
+    )
+    os.makedirs(gap_dir, exist_ok=True)
+    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    ids = src["doc_id"].combine_chunks()
+    gapped = pc.add(pc.multiply(ids, pa.scalar(7, ids.type)),
+                    pa.scalar(13, ids.type))
+    out_path = os.path.join(gap_dir, "documents.parquet")
+    if not os.path.exists(out_path):
+        pq.write_table(
+            src.set_column(
+                src.schema.get_field_index("doc_id"),
+                src.schema.field("doc_id"),
+                gapped,
+            ),
+            out_path,
+        )
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        link = os.path.join(gap_dir, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(sf_dir, f"{t}.parquet"), link)
+    con = duckdb_connection(gap_dir)
+    try:
+        for name in (
+            "qs12_stream_incremental_dedup",
+            "qs17_stream_neardup_ingest",
+        ):
+            got = REGISTRY[name].build(spark, gap_dir)
+            ok, msg = compare(got, con, REGISTRY[name].oracle)
+            assert ok, f"{name} on gapped ids: {msg}"
+    finally:
+        con.close()
+
+
 def test_qs1_kafka_shape_roundtrip(spark, sf_dir):
     out = REGISTRY["qs1_stream_kafka_shape"].build(spark, sf_dir)
     rows = out.collect()
