@@ -83,6 +83,10 @@ _REWRITTEN_OPS: dict[str, int] = {
     # builder internals moved post-check)
     "streaming.queries._run_to_sink": 12,
     "streaming.queries._tap_frame": 12,
+    # r12: footer walk consolidated into side_state._dir_stats
+    # (consumers qs12/qs14 — already fronted via maybe_compact, listed
+    # for bookkeeping precision)
+    "streaming.queries._rows_in": 12,
 }
 # NOT registered: _order_files' numeric-aware sort — for every staging
 # the committed queries produce (≤10 single-digit "__f=N" dirs) the
