@@ -156,17 +156,19 @@ def _partition_rows(table_dir: str) -> dict:
     fallback can never collide with the real __b=-1 snapshot key
     (r12 review finding; none of the probed folds write this shape
     since qs15's r12 conversion, kept as a fallback)."""
-    from twitter_kafka_etl_spark.streaming.side_state import _dir_stats
+    from twitter_kafka_etl_spark.streaming.side_state import (
+        _dir_stats,
+        _partitions,
+    )
 
     out: dict = {}
     if not os.path.isdir(table_dir):
         return out
-    for d in os.listdir(table_dir):
-        if not d.startswith("__b="):
-            continue
-        out[int(d.split("=", 1)[1])] = _dir_stats(
-            os.path.join(table_dir, d)
-        )[0]
+    # _partitions, not a re-parse: it already guards non-integer
+    # values (a NULL label writes __b=__HIVE_DEFAULT_PARTITION__,
+    # which int() would crash the probe on — r12 review)
+    for b, d in _partitions(table_dir).items():
+        out[b] = _dir_stats(os.path.join(table_dir, d))[0]
     if not out:
         n = _dir_stats(table_dir)[0]
         if n:

@@ -176,11 +176,13 @@ def test_crash_at_every_swap_step_preserves_content(
     spark, tmp_path, monkeypatch
 ):
     """Systematic crash injection: kill the swap at EVERY rename step
-    (3 fold-dir renames + the tmp→dest rename), then recover via the
-    next fold-start call. Whatever the crash point, the table's visible
-    content after recovery equals the pre-fold content — the module's
-    'no row present zero times or twice' claim, exercised at every
-    reachable interruption, not just one."""
+    (one per folded dir — 4 here, with batch_id=4 — plus the tmp→dest
+    rename; the itertools.count loop discovers the total rather than
+    hardcoding it), then recover via the next fold-start call. Whatever
+    the crash point, the table's visible content after recovery equals
+    the pre-fold content — the module's 'no row present zero times or
+    twice' claim, exercised at every reachable interruption, not just
+    one."""
     import itertools
 
     real_rename = os.rename
@@ -256,6 +258,71 @@ def test_torn_snapshot_rolls_back_not_forward(spark, tmp_path):
         fh.write('{"fold": ["__b=')  # torn mid-write
     assert S.maybe_compact(spark, path, batch_id=4, every=8) is False
     assert _content(spark, path) == before
+    assert not os.path.exists(os.path.join(path, S._JOURNAL))
+
+
+def test_torn_installed_dest_restored_from_trash(spark, tmp_path):
+    """Deeper power-loss case: the snapshot was already RENAMED into
+    place when its pages turn out torn (footer count disagrees with the
+    journal) and the trash still holds the sources' last copy. The
+    cleanup must not commit the torn snapshot — recovery replaces it
+    from trash."""
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    for b in range(3):
+        _write_delta(spark, path, b, lo=b * 10, n=10)
+    before = _content(spark, path)
+    # simulate: all sources renamed to trash, dest installed but torn
+    # (journal claims 30 rows, dest holds 10), tmp gone
+    os.makedirs(S._trash_of(path))
+    for b in range(3):
+        os.rename(
+            os.path.join(path, f"__b={b}"),
+            os.path.join(S._trash_of(path), f"__b={b}"),
+        )
+    _write_delta(spark, path, -1, lo=0, n=10)  # torn dest: 10 rows
+    S._write_journal(
+        path, {"fold": [f"__b={b}" for b in range(3)], "dest": "__b=-1",
+               "rows": 30}
+    )
+    S._recover(path)
+    assert sorted(S._partitions(path)) == [0, 1, 2]
+    assert _content(spark, path) == before
+    assert not os.path.exists(os.path.join(path, S._JOURNAL))
+    assert not os.path.isdir(S._trash_of(path))
+
+
+def test_legacy_journal_without_rows_rolls_forward(spark, tmp_path):
+    """A parseable journal without the r12 'rows' field (the pre-r12
+    format) must roll FORWARD under its original semantics. Treating it
+    as torn would restore the trash next to an already-installed
+    snapshot and double every folded row."""
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    for b in range(3):
+        _write_delta(spark, path, b, lo=b * 10, n=10)
+    before = _content(spark, path)
+    # old-protocol crash state: snapshot installed, sources in trash,
+    # legacy journal (no rows) still present
+    union = spark.read.parquet(*[
+        os.path.join(path, f"__b={b}") for b in range(3)
+    ])
+    union.coalesce(1).write.parquet(os.path.join(path, "__b=-1"))
+    os.makedirs(S._trash_of(path))
+    for b in range(3):
+        os.rename(
+            os.path.join(path, f"__b={b}"),
+            os.path.join(S._trash_of(path), f"__b={b}"),
+        )
+    import json as _json
+
+    with open(os.path.join(path, S._JOURNAL), "w") as fh:
+        _json.dump(
+            {"fold": [f"__b={b}" for b in range(3)], "dest": "__b=-1"}, fh
+        )
+    S._recover(path)
+    assert sorted(S._partitions(path)) == [-1]
+    assert _content(spark, path) == before  # each row exactly once
     assert not os.path.exists(os.path.join(path, S._JOURNAL))
 
 

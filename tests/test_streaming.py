@@ -85,25 +85,42 @@ def test_ingest_non_contiguous_id_schedule_matches_oracle(spark, sf_dir):
     from twitter_kafka_etl_spark.plans import REGISTRY
     from twitter_kafka_etl_spark.plans.oracle import compare, duckdb_connection
 
-    # stable derived dir (not pytest tmp): _staged_input caches by path
+    # stable derived dir (not pytest tmp): _staged_input caches by path.
+    # Cache keyed on the SOURCE corpus identity and written via
+    # tmp+atomic-replace (the _write_journal pattern): an exists()-only
+    # guard would serve a truncated file forever after an interrupted
+    # first write, and stale data after a regenerated source corpus
+    # (r12 review).
     gap_dir = os.path.join(
         tempfile.gettempdir(), f"tkes_gapids_{os.path.basename(sf_dir)}"
     )
     os.makedirs(gap_dir, exist_ok=True)
-    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
-    ids = src["doc_id"].combine_chunks()
-    gapped = pc.add(pc.multiply(ids, pa.scalar(7, ids.type)),
-                    pa.scalar(13, ids.type))
+    src_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src_path)
+    key = f"{os.path.abspath(src_path)}|{st.st_mtime_ns}:{st.st_size}"
+    marker = os.path.join(gap_dir, ".staged")
     out_path = os.path.join(gap_dir, "documents.parquet")
-    if not os.path.exists(out_path):
+    try:
+        with open(marker) as fh:
+            cached = fh.read() == key and os.path.exists(out_path)
+    except OSError:
+        cached = False
+    if not cached:
+        src = pq.read_table(src_path)
+        ids = src["doc_id"].combine_chunks()
+        gapped = pc.add(pc.multiply(ids, pa.scalar(7, ids.type)),
+                        pa.scalar(13, ids.type))
         pq.write_table(
             src.set_column(
                 src.schema.get_field_index("doc_id"),
                 src.schema.field("doc_id"),
                 gapped,
             ),
-            out_path,
+            out_path + ".tmp",
         )
+        os.replace(out_path + ".tmp", out_path)
+        with open(marker, "w") as fh:  # marker LAST
+            fh.write(key)
     for t in ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "embeddings"):
         link = os.path.join(gap_dir, f"{t}.parquet")

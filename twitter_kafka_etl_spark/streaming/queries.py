@@ -1238,16 +1238,25 @@ def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        use_bloom = (
-            os.path.exists(index) and _rows_in(index) > crossover
-        )
+        # once the bitmap exists it is authoritative — recounting the
+        # index's parquet footers every micro-batch would reintroduce
+        # a per-batch cost that grows with state size, the exact cost
+        # the bloom exists to cap (qs14's r7 guard, mirrored here per
+        # the r12 review): the footer walk runs only pre-crossover,
+        # and its one result feeds both the decision and the sizing
+        if state["words"] is not None:
+            use_bloom = True
+            n_index = 0
+        else:
+            n_index = _rows_in(index) if os.path.exists(index) else 0
+            use_bloom = n_index > crossover
         if use_bloom and state["words"] is None:
             # crossover bootstrap: size the bitmap to the index it
             # replaces (~64 bits per current key = headroom for 4x
             # further growth at <1% FP before a rebuild; in production
             # m comes from capacity planning), then build it from that
             # index — one scan, paid once, never again
-            m = max(K.BLOOM_M, 64 * _rows_in(index))
+            m = max(K.BLOOM_M, 64 * n_index)
             state["m"] = m + (-m) % K.BLOOM_WORD
             state["words"] = np.zeros(
                 state["m"] // K.BLOOM_WORD, dtype=np.int64

@@ -237,21 +237,36 @@ def _recover(path: str) -> None:
     re-verified against that count from its parquet footers — a
     snapshot torn by power loss rolls the swap BACK (sources restored
     untouched, fold retried from scratch at the next trigger) instead
-    of being installed. A journal that fails to parse means the
+    of being installed — and the same count gates the INSTALLED
+    snapshot while the trash still holds the sources' last copy, so a
+    dest torn after its rename is replaced from trash rather than made
+    permanent by the cleanup. A journal that fails to PARSE means the
     durable-replace in _write_journal never completed, i.e. no
-    destructive step ran: also roll back. Once the tmp has been
-    verified (or already renamed into place), every remaining step is
-    idempotent and rolls FORWARD. Orphan tmp without a journal = crash
-    before the commit point: swept."""
+    destructive step ran: roll back (trash cannot exist yet). A
+    parseable journal without a ``rows`` field (the pre-r12 format) is
+    rolled forward under its original semantics — verification is
+    simply skipped; treating it as torn would restore trash next to an
+    already-installed snapshot and double every folded row. Orphan tmp
+    without a journal = crash before the commit point: swept."""
     jpath = os.path.join(path, _JOURNAL)
     if os.path.exists(jpath):
         try:
             with open(jpath, encoding="utf-8") as fh:
                 j = json.load(fh)
-            fold, dest_name, rows = j["fold"], j["dest"], int(j["rows"])
+            fold, dest_name = j["fold"], j["dest"]
+            rows = int(j["rows"]) if "rows" in j else None
         except (ValueError, KeyError):
             _rollback(path)
             return
+
+        def _verified(d: str) -> bool:
+            if rows is None:
+                return True
+            try:
+                return _dir_stats(d)[0] == rows
+            except Exception:  # unreadable footer = torn write
+                return False
+
         tmp = _tmp_of(path)
         dest = os.path.join(path, dest_name)
         if not os.path.exists(tmp) and not os.path.exists(dest):
@@ -262,11 +277,17 @@ def _recover(path: str) -> None:
             _rollback(path)
             return
         if os.path.exists(tmp) and not os.path.exists(dest):
-            try:
-                ok = _dir_stats(tmp)[0] == rows
-            except Exception:  # unreadable footer = torn write
-                ok = False
-            if not ok:
+            if not _verified(tmp):
+                _rollback(path)
+                return
+        elif os.path.exists(dest) and os.path.isdir(_trash_of(path)):
+            # dest already installed but the trash (the sources' last
+            # copy) not yet cleaned: re-verify the INSTALLED snapshot
+            # too — a dest torn after its rename (the fsync-distrust
+            # threat model) must be replaced from trash, not committed
+            # by the cleanup below
+            if not _verified(dest):
+                shutil.rmtree(dest, ignore_errors=True)
                 _rollback(path)
                 return
         # commit point passed and snapshot verified: roll forward
