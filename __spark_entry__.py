@@ -87,6 +87,13 @@ _REWRITTEN_OPS: dict[str, int] = {
     # (consumers qs12/qs14 — already fronted via maybe_compact, listed
     # for bookkeeping precision)
     "streaming.queries._rows_in": 12,
+    # r13: compaction-swap durability fences (r12 advice) — _recover
+    # re-verifies the INSTALLED snapshot before any trash deletion and
+    # fsyncs the table root around each destructive step; _rollback
+    # fsyncs after restoring sources. Recovery-path only (the happy
+    # path still never triggers at the 4-batch oracle schedule), but
+    # the fold internals changed post-check.
+    "streaming.side_state._recover": 13,
 }
 # NOT registered: _order_files' numeric-aware sort — for every staging
 # the committed queries produce (≤10 single-digit "__f=N" dirs) the

@@ -317,6 +317,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     import tempfile
 
     tap = tempfile.mkdtemp(prefix="tkes_plan_tap_")
+    prior_tap = os.environ.get("SPARK_GRAFT_PLAN_TAP")
     os.environ["SPARK_GRAFT_PLAN_TAP"] = tap
     try:
         for name, tag, note in STREAM_SHOWCASE:
@@ -328,7 +329,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
                 f"{note}\n\n```\n{plan.strip()}\n```\n"
             )
     finally:
-        del os.environ["SPARK_GRAFT_PLAN_TAP"]
+        # restore, don't discard: a caller-set tap must survive this
+        # script (and keep pointing where the caller aimed it)
+        if prior_tap is None:
+            os.environ.pop("SPARK_GRAFT_PLAN_TAP", None)
+        else:
+            os.environ["SPARK_GRAFT_PLAN_TAP"] = prior_tap
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(path, "w") as f:
         f.write("\n".join(out))

@@ -196,6 +196,18 @@ def _fsync_tree(path: str) -> None:
             os.close(fd)
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync one directory's metadata (its entry list). The swap's
+    correctness argument assumes renames become durable in program
+    order; a filesystem that reorders metadata ops breaks that unless
+    each destructive step is fenced behind an explicit dir fsync."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _write_journal(path: str, journal: dict) -> None:
     """Durable journal write: tmp file + fsync + atomic replace + dir
     fsync. A torn journal is therefore impossible on a POSIX fs; a
@@ -206,11 +218,7 @@ def _write_journal(path: str, journal: dict) -> None:
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(jpath + ".tmp", jpath)
-    fd = os.open(path, os.O_RDONLY)
-    try:
-        os.fsync(fd)
-    finally:
-        os.close(fd)
+    _fsync_dir(path)
 
 
 def _rollback(path: str) -> None:
@@ -224,6 +232,11 @@ def _rollback(path: str) -> None:
             if not os.path.exists(target):
                 os.rename(os.path.join(trash, d), target)
         shutil.rmtree(trash, ignore_errors=True)
+        # restored sources durable BEFORE the journal disappears — a
+        # power loss that persisted the journal removal but not the
+        # restore renames would otherwise leave the table with neither
+        # sources nor a journal to retry from (r12 advice)
+        _fsync_dir(path)
     shutil.rmtree(_tmp_of(path), ignore_errors=True)
     jpath = os.path.join(path, _JOURNAL)
     if os.path.exists(jpath):
@@ -280,17 +293,9 @@ def _recover(path: str) -> None:
             if not _verified(tmp):
                 _rollback(path)
                 return
-        elif os.path.exists(dest) and os.path.isdir(_trash_of(path)):
-            # dest already installed but the trash (the sources' last
-            # copy) not yet cleaned: re-verify the INSTALLED snapshot
-            # too — a dest torn after its rename (the fsync-distrust
-            # threat model) must be replaced from trash, not committed
-            # by the cleanup below
-            if not _verified(dest):
-                shutil.rmtree(dest, ignore_errors=True)
-                _rollback(path)
-                return
-        # commit point passed and snapshot verified: roll forward
+        # commit point passed and the staged snapshot verified: roll
+        # forward. The INSTALLED snapshot is re-verified below, after
+        # the rename and before any trash deletion.
         trash = _trash_of(path)
         os.makedirs(trash, exist_ok=True)
         for d in fold:
@@ -299,7 +304,28 @@ def _recover(path: str) -> None:
                 os.rename(src, os.path.join(trash, d))
         if os.path.exists(tmp) and not os.path.exists(dest):
             os.rename(tmp, dest)
+        # durability fence between install and destruction (r12
+        # advice): make the dest + fold renames durable, then re-verify
+        # the INSTALLED snapshot while the trash still holds the
+        # sources' last complete copy — only then may that copy be
+        # destroyed. Without the fsync, a metadata-reordering power
+        # loss could persist the trash deletion while losing the dest
+        # rename (neither snapshot nor sources); without the
+        # verify-before-delete, a dest torn after its rename (the
+        # fsync-distrust threat model) would see its only replacement
+        # material destroyed mid-rmtree and be silently committed.
+        _fsync_dir(path)
+        if not _verified(dest):
+            shutil.rmtree(dest, ignore_errors=True)
+            _rollback(path)
+            return
         shutil.rmtree(trash, ignore_errors=True)
+        # trash removal durable before the journal vanishes: a
+        # resurrected trash dir next to a removed journal would look
+        # like rollback material to no one (nothing reads it without a
+        # journal) but would shadow-restore on the NEXT fold's
+        # _rollback; fence it away
+        _fsync_dir(path)
         os.remove(jpath)
     tmp = _tmp_of(path)
     if os.path.exists(tmp):  # crashed before the journal: orphan
