@@ -94,6 +94,15 @@ _REWRITTEN_OPS: dict[str, int] = {
     # path still never triggers at the 4-batch oracle schedule), but
     # the fold internals changed post-check.
     "streaming.side_state._recover": 13,
+    # r13: manifest (rename-free, object-store) visibility mode —
+    # maybe_compact dispatches on the table's visibility primitive,
+    # the four ingest folds' side-table reads went through read_side
+    # and their writes gained register_batch publishes, and _rows_in
+    # counts live partitions only. Default-path (listing-visible)
+    # plans unchanged, but every touched fold re-verifies.
+    "streaming.side_state.maybe_compact": 13,
+    "streaming.side_state.read_side": 13,
+    "streaming.queries._rows_in": 13,
 }
 # NOT registered: _order_files' numeric-aware sort — for every staging
 # the committed queries produce (≤10 single-digit "__f=N" dirs) the

@@ -374,12 +374,14 @@ def _run_to_sink(stream_df: DataFrame, work: str, partition_by=None) -> str:
 def _rows_in(path: str) -> int:
     """Row count from parquet FOOTERS, driver-side — tracking an
     accumulated index's size (the bloom-crossover decision in qs12 and
-    qs14) must not cost a Spark job per micro-batch. Delegates to the
-    single footer-walk implementation (side_state._dir_stats) so a fix
-    there propagates everywhere (r12 review finding)."""
-    from twitter_kafka_etl_spark.streaming.side_state import _dir_stats
+    qs14) must not cost a Spark job per micro-batch. Delegates to
+    side_state.live_rows: the footer walk covers exactly the VISIBLE
+    partitions — the whole root for a listing-visible table, the
+    manifest-listed dirs for a manifest table (where the root may also
+    hold invisible garbage awaiting GC)."""
+    from twitter_kafka_etl_spark.streaming.side_state import live_rows
 
-    return _dir_stats(path)[0]
+    return live_rows(path)
 
 
 def _state_partitions(df: DataFrame, big_rows: int = 500_000) -> int:
@@ -1191,6 +1193,8 @@ def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from twitter_kafka_etl_spark.streaming.side_state import (
             maybe_compact,
+            read_side,
+            register_batch,
         )
 
         # Fold-start compaction of the INDEX only: the r11 100-batch
@@ -1225,8 +1229,10 @@ def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = batch_df.sparkSession
 
         def seen_fps() -> DataFrame:
+            # read_side: listing-visible or manifest-visible, the
+            # table decides (side_state manifest mode)
             return (
-                s.read.parquet(index)
+                read_side(s, index)
                 .filter(F.col("__b") != batch_id)
                 .select("fp")
             )
@@ -1338,6 +1344,11 @@ def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.select("doc_id", "fp").write.mode("overwrite").parquet(
             os.path.join(index, f"__b={batch_id}")
         )
+        # manifest mode: the partition becomes visible only on publish
+        # (no-op under listing visibility). The corpus stays
+        # listing-visible — it is never compacted, so it has no
+        # rename/visibility hazard to defend.
+        register_batch(index, batch_id)
         novel.select("doc_id", "text", "fp").write.mode("overwrite").parquet(
             os.path.join(corpus, f"__b={batch_id}")
         )
@@ -1567,6 +1578,8 @@ def qs14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from twitter_kafka_etl_spark.streaming.side_state import (
             maybe_compact,
+            read_side,
+            register_batch,
         )
 
         # fold-start compaction of the shingle INDEX only (see qs12's
@@ -1578,8 +1591,9 @@ def qs14(spark: SparkSession, sf_dir: str) -> DataFrame:
         maybe_compact(s, index, batch_id)
 
         def seen_hashes() -> DataFrame:
+            # read_side: listing- or manifest-visible, the table decides
             return (
-                s.read.parquet(index)
+                read_side(s, index)
                 .filter(F.col("__b") != batch_id)
                 .select("sh_h")
             )
@@ -1707,6 +1721,10 @@ def qs14(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.select("sh_h").write.mode("overwrite").parquet(
             os.path.join(index, f"__b={batch_id}")
         )
+        # manifest mode: visible only on publish (no-op under listing
+        # visibility); the stats table is never compacted and stays
+        # listing-visible
+        register_batch(index, batch_id)
 
     stream = _read_stream(spark, in_dir, docs)
     q = foreach_batch_fanout(
@@ -1767,6 +1785,7 @@ def _register_qs15() -> None:
         def fold(batch_df: DataFrame, batch_id: int) -> None:
             from twitter_kafka_etl_spark.streaming.side_state import (
                 maybe_compact,
+                register_batch,
             )
 
             s = batch_df.sparkSession
@@ -1808,6 +1827,9 @@ def _register_qs15() -> None:
             K.count_min_build(batch_df, "user_id").write.mode(
                 "overwrite"
             ).parquet(os.path.join(cells, f"__b={batch_id}"))
+            # manifest mode: visible only on publish (no-op under
+            # listing visibility); raw stays listing-visible
+            register_batch(cells, batch_id)
 
         stream = _read_stream(spark, in_dir, ev)
         q = foreach_batch_fanout(
@@ -1819,8 +1841,10 @@ def _register_qs15() -> None:
         # raw layer (heavy_hitters_from_sketch: rows pre-filter against
         # the broadcast cell map, so only candidate-key rows shuffle —
         # no full-cardinality distinct, no NULL-dropping semi join)
+        from twitter_kafka_etl_spark.streaming.side_state import read_side
+
         merged = (
-            spark.read.parquet(cells)
+            read_side(spark, cells)
             .groupBy("depth", "cell")
             .agg(F.sum("counts").alias("counts"))
         )
@@ -2057,6 +2081,8 @@ def _register_qs17() -> None:
         def ingest(batch_df: DataFrame, batch_id: int) -> None:
             from twitter_kafka_etl_spark.streaming.side_state import (
                 maybe_compact,
+                read_side,
+                register_batch,
             )
 
             s = batch_df.sparkSession
@@ -2088,13 +2114,15 @@ def _register_qs17() -> None:
             # in earlier-KEPT band index (own-batch partitions excluded
             # → replay-idempotent, per the qs12 round-5 advice fix)
             if os.path.exists(corpus):
+                # read_side: listing- or manifest-visible, the tables
+                # decide (side_state manifest mode)
                 seen_fp = (
-                    s.read.parquet(corpus)
+                    read_side(s, corpus)
                     .filter(F.col("__b") != batch_id)
                     .select("fp")
                 )
                 seen_bands = (
-                    s.read.parquet(bandidx)
+                    read_side(s, bandidx)
                     .filter(F.col("__b") != batch_id)
                     .select("band", "sig")
                 )
@@ -2118,18 +2146,24 @@ def _register_qs17() -> None:
             kept.select("doc_id", "batch", "fp").write.mode(
                 "overwrite"
             ).parquet(os.path.join(corpus, f"__b={batch_id}"))
+            register_batch(corpus, batch_id)
             bands.join(
                 kept.select("doc_id"), "doc_id", "left_semi"
             ).write.mode("overwrite").parquet(
                 os.path.join(bandidx, f"__b={batch_id}")
             )
+            # manifest mode: both side tables become visible only on
+            # their publishes (no-ops under listing visibility)
+            register_batch(bandidx, batch_id)
 
         stream = _read_stream(spark, in_dir, docs)
         q = foreach_batch_fanout(
             stream, [ingest], checkpoint=os.path.join(work, "ckpt")
         )
         q.awaitTermination()
-        return spark.read.parquet(corpus).select("doc_id", "batch")
+        from twitter_kafka_etl_spark.streaming.side_state import read_side
+
+        return read_side(spark, corpus).select("doc_id", "batch")
 
 
 _register_qs17()

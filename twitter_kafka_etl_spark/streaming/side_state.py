@@ -54,8 +54,12 @@ bounding the live dir count. Three properties carry the design:
   installing truncated data. Every post-journal step is idempotent.
   At no point is a row present zero times or twice in the visible
   listing. On object stores without atomic rename (S3), the journal
-  generalizes to the manifest the reads consult — same protocol,
-  different visibility primitive.
+  generalizes to the manifest the reads consult — same policy,
+  different visibility primitive: IMPLEMENTED as manifest mode
+  (``$SPARK_GRAFT_SIDE_MANIFEST=1`` / ``_manifests/`` tables — see
+  the manifest section at the bottom of this module), which replaces
+  every rename with an atomic manifest-object publish and is the
+  protocol a real S3 deployment would run.
 
 Replay safety: only partitions with ``0 <= __b < batch_id`` are ever
 folded — strictly earlier batches, which foreachBatch has already
@@ -82,6 +86,7 @@ slope with compaction live.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import math
 import os
@@ -332,6 +337,39 @@ def _recover(path: str) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _plan_fold(
+    parts: dict[int, str],
+    rows: dict[str, int],
+    batch_id: int,
+    every: int,
+    ratio: float | None = None,
+) -> tuple[list[str], str] | None:
+    """Pure fold planning, shared by both visibility modes (and
+    property-tested without Spark): given the visible partitions and
+    their row counts, return (dirs to fold, snapshot dest name), or
+    None while the trigger hasn't fired.
+
+    Policy: all committed deltas (0 <= __b < batch_id) fold; an
+    existing snapshot joins the merge only while its rows are <=
+    ``ratio`` x the rows already folding, smallest snapshot first so
+    absorbing one can qualify the next (the Lucene/LSM tiered-merge
+    rule — this is what bounds per-row rewrites to O(log B) and the
+    live snapshot count to O(log_ratio B))."""
+    deltas = {b: d for b, d in parts.items() if 0 <= b < batch_id}
+    if len(deltas) < every:
+        return None
+    fold = [parts[b] for b in sorted(deltas)]
+    total_rows = sum(rows[d] for d in fold)
+    r = RATIO if ratio is None else ratio
+    snaps = sorted((parts[b] for b in parts if b < 0), key=lambda d: rows[d])
+    for d in snaps:
+        if rows[d] <= r * max(total_rows, 1):
+            fold.append(d)
+            total_rows += rows[d]
+    gen = 1 + max((-b for b in parts if b < 0), default=0)
+    return fold, f"__b=-{gen}"
+
+
 def maybe_compact(
     spark: SparkSession,
     path: str,
@@ -362,28 +400,27 @@ def maybe_compact(
         )
     if not os.path.isdir(path):
         return False
+    if is_manifest_table(path) or manifest_mode():
+        # object-store visibility: manifest publish instead of the
+        # journal+rename swap (see the manifest section below)
+        return _compact_manifest(
+            spark, path, batch_id, every, merge, invariant, target_file_mb
+        )
     _recover(path)
     parts = _partitions(path)
-    deltas = {b: d for b, d in parts.items() if 0 <= b < batch_id}
-    if len(deltas) < (every if every is not None else _every()):
+    ev = every if every is not None else _every()
+    # cheap trigger check FIRST: the no-op path (every batch but the
+    # folding ones) must stay one listdir, not a footer walk
+    if sum(1 for b in parts if 0 <= b < batch_id) < ev:
         return False
-    inv = invariant or _default_invariant
-
-    # choose the runs: all committed deltas, plus (tiered rule) any
-    # snapshot no larger than RATIO x the rows already folding —
-    # smallest first, so absorbing one can qualify the next
     stats = {d: _dir_stats(os.path.join(path, d)) for d in parts.values()}
-    fold = [parts[b] for b in sorted(deltas)]
-    total_rows = sum(stats[d][0] for d in fold)
-    snaps = sorted(
-        (parts[b] for b in parts if b < 0), key=lambda d: stats[d][0]
+    planned = _plan_fold(
+        parts, {d: s[0] for d, s in stats.items()}, batch_id, ev
     )
-    for d in snaps:
-        if stats[d][0] <= RATIO * max(total_rows, 1):
-            fold.append(d)
-            total_rows += stats[d][0]
-    gen = 1 + max((-b for b in parts if b < 0), default=0)
-    dest = f"__b=-{gen}"
+    if planned is None:
+        return False
+    fold, dest = planned
+    inv = invariant or _default_invariant
 
     src_paths = [os.path.join(path, d) for d in fold]
     union = spark.read.parquet(*src_paths)
@@ -423,4 +460,355 @@ def maybe_compact(
     _fsync_tree(tmp)
     _write_journal(path, {"fold": fold, "dest": dest, "rows": snap_rows})
     _recover(path)
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Manifest visibility mode — the object-store (rename-free) variant
+# ---------------------------------------------------------------------------
+# The journal+rename protocol above assumes atomic same-filesystem
+# ``os.rename`` — true on POSIX, false on S3-class object stores, where
+# "rename" is copy+delete and a directory listing is eventually
+# consistent. The production-standard fix (Iceberg/Delta/Structured
+# Streaming's own file sink) is to stop deriving visibility from the
+# listing entirely: an immutable, generation-numbered MANIFEST object
+# names the live partition dirs, and readers plan from the newest
+# complete manifest instead of listdir. Object creation (a single PUT)
+# is atomic, so the manifest publish IS the commit point — no journal,
+# no trash, no rename, no rollback machinery:
+#
+# - ``register_batch`` publishes gen+1 = live ∪ {__b=<batch_id>} after
+#   each per-batch partition overwrite (set-idempotent: a replayed
+#   batch whose dir is already live publishes nothing). A crash between
+#   the data write and the publish leaves an invisible dir that the
+#   replay overwrites and then publishes — the same exactly-once table
+#   contents the rename mode gets from own-partition overwrites.
+# - ``maybe_compact`` writes the snapshot DIRECTLY under its final
+#   ``__b=-g`` name (unreferenced ⇒ invisible; no staging dir needed),
+#   checksum-gates it from the written files, fsyncs, then publishes
+#   gen+1 = (live − folded) ∪ {snapshot} with the fold recorded in the
+#   manifest (``snapshot``/``rows``/``folded``). Source deletion is
+#   pure GC after the commit: a crash anywhere leaves either the old
+#   manifest (sources live, snapshot swept as garbage) or the new one
+#   (snapshot live, leftover sources swept as garbage). A reader at ANY
+#   instant — not just after recovery — sees exactly the pre- or
+#   post-fold row set, a strictly stronger property than the rename
+#   protocol's (whose mid-swap listing transiently hides rows; the
+#   batch harness serializes around it).
+# - Recovery needs no journal: the latest manifest's ``rows`` field
+#   re-verifies the published snapshot from its parquet footers while
+#   the folded sources still exist (the publish→GC window — the same
+#   fsync-distrust defense the journal's ``rows`` gives the rename
+#   mode); a torn snapshot publishes a rollback manifest naming the
+#   still-present sources. Unreferenced dirs are swept: any negative
+#   ``__b`` (abandoned snapshot) and any delta with ``__b`` <
+#   ``batch_id`` (GC leftovers — a committed batch is always published,
+#   so an unreferenced earlier delta can only be a folded source);
+#   ``__b`` >= ``batch_id`` is an in-flight batch awaiting its publish
+#   and is never touched.
+#
+# Mode selection: ``$SPARK_GRAFT_SIDE_MANIFEST=1`` turns the protocol
+# on for NEW tables; a table that already has a ``_manifests/`` dir is
+# manifest-managed forever after (self-describing — reads and replays
+# never depend on the env being set). ``read_side``/``live_rows``
+# dispatch on the table, so call sites are mode-agnostic. A legacy
+# listing-visible table entering compaction under the env flag is
+# bootstrapped by publishing its current listing as gen 1.
+#
+# Torn-manifest defense (local filesystems; S3 PUTs are all-or-
+# nothing): every manifest embeds a sha256 of its canonical payload;
+# readers walk generations downward to the newest manifest that parses
+# and checks. Old manifests are retained ``_MANIFEST_KEEP`` deep —
+# which is also the concurrent-reader grace window: a long-running read
+# planned from gen G stays valid until G falls out of the window AND
+# its dirs are folded+GC'd. This harness serializes reads with folds
+# (foreachBatch); a production deployment sizes the window to its
+# longest query, exactly like Iceberg's expire-snapshots grace.
+#
+# Scope note: "rename-free" is a claim about the VISIBILITY protocol
+# (this module performs no os.rename in manifest mode — asserted in
+# tests). Spark's local parquet committer still renames task files
+# inside a single partition write; on a real object store that job is
+# the platform committer's (S3A magic committer et al.), orthogonal to
+# how committed partitions become visible.
+
+_MANIFEST_DIR = "_manifests"
+#: manifests retained (and thus the concurrent-reader grace depth)
+_MANIFEST_KEEP = 8
+
+
+def manifest_mode() -> bool:
+    return os.environ.get("SPARK_GRAFT_SIDE_MANIFEST", "") == "1"
+
+
+def _mdir(path: str) -> str:
+    return os.path.join(path, _MANIFEST_DIR)
+
+
+def _manifest_sha(payload: dict) -> str:
+    body = {k: v for k, v in payload.items() if k != "sha"}
+    return hashlib.sha256(
+        json.dumps(body, sort_keys=True).encode()
+    ).hexdigest()
+
+
+def _latest_manifest(path: str) -> tuple[int, dict | None]:
+    """(generation, manifest) of the newest COMPLETE manifest — parse
+    failures and sha mismatches (a torn local write) are skipped, so a
+    crash mid-publish degrades to the previous generation, never to an
+    error or a partial part list."""
+    mdir = _mdir(path)
+    try:
+        names = sorted(os.listdir(mdir), reverse=True)
+    except OSError:
+        return 0, None
+    for name in names:
+        if not (name.startswith("m-") and name.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(mdir, name), encoding="utf-8") as fh:
+                m = json.load(fh)
+            if m.get("sha") == _manifest_sha(m) and isinstance(
+                m.get("parts"), list
+            ):
+                return int(m["gen"]), m
+        except (OSError, ValueError, KeyError):
+            continue
+    return 0, None
+
+
+def _publish_manifest(path: str, gen: int, parts: list[str], **meta) -> None:
+    """Durably create manifest ``gen`` (tmp + fsync + atomic create +
+    dir fsync — the local simulation of an object-store PUT), then
+    prune generations beyond the retention window."""
+    mdir = _mdir(path)
+    os.makedirs(mdir, exist_ok=True)
+    payload = {"gen": gen, "parts": sorted(parts), **meta}
+    payload["sha"] = _manifest_sha(payload)
+    # best-effort sweep of tmp files stranded by publish crashes
+    # (readers never consult them — pure clutter control)
+    for stale in os.listdir(mdir):
+        if stale.endswith(".tmp"):
+            try:
+                os.remove(os.path.join(mdir, stale))
+            except OSError:
+                pass
+    name = f"m-{gen:012d}.json"
+    tmp = os.path.join(mdir, name + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(mdir, name))
+    _fsync_dir(mdir)
+    old = sorted(
+        n
+        for n in os.listdir(mdir)
+        if n.startswith("m-") and n.endswith(".json")
+    )
+    for n in old[:-_MANIFEST_KEEP]:
+        try:
+            os.remove(os.path.join(mdir, n))
+        except OSError:
+            pass
+
+
+def is_manifest_table(path: str) -> bool:
+    return os.path.isdir(_mdir(path))
+
+
+def live_partitions(path: str) -> dict[int, str] | None:
+    """``__b`` → dir name under the table's visibility primitive:
+    manifest-listed when the table has a COMMITTED manifest, None when
+    it does not (the caller falls back to the listing). An empty
+    ``_manifests/`` dir — a crash between its mkdir and the first
+    publish — is deliberately 'no manifest': nothing ever committed,
+    so the listing is still the authoritative view."""
+    _gen, m = _latest_manifest(path)
+    if m is None:
+        return None
+    parts = m["parts"]
+    out: dict[int, str] = {}
+    for d in parts:
+        try:
+            out[int(d.split("=", 1)[1])] = d
+        except (IndexError, ValueError):
+            continue
+    return out
+
+
+def register_batch(path: str, batch_id: int) -> None:
+    """Make ``__b=<batch_id>`` visible. No-op for listing-visible
+    tables (and when the env flag is off); set-idempotent on replay."""
+    if not (is_manifest_table(path) or manifest_mode()):
+        return
+    gen, m = _latest_manifest(path)
+    part = f"__b={batch_id}"
+    if m is None:
+        # first publish bootstraps from the listing (covers both a
+        # brand-new table's first batch and a legacy table migrating
+        # into manifest mode mid-stream). The listing already contains
+        # the just-written own partition — that must NOT trip the
+        # replay short-circuit below, or the table never gets its
+        # first manifest at all
+        parts = set(_partitions(path).values())
+    else:
+        parts = set(m["parts"])
+        if part in parts:
+            return  # replay: already visible, nothing to publish
+    parts.add(part)
+    _publish_manifest(path, gen + 1, sorted(parts))
+
+
+def read_side(spark: SparkSession, path: str) -> DataFrame:
+    """Read a side-state table under its visibility primitive. The
+    manifest branch pins ``basePath`` so the listed leaf dirs still
+    yield the ``__b`` partition column (the folds' own-batch exclusion
+    filters on it)."""
+    live = live_partitions(path)
+    if live is None:
+        return spark.read.parquet(path)
+    if not live:
+        raise FileNotFoundError(
+            f"manifest table {path} has no live partitions"
+        )
+    return spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, d) for d in live.values()]
+    )
+
+
+def live_rows(path: str) -> int:
+    """Footer row count over the VISIBLE partitions only — the
+    manifest-aware replacement for walking the whole table root (which
+    would count invisible garbage awaiting GC)."""
+    live = live_partitions(path)
+    if live is None:
+        return _dir_stats(path)[0]
+    return sum(
+        _dir_stats(os.path.join(path, d))[0] for d in live.values()
+    )
+
+
+def _recover_manifest(path: str, batch_id: int) -> None:
+    """Crash recovery, manifest mode: re-verify the last published
+    snapshot while its folded sources still exist, then sweep
+    unreferenced dirs per the garbage rule."""
+    gen, m = _latest_manifest(path)
+    if m is None:
+        return
+    snap, rows, folded = m.get("snapshot"), m.get("rows"), m.get("folded")
+    parts = set(m["parts"])
+    if snap and snap in parts and rows is not None and folded:
+        sources_intact = all(
+            os.path.isdir(os.path.join(path, d)) for d in folded
+        )
+        if sources_intact:
+            # publish→GC window: the fsync-distrust re-check the rename
+            # mode gets from the journal's row count. GC starts only
+            # after this check passes, so a torn snapshot always still
+            # has its full replacement material on disk.
+            spath = os.path.join(path, snap)
+            try:
+                ok = (
+                    os.path.isdir(spath)
+                    and _dir_stats(spath)[0] == int(rows)
+                )
+            except Exception:  # unreadable footer = torn write
+                ok = False
+            if not ok:
+                _publish_manifest(
+                    path, gen + 1, sorted((parts - {snap}) | set(folded))
+                )
+                shutil.rmtree(spath, ignore_errors=True)
+                parts = (parts - {snap}) | set(folded)
+    # sweep: abandoned snapshots (negative __b, never published) and
+    # folded deltas left by an interrupted GC. In-flight deltas
+    # (__b >= batch_id, written but not yet published) are never touched.
+    for b, d in _partitions(path).items():
+        if d not in parts and (b < 0 or b < batch_id):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
+def _compact_manifest(
+    spark: SparkSession,
+    path: str,
+    batch_id: int,
+    every: int | None,
+    merge: Callable[[DataFrame], DataFrame] | None,
+    invariant: Callable[[DataFrame], DataFrame] | None,
+    target_file_mb: int,
+) -> bool:
+    """The fold under manifest visibility — same tiered-merge policy
+    and checksum gate as the rename protocol, different commit
+    primitive (see the section comment above)."""
+    gen, m = _latest_manifest(path)
+    if m is None:
+        # legacy table entering manifest mode: finish any interrupted
+        # rename-mode swap first (its journal knows things the listing
+        # doesn't), then the recovered listing becomes gen 1
+        if os.path.exists(os.path.join(path, _JOURNAL)):
+            _recover(path)
+        parts = sorted(_partitions(path).values())
+        if not parts:
+            return False
+        gen += 1
+        _publish_manifest(path, gen, parts)
+    _recover_manifest(path, batch_id)
+    gen, m = _latest_manifest(path)
+    live = dict((live_partitions(path) or {}).items())
+    ev = every if every is not None else _every()
+    # cheap trigger check FIRST (one manifest read per no-op batch)
+    if sum(1 for b in live if 0 <= b < batch_id) < ev:
+        return False
+    stats = {d: _dir_stats(os.path.join(path, d)) for d in live.values()}
+    planned = _plan_fold(
+        live, {d: s[0] for d, s in stats.items()}, batch_id, ev
+    )
+    if planned is None:
+        return False
+    fold, dest = planned
+    inv = invariant or _default_invariant
+    dpath = os.path.join(path, dest)
+    # an unreferenced dir under the dest name can only be an abandoned
+    # snapshot the sweep above already removed; be safe against races
+    shutil.rmtree(dpath, ignore_errors=True)
+
+    src_paths = [os.path.join(path, d) for d in fold]
+    union = spark.read.parquet(*src_paths)
+    out = merge(union) if merge is not None else union
+    n_files = max(
+        1,
+        math.ceil(
+            sum(stats[d][1] for d in fold) / (target_file_mb * 1024 * 1024)
+        ),
+    )
+    # direct write to the FINAL name: unreferenced ⇒ invisible, so no
+    # staging dir and no install rename exist in this mode
+    out.coalesce(n_files).write.mode("overwrite").parquet(dpath)
+
+    expect = inv(union).collect()[0]
+    got = inv(spark.read.parquet(dpath)).collect()[0]
+    if tuple(expect) != tuple(got):
+        shutil.rmtree(dpath, ignore_errors=True)
+        raise RuntimeError(
+            f"side-state compaction of {path} failed its content "
+            f"invariant (expected {tuple(expect)}, snapshot has "
+            f"{tuple(got)}); sources left untouched"
+        )
+
+    snap_rows = _dir_stats(dpath)[0]
+    _fsync_tree(dpath)
+    # the commit point: one atomic object creation
+    _publish_manifest(
+        path,
+        gen + 1,
+        sorted((set(m["parts"]) - set(fold)) | {dest}),
+        snapshot=dest,
+        rows=snap_rows,
+        folded=sorted(fold),
+    )
+    # source deletion is pure GC now — idempotent, crash-resumable via
+    # the sweep in _recover_manifest
+    for d in fold:
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return True
