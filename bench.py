@@ -105,6 +105,29 @@ def _reference_record(
     return None
 
 
+def _record_calib(sf: float) -> dict[str, float] | None:
+    """The ``calib`` block of the bench record at this scale factor
+    (machine-speed kernels measured when the record was refreshed), or
+    None for pre-r13 records."""
+    for fn in sorted(os.listdir(_HERE)):
+        if not (fn.startswith("bench_sf") and fn.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(_HERE, fn)) as fh:
+                rec = json.load(fh)
+        except Exception:  # noqa: BLE001 — a record is advisory
+            continue
+        if abs(float(rec.get("sf", -2.0)) - sf) < 1e-9 and isinstance(
+            rec.get("calib"), dict
+        ):
+            return {
+                k: float(v)
+                for k, v in rec["calib"].items()
+                if isinstance(v, (int, float)) and v > 0
+            }
+    return None
+
+
 def _median_vs_record(
     timings: dict[str, float], ref: dict[str, float] | None
 ) -> float | None:
@@ -227,6 +250,54 @@ def _rerun_outliers(
     return insuite
 
 
+def _calibrate() -> dict[str, float]:
+    """Fixed machine-speed kernels, min-of-3 each — an independent
+    measurement of THIS host's speed that does not involve Spark or
+    the query set, so a drifted `median_vs_record` can be attributed
+    (or not) to the machine mechanically instead of by inference.
+
+    Two kernels because the suite drifts on two distinct planes (r13
+    diagnosis): a pinned CPU kernel (md5 over 600 MiB — the plane the
+    1.2x uniform driver drift lives on), and a small-file write+fsync
+    kernel (64 x 4 KiB — the state-store/sink-commit plane, where
+    isolated re-times of the stateful streaming rows swung 2x between
+    identical runs while CPU-bound rows held steady). Compare a run's
+    values against the ``calib`` block stored in the bench record at
+    refresh time: ratios ~1.0 mean the host matches record conditions
+    and a drifted median is a real regression; ratios tracking the
+    median mean host drift, and a record refresh is justified only
+    when both return to ~1.0 (SURVEY §6 refresh protocol)."""
+    import hashlib
+    import tempfile
+
+    buf = b"\x5a" * (1 << 20)
+    best_cpu = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = hashlib.md5()
+        for _ in range(600):
+            h.update(buf)
+        h.hexdigest()
+        dt = time.perf_counter() - t0
+        best_cpu = dt if best_cpu is None else min(best_cpu, dt)
+    best_fs = None
+    with tempfile.TemporaryDirectory() as d:
+        payload = b"\xa5" * 4096
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for i in range(64):
+                with open(os.path.join(d, f"f{i}"), "wb") as fh:
+                    fh.write(payload)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+            dt = time.perf_counter() - t0
+            best_fs = dt if best_fs is None else min(best_fs, dt)
+    return {
+        "cpu_sec": round(best_cpu, 4),
+        "fsync_ms_per_file": round(best_fs / 64 * 1000, 4),
+    }
+
+
 def _evict(spark) -> None:
     # Per-query hygiene OUTSIDE the timed region: operators that persist
     # a working set (dedup/similarity) leave it cached after the sink
@@ -257,6 +328,7 @@ def main() -> None:
     out_path = os.environ.get("BENCH_OUT", os.path.join(_HERE, "bench_out.json"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    calib = _calibrate()  # before Spark exists: nothing competes
     spark = get_spark("tkes-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -409,6 +481,18 @@ def main() -> None:
         # exactly the re-timed rows)
         _reference_record(sf, prefer_insuite=True),
     )
+    # machine-speed ratios vs the record's calibration (present only
+    # in records refreshed after r13) — >1 means this host is slower
+    calib_ref = _record_calib(sf)
+    calib_vs_record = (
+        {
+            k: round(calib[k] / calib_ref[k], 3)
+            for k in calib
+            if calib_ref.get(k)
+        }
+        if calib_ref
+        else None
+    )
     record = json.dumps({
         "metric": "total_query_sec",
         "value": total,
@@ -417,6 +501,8 @@ def main() -> None:
         "insuite": insuite,
         "insuite_total_sec": insuite_total,
         "median_vs_record": med_ratio,
+        "calib": calib,
+        "calib_vs_record": calib_vs_record,
         "sf": sf,
     })
     # File record first: survives even if stdout is truncated by the caller.
@@ -437,6 +523,7 @@ def main() -> None:
             "unit": "sec",
             "queries": short,
             "median_vs_record": med_ratio,
+            "calib": calib,
             "sf": sf,
         },
         separators=(",", ":"),
