@@ -291,6 +291,35 @@ STREAM_SHOWCASE = [
      "(band, sig) vs the band index — both with the own-batch "
      "partition pruned at the scan; every join is an equi-join, no "
      "pair enumeration anywhere."),
+    ("qs3_stream_watermark_late_drop", "qs3_sink",
+     "Per-trigger plan of the watermarked sliding-window agg: "
+     "EventTimeWatermark directly over the file-source scan (late "
+     "rows die before any state), the 2h/1h sliding window expands "
+     "each event to its two windows map-side, then ONE hash exchange "
+     "on (window, event_type) into the state store's partitioning "
+     "feeds partial->StateStoreSave->final agg. Per-batch cost is the "
+     "state commit, not recompute — counts roll forward in the store."),
+    ("qs8_stream_interval_join", "qs8_sink",
+     "Per-trigger stream-stream interval join plan: one watermarked, "
+     "filtered side per event class, one hash exchange per side on "
+     "user_id into StreamingSymmetricHashJoin — the condition is the "
+     "user_id equi-key plus the purchase_ts-within-2h-of-click_ts "
+     "range, and the state-cleanup predicates show the 1h watermark "
+     "bounding BOTH buffers (pairs straddling the staged mid-day "
+     "batch boundary match from state, which is what the two-batch "
+     "split exercises). The tap records the availableNow finalization "
+     "trigger (sources show empty LocalTableScans); data batches run "
+     "the identical operator tree over the pushed-filter file scans."),
+    ("qs10_stream_upsert", "qs10_merged",
+     "foreachBatch inner plan (steady-state batch): latest-row-per-key "
+     "via a WindowGroupLimit-optimized row_number (top-1 per key is "
+     "pre-pruned before and after its exchange), then merge_upsert as "
+     "Union(updates, base LeftAnti updates-keys) — at harness scale "
+     "the update side broadcasts into the anti-join, so the base "
+     "snapshot never shuffles; each version lands in a NEW snapshot "
+     "dir so no file being read is ever overwritten. At production "
+     "scale AQE trades the broadcast for a shuffled anti-join on the "
+     "merge key — still partition-parallel, never driver-side."),
 ]
 
 HEADER = """# PLANS — annotated physical plans (generated)

@@ -990,6 +990,7 @@ def qs10(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged = merge_upsert(base, latest, ["user_id"])
         else:
             merged = latest
+        _tap_frame(merged, "qs10_merged")
         out = os.path.join(work, f"snap_v{batch_id}")
         merged.write.mode("overwrite").parquet(out)
         snap_dirs.append(out)
