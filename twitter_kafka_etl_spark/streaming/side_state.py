@@ -52,8 +52,14 @@ bounding the live dir count. Three properties carry the design:
   footers, so even a snapshot torn by power loss (fsync bugs, disk
   cache lies) rolls the swap BACK with sources restored rather than
   installing truncated data. Every post-journal step is idempotent.
-  At no point is a row present zero times or twice in the visible
-  listing. On object stores without atomic rename (S3), the journal
+  At every crash-recovery fixpoint the visible listing holds each
+  row exactly once — never zero times, never twice. (MID-swap, a
+  concurrent reader could transiently miss fold dirs already moved
+  to trash; the foreachBatch harness serializes reads against folds,
+  so that window is never observed. The manifest mode below is the
+  variant with the stronger any-instant guarantee, and its tests
+  assert it at every injected crash point WITHOUT recovery.) On
+  object stores without atomic rename (S3), the journal
   generalizes to the manifest the reads consult — same policy,
   different visibility primitive: IMPLEMENTED as manifest mode
   (``$SPARK_GRAFT_SIDE_MANIFEST=1`` / ``_manifests/`` tables — see
