@@ -82,7 +82,9 @@ _REWRITTEN_OPS: dict[str, int] = {
     # set (no-op otherwise; default-path plans unchanged, but the
     # builder internals moved post-check)
     "streaming.queries._run_to_sink": 12,
-    "streaming.queries._tap_frame": 12,
+    # r13: qs10 gained an inner-frame tap for its PLANS.md section
+    # (no-op on the default path, but the builder changed post-check)
+    "streaming.queries._tap_frame": 13,
     # r12: footer walk consolidated into side_state._dir_stats
     # (consumers qs12/qs14 — already fronted via maybe_compact, listed
     # for bookkeeping precision)
