@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Per-query empirical profile: wall time, job/stage/task counts, and
+per-stage executor metrics pulled from the local Spark UI's REST API
+(guide §1.1/§7.1 — the "open the Stages tab" loop, scripted, since the
+sandbox has no browser).
+
+For each named query: one untimed warm run (JIT/scan ramp), then one
+timed run bracketed by job-id bookkeeping; afterwards the driver's own
+REST endpoint (/api/v1) is queried for the jobs/stages that ran in the
+bracket. Emits one block per query:
+
+    x06_dedup_ngram_jaccard  wall=2.913s  jobs=4  stages=11  tasks=214
+      stage 12  tasks=32  run=1840ms  shufR=1.2MB  shufW=0.0MB  input=0.0MB  [desc...]
+
+Usage: python scripts/profile_query.py [sf_dir] query [query ...]
+Env:   SPARK_GRAFT_PROFILE_RUNS (default 1 timed run, min taken)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, ".")
+
+from twitter_kafka_etl_spark.plans import REGISTRY
+from twitter_kafka_etl_spark.session import get_spark
+
+
+def _api(base: str, path: str):
+    with urllib.request.urlopen(base + path, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _evict(spark):
+    spark.catalog.clearCache()
+    try:
+        for rdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).values():
+            rdd.unpersist(True)
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001
+        pass
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.1"
+    if args and os.path.isdir(args[0]):
+        sf_dir, args = args[0], args[1:]
+    if not args:
+        print("need at least one query name", file=sys.stderr)
+        return 2
+    spark = get_spark("tkes-profile")
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+    ui = sc.uiWebUrl  # e.g. http://host:4040
+    app_id = sc.applicationId
+    base = f"{ui}/api/v1/applications/{app_id}"
+
+    # scan+shuffle warmup so the first profiled query isn't charged the ramp
+    from twitter_kafka_etl_spark.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    _noop(ev.groupBy("event_type").count())
+    _evict(spark)
+
+    want = []
+    for a in args:
+        hits = [n for n in REGISTRY if n == a or n.split("_", 1)[0] == a]
+        if not hits:
+            print(f"unknown query {a}", file=sys.stderr)
+            return 2
+        want.extend(hits)
+
+    for name in want:
+        spec = REGISTRY[name]
+        # warm run (untimed)
+        sc.setJobDescription(f"warm:{name}")
+        _noop(spec.build(spark, sf_dir))
+        _evict(spark)
+        # timed run
+        jobs_before = {j["jobId"] for j in _api(base, "/jobs")}
+        sc.setJobDescription(f"timed:{name}")
+        t0 = time.perf_counter()
+        _noop(spec.build(spark, sf_dir))
+        wall = time.perf_counter() - t0
+        sc.setJobDescription(None)
+        jobs = [j for j in _api(base, "/jobs") if j["jobId"] not in jobs_before]
+        stage_ids = sorted({s for j in jobs for s in j["stageIds"]})
+        stages = []
+        for sid in stage_ids:
+            try:
+                for att in _api(base, f"/stages/{sid}"):
+                    stages.append(att)
+            except Exception:  # noqa: BLE001 — skipped stages 404
+                pass
+        n_tasks = sum(s.get("numCompleteTasks", 0) for s in stages)
+        print(
+            f"\n{name}  wall={wall:.3f}s  jobs={len(jobs)}  "
+            f"stages={len(stages)}  tasks={n_tasks}"
+        )
+        stages.sort(key=lambda s: -(s.get("executorRunTime") or 0))
+        for s in stages[:12]:
+            mb = 1024 * 1024
+            print(
+                f"  stage {s['stageId']:>4}  tasks={s.get('numCompleteTasks', 0):>3}"
+                f"  run={s.get('executorRunTime', 0):>6}ms"
+                f"  cpu={int((s.get('executorCpuTime') or 0)/1e6):>6}ms"
+                f"  shufR={(s.get('shuffleReadBytes', 0)) / mb:7.2f}MB"
+                f"  shufW={(s.get('shuffleWriteBytes', 0)) / mb:7.2f}MB"
+                f"  in={(s.get('inputBytes', 0)) / mb:7.2f}MB"
+                f"  {(s.get('description') or s.get('name') or '')[:70]}"
+            )
+        _evict(spark)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
