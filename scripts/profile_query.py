@@ -107,16 +107,38 @@ def main() -> int:
             f"stages={len(stages)}  tasks={n_tasks}"
         )
         stages.sort(key=lambda s: -(s.get("executorRunTime") or 0))
+        import datetime as _dt
+
+        def _ts(v):
+            try:
+                return _dt.datetime.strptime(
+                    v, "%Y-%m-%dT%H:%M:%S.%fGMT"
+                ).timestamp()
+            except Exception:  # noqa: BLE001
+                return None
+
         for s in stages[:12]:
             mb = 1024 * 1024
+            t_sub = _ts(s.get("firstTaskLaunchedTime") or "")
+            t_done = _ts(s.get("completionTime") or "")
+            stage_wall = (
+                f"{(t_done - t_sub) * 1000:6.0f}ms"
+                if t_sub and t_done
+                else "     ?"
+            )
             print(
                 f"  stage {s['stageId']:>4}  tasks={s.get('numCompleteTasks', 0):>3}"
+                f"  wall={stage_wall}"
                 f"  run={s.get('executorRunTime', 0):>6}ms"
                 f"  cpu={int((s.get('executorCpuTime') or 0)/1e6):>6}ms"
+                f"  gc={s.get('jvmGcTime', 0):>5}ms"
+                f"  fetch={s.get('shuffleFetchWaitTime', 0):>4}ms"
+                f"  deser={s.get('executorDeserializeTime', 0):>5}ms"
+                f"  wrT={s.get('shuffleWriteTime', 0):>4}"
                 f"  shufR={(s.get('shuffleReadBytes', 0)) / mb:7.2f}MB"
                 f"  shufW={(s.get('shuffleWriteBytes', 0)) / mb:7.2f}MB"
                 f"  in={(s.get('inputBytes', 0)) / mb:7.2f}MB"
-                f"  {(s.get('description') or s.get('name') or '')[:70]}"
+                f"  {(s.get('name') or '')[:60]}"
             )
         _evict(spark)
     spark.stop()

@@ -112,6 +112,41 @@ def _repin(hit: DataFrame) -> DataFrame | None:
     return hit
 
 
+def _materialize(df: DataFrame) -> None:
+    """Populate EVERY partition of a freshly persisted frame with one
+    count() before any consumer sees it.
+
+    A bare ``persist()`` caches lazily: blocks appear as consumers
+    compute them. Under AQE the consumers of a shared working set run
+    CONCURRENTLY (every broadcast subtree and every shuffle-map query
+    stage is its own job, submitted in parallel within one action), and
+    Spark's block-manager cache has no per-partition build lock — each
+    concurrent job that reaches an unmaterialized partition recomputes
+    its full lineage and the first finisher wins the block. Profiled on
+    x59 at sf0.1: the persisted-but-lazy shingle/signature tables were
+    rebuilt by up to EIGHT concurrent broadcast jobs (eight 32-task
+    scan→tokenize→shingle stage executions for one logical build —
+    guide §2 "don't compute things you throw away"). One eager count()
+    at build time costs a single pass of work that the first consumer
+    would have paid anyway, and every consumer then reads cached
+    blocks. At 100 TB the same stampede would re-run the dominant
+    working-set build once per concurrent consumer, so this is a
+    scale fix, not a local-bench tweak."""
+    try:
+        df.count()
+    except Exception:  # noqa: BLE001 — the consumer will surface it
+        pass
+
+
+def eager_persist(df: DataFrame) -> DataFrame:
+    """persist(MEMORY_AND_DISK) + full materialization (see
+    ``_materialize``) — for per-query working sets that fan out into
+    concurrent AQE jobs but don't warrant a cross-query memo slot."""
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _materialize(out)
+    return out
+
+
 def peek_memo(source: DataFrame, tag: tuple) -> DataFrame | None:
     """Return the memoized frame for (source, tag) if one exists,
     WITHOUT building or persisting anything on a miss — for consumers
@@ -167,6 +202,7 @@ def plan_memo(
                 if _MEMO.get(key) is entry:
                     del _MEMO[key]
     out = build().persist(StorageLevel.MEMORY_AND_DISK)
+    _materialize(out)
     if key is None:
         return out
     # lost-race check OUTSIDE the lock: _repin runs a Spark job, and

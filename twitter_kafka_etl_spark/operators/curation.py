@@ -21,6 +21,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from twitter_kafka_etl_spark.operators._cache import eager_persist
+
 
 def _hash32(salt: str, c: Column) -> Column:
     """First 8 md5 hex chars of salt||id as a BIGINT in [0, 2^32) — the
@@ -798,14 +800,13 @@ def mixture_temperature(
 
     # |sources| rows, but its lineage is the corpus scan — pin it so
     # the total and the weight projection don't each re-scan
-    per = (
+    per = eager_persist(
         df.select(group_col, F.size(tokenize(text_col)).alias("__n"))
         .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__n").alias("n_tokens"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return temperature_weights(per, group_col=group_col, alpha=alpha)
 

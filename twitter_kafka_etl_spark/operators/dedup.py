@@ -28,6 +28,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from twitter_kafka_etl_spark.operators._cache import eager_persist
+
 #: Mersenne prime 2^31 - 1; all MinHash arithmetic stays < 2^62 (no
 #: int64 overflow in either Spark or the DuckDB oracle).
 MERSENNE = 2_147_483_647
@@ -516,7 +518,7 @@ def minhash_lsh_pairs(
     # in an InMemoryRelation would both duplicate storage and reintroduce
     # the reused-exchange-defeating cache node.
     if not checkpointed:
-        signatures = signatures.persist()
+        signatures = eager_persist(signatures)
     members = _minhash_members(signatures, id_col, n_bands, rows_per_band)
     reps = members.groupBy("__sig").agg(F.min("m_id").alias("rep_id"))
     rep_sigs = signatures.join(
@@ -815,9 +817,7 @@ def _pair_stats_core(
             # self-join sides): materialize the tokenize→explode→hash pass
             # once instead of three times (4× on the sf1 core). One
             # spillable disk write beats three recomputes at any scale.
-            from pyspark import StorageLevel
-
-            sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+            sh = eager_persist(sh)
     sh_uncapped = sh
     if hot_set is not None:
         sh = sh.join(hot_set, "sh_h", "left_anti")
@@ -1011,10 +1011,8 @@ def source_overlap(
     ss = labeled.select(
         F.col(group_col), token_hash60(F.col("shingle")).alias("sh_h")
     ).distinct()
-    from pyspark import StorageLevel
-
     # feeds the size agg + both self-join sides: one materialization
-    ss = ss.persist(StorageLevel.MEMORY_AND_DISK)
+    ss = eager_persist(ss)
     sizes = ss.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = ss.alias("a"), ss.alias("b")
     common = (
@@ -1253,9 +1251,7 @@ def _collapse_expand_pairs(
         # projection AND the within-group fan-out — without pinning it,
         # every consumer re-runs the full-corpus md5→groupBy→join
         # lineage (3× the work on the sf1 core measured end-to-end)
-        from pyspark import StorageLevel
-
-        rep_docs = rep_docs.persist(StorageLevel.MEMORY_AND_DISK)
+        rep_docs = eager_persist(rep_docs)
     # restrict a shared full-corpus shingle table to the reps (one
     # semi-join beats re-running the interpreted HOF gram build even
     # over 1/d of the docs), or build the rep shingles fresh when a
@@ -1280,9 +1276,7 @@ def _collapse_expand_pairs(
             F.col(id_col), token_hash60(F.col("shingle")).alias("sh_h")
         )
         if persist:
-            from pyspark import StorageLevel
-
-            rep_hashed = rep_hashed.persist(StorageLevel.MEMORY_AND_DISK)
+            rep_hashed = eager_persist(rep_hashed)
     # per-fingerprint group sizes: ONE aggregation shared by the df_cap
     # hot-set weighting and the collapsed form's c_a/c_b columns
     gcnt = (
@@ -1308,9 +1302,7 @@ def _collapse_expand_pairs(
             .select("sh_h")
         )
         if persist:
-            from pyspark import StorageLevel
-
-            hot = hot.persist(StorageLevel.MEMORY_AND_DISK)
+            hot = eager_persist(hot)
     rep_pairs = rep_pairs_fn(rep_docs, rep_hashed, hot)
     # within-group pairs: identical texts — per-group values from the
     # group's shingle count and (under a df_cap) its hot-shingle count
@@ -1924,10 +1916,8 @@ def shingle_novelty(
     sh = base.select(
         F.col(id_col), token_hash60(F.col("shingle")).alias("sh_h")
     )
-    from pyspark import StorageLevel
-
     # feeds the first-occurrence agg AND the join back
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = eager_persist(sh)
     first = sh.groupBy("sh_h").agg(F.min(id_col).alias("__first"))
     per = (
         sh.join(first, "sh_h")
@@ -1994,12 +1984,12 @@ def dedup_threshold_curve(
         df_cap=df_cap,
         shingled=shingled,
     )
-    from pyspark import StorageLevel
-
     # feeds the pair histogram AND the per-doc max pass
-    pb = pairs.withColumn(
-        "b", F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("int")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pb = eager_persist(
+        pairs.withColumn(
+            "b", F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("int")
+        )
+    )
     ph = pb.groupBy("b").agg(F.count(F.lit(1)).alias("np"))
     dh = (
         pb.groupBy("doc_b")
@@ -2090,12 +2080,8 @@ def segment_dedup_stats(
     # it feeds BOTH the occurrence re-aggregation and the join probe:
     # without the pin each consumer re-runs the tokenize→transform→
     # explode corpus pass (the plan showed two FileScans).
-    from pyspark import StorageLevel
-
-    d = (
-        seg.groupBy(id_col, "seg_h")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    d = eager_persist(
+        seg.groupBy(id_col, "seg_h").agg(F.count(F.lit(1)).alias("cnt"))
     )
     # corpus occurrence counts by re-aggregating the (doc, segment)
     # table — segment-vocab-sized, never a second corpus scan

@@ -443,11 +443,15 @@ def _cosine_pairs_collapsed(
     this between queries) or session end, same contract as the
     ``persist=True`` working sets in ``dedup.minhash_lsh_pairs``.
     """
-    members = df.select(
-        F.col(id_col).alias("m_id"),
-        _vec_fp(vec_col).alias("fp"),
-        dot(as_double(vec_col), as_double(vec_col)).alias("__nrm2"),
-    ).persist()
+    from twitter_kafka_etl_spark.operators._cache import eager_persist
+
+    members = eager_persist(
+        df.select(
+            F.col(id_col).alias("m_id"),
+            _vec_fp(vec_col).alias("fp"),
+            dot(as_double(vec_col), as_double(vec_col)).alias("__nrm2"),
+        )
+    )
     reps = members.groupBy("fp").agg(F.min("m_id").alias("rep_id"))
     rep_df = df.join(
         reps.select(F.col("rep_id").alias(id_col)), id_col, "left_semi"

@@ -20,6 +20,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from twitter_kafka_etl_spark.operators._cache import eager_persist
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
@@ -204,9 +206,9 @@ def winnow_match_pairs(
         materialization of the per-row gram/hash/window chain feeding
         every downstream consumer."""
         staged, fps = _winnow_fps(docs, k, w, text_col)
-        return staged.select(
-            F.col(id_col), F.explode(fps).alias("fp")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        return eager_persist(
+            staged.select(F.col(id_col), F.explode(fps).alias("fp"))
+        )
 
     def pair_core(fpr: DataFrame) -> DataFrame:
         if df_cap is not None:
@@ -240,9 +242,11 @@ def winnow_match_pairs(
     # (reps, both expansion sides, both within sides) — pin it, or each
     # re-scans and re-hashes the full corpus (measured 29 s vs 2 s on a
     # 1.5k-doc triplicate corpus before the pin/share rework)
-    members = df.select(
-        F.col(id_col).alias("m_id"), F.md5(F.col(text_col)).alias("tfp")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    members = eager_persist(
+        df.select(
+            F.col(id_col).alias("m_id"), F.md5(F.col(text_col)).alias("tfp")
+        )
+    )
     reps = members.groupBy("tfp").agg(F.min("m_id").alias("rep_id"))
     rep_docs = df.join(
         reps.select(F.col("rep_id").alias(id_col)), id_col, "left_semi"
@@ -1200,10 +1204,8 @@ def pmi_top_bigrams(
     # the bigram vocab feeds four consumers (N, both marginals, the
     # floored candidate set): pin it so the corpus explode runs once —
     # unpersisted, the plan re-scanned the corpus per consumer
-    c2 = (
-        big.groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    c2 = eager_persist(
+        big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab"))
     )
     n_tot = c2.agg(F.sum("c_ab").alias("__n"))
     parts = c2.select(
@@ -1277,10 +1279,8 @@ def source_token_kl(
     # the (source, token) table feeds three consumers (per-source
     # totals, corpus totals, the term join): pin it so the corpus
     # explode runs once instead of once per consumer
-    cs = (
-        tok.groupBy(group_col, "__t")
-        .agg(F.count(F.lit(1)).alias("c_st"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    cs = eager_persist(
+        tok.groupBy(group_col, "__t").agg(F.count(F.lit(1)).alias("c_st"))
     )
     ns = cs.groupBy(group_col).agg(
         F.sum("c_st").alias("n_s"), F.count(F.lit(1)).alias("n_types")

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from twitter_kafka_etl_spark.io import read_table
+from twitter_kafka_etl_spark.operators._cache import eager_persist
 from twitter_kafka_etl_spark.operators import dedup as D
 from twitter_kafka_etl_spark.operators import multimodal as M
 from twitter_kafka_etl_spark.operators import similarity as S
@@ -2353,16 +2354,27 @@ def x59(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session cache eviction, same contract as x36's pair persist.
     shingled = D.corpus_shingles(docs)
     pred = D.minhash_lsh_pairs(
-        D.minhash_signatures(shingled).persist()
+        eager_persist(D.minhash_signatures(shingled))
     ).select("doc_a", "doc_b")
     truth = D.ngram_jaccard_pairs(
         docs, threshold=0.2, shingled=shingled
     ).select("doc_a", "doc_b")
-    tp = pred.join(truth, ["doc_a", "doc_b"])
-    counts = (
-        truth.agg(F.count(F.lit(1)).alias("n_true"))
-        .crossJoin(pred.agg(F.count(F.lit(1)).alias("n_pred")))
-        .crossJoin(tp.agg(F.count(F.lit(1)).alias("n_tp")))
+    # ONE pass over each arm: full-outer join the two (unique-keyed)
+    # pair sets and take all three counts from a single aggregate.
+    # The previous three-aggregate crossJoin form executed the pred
+    # subtree twice (n_pred + tp) and the truth subtree twice (n_true
+    # + tp) — at 100 TB that is two redundant executions of the two
+    # most expensive pair generators in the suite (guide §1.2: remove
+    # whole passes before tuning inside them). Both sides are DISTINCT
+    # on (doc_a, doc_b), so the outer join preserves exact row
+    # multiplicity and sum(flag) ≡ the old COUNT(*) per branch.
+    tagged = pred.withColumn("__p", F.lit(1)).join(
+        truth.withColumn("__t", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    counts = tagged.agg(
+        F.coalesce(F.sum("__t"), F.lit(0)).alias("n_true"),
+        F.coalesce(F.sum("__p"), F.lit(0)).alias("n_pred"),
+        F.coalesce(F.sum(F.col("__p") * F.col("__t")), F.lit(0)).alias("n_tp"),
     )
     return counts.select(
         F.col("n_true").cast("bigint").alias("n_true"),
@@ -2712,9 +2724,11 @@ def x65(spark: SparkSession, sf_dir: str) -> DataFrame:
     from twitter_kafka_etl_spark.operators import curation as C
 
     docs = _docs(spark, sf_dir)
-    spl = C.split_assign(docs, "doc_id").select(
-        "doc_id", F.md5("text").alias("fp"), "split"
-    ).persist()
+    spl = eager_persist(
+        C.split_assign(docs, "doc_id").select(
+            "doc_id", F.md5("text").alias("fp"), "split"
+        )
+    )
     te = spl.filter(F.col("split") == "test")
     tr_fp = spl.filter(F.col("split") == "train").select("fp").distinct()
     pairs = D.minhash_lsh_pairs(D.corpus_signatures(docs))
