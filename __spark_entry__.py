@@ -105,6 +105,32 @@ _REWRITTEN_OPS: dict[str, int] = {
     "streaming.side_state.maybe_compact": 13,
     "streaming.side_state.read_side": 13,
     "streaming.queries._rows_in": 13,
+    # r13 OPTIMIZATION round: shared working sets are now FULLY
+    # materialized at build time (plan_memo count + eager_persist —
+    # kills the concurrent-AQE-consumer cache stampede that re-ran the
+    # build lineage once per racer). Consumer plans and values are
+    # unchanged by design, but the fold internals of every pinning
+    # operator changed post-check, so the consumers re-verify.
+    "operators._cache.plan_memo": 13,
+    "operators._cache.eager_persist": 13,
+    # r13: connected_components carries a coalesce VIEW of the edge
+    # checkpoint instead of a second eager checkpoint, and the label
+    # seed checkpoint went lazy — the registered consumers' lineage
+    # shape changed (same values, test-asserted).
+    "operators.dedup.connected_components": 13,
+    # r13: x98's collapse/signature/simhash pins went eager (same
+    # stampede fix, checkpoint flavor).
+    "operators.dedup.dedup_method_agreement": 13,
+    # r13: qs6's per-key emission path rewritten (template-copy frames,
+    # ndarray sums) — same emitted values, Python internals changed.
+    "streaming.stateful.running_user_totals": 13,
+    # r13: x59 computes both evaluation arms ONCE (full-outer join +
+    # single aggregate replaces the three-aggregate crossJoin) — the
+    # registered plan changed shape.
+    "plans.extensions.x59": 13,
+    # r13: qs2's sink repartition is (date, hour) at an explicit
+    # uncoalescible width — the per-trigger sink plan changed.
+    "streaming.queries.qs2": 13,
 }
 # NOT registered: _order_files' numeric-aware sort — for every staging
 # the committed queries produce (≤10 single-digit "__f=N" dirs) the

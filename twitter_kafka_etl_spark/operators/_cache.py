@@ -174,6 +174,7 @@ def plan_memo(
     tag: tuple,
     build: Callable[[], DataFrame],
     unpersist_on_evict: bool = True,
+    eager: bool = False,
 ) -> DataFrame:
     """Return a persisted ``build()`` result memoized on
     ``(session, plan fingerprint, *tag)``.
@@ -202,7 +203,15 @@ def plan_memo(
                 if _MEMO.get(key) is entry:
                     del _MEMO[key]
     out = build().persist(StorageLevel.MEMORY_AND_DISK)
-    _materialize(out)
+    # ``eager``: fully materialize at build. Right for working sets
+    # whose consumers are CONCURRENT AQE jobs (multi-arm queries — the
+    # cache-stampede case _materialize documents). Wrong as a default:
+    # when the first consumer is a broadcast-side query stage the build
+    # already materializes sequentially inside it at zero extra cost,
+    # and an unconditional build-time pass measurably taxed every
+    # single-action consumer (x46/x60/x66/x67 +0.4-0.7 s at sf0.1).
+    if eager:
+        _materialize(out)
     if key is None:
         return out
     # lost-race check OUTSIDE the lock: _repin runs a Spark job, and

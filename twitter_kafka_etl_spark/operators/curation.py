@@ -796,7 +796,6 @@ def mixture_temperature(
     """
     from twitter_kafka_etl_spark.operators.text import tokenize
 
-    from pyspark import StorageLevel
 
     # |sources| rows, but its lineage is the corpus scan — pin it so
     # the total and the weight projection don't each re-scan

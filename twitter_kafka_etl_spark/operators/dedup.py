@@ -192,6 +192,10 @@ def corpus_shingles(
         df,
         ("shingles", n, text_col, id_col),
         lambda: shingle(df, n=n, text_col=text_col, id_col=id_col),
+        # eager: the shingle table's consumers are concurrent arms
+        # (x59's pred/truth, the df-cap agg + join sides) — profiled
+        # stampede of up to 8 redundant builds without it
+        eager=True,
     )
 
 
@@ -1528,7 +1532,13 @@ def connected_components(
     n_edges = edges.count()
     loop_parts = max(4, min(wide, n_edges // 1_000_000 + 1))
     if loop_parts < wide:
-        edges = edges.coalesce(loop_parts).localCheckpoint(eager=True)
+        # narrow coalesce VIEW of the already-checkpointed blocks — the
+        # old second localCheckpoint(eager) here re-materialized the
+        # (just materialized) edge table purely to change its width,
+        # one whole extra job + write per components build; a coalesce
+        # on top of a checkpoint is recompute-safe since the lineage
+        # below it is the checkpoint itself
+        edges = edges.coalesce(loop_parts)
     # symmetric edges: src alone covers every endpoint
     members = edges.select(F.col("src").alias("id")).distinct()
     labels = members.withColumn("lbl", F.col("id"))
@@ -1541,7 +1551,11 @@ def connected_components(
     # AQE's partition coalescing, which sizes them to the (tiny) label
     # table at runtime. A concurrent query in the same session now
     # never observes a mutated width.
-    labels = labels.coalesce(loop_parts).localCheckpoint(eager=True)
+    # eager=False: the first propagation round materializes it inside
+    # its own job (the round's two references are in dependent stages,
+    # so there is no concurrent-build race) — an eager checkpoint here
+    # was one more job barrier per components build for nothing
+    labels = labels.coalesce(loop_parts).localCheckpoint(eager=False)
     out = _propagate_min_labels(edges, labels, max_iter, loop_parts)
     out = out.select(
         F.col("id").alias(id_col), F.col("lbl").alias("component_id")
@@ -2370,7 +2384,11 @@ def dedup_method_agreement(
             F.count(F.lit(1)).cast("bigint").alias("__c"),
             F.min(F.col(text_col)).alias(text_col),
         )
-        .localCheckpoint(eager=False)  # read by both arms + both weight joins
+        # read by both arms + both weight joins. Lazy: the arms'
+        # broadcast-side query stages materialize it sequentially, and
+        # an eager barrier here measured +1.5 s in-suite (the racy
+        # duplicate builds it avoids are cheaper and overlap)
+        .localCheckpoint(eager=False)
     )
     rep_docs = reps.select(F.col(id_col), F.col(text_col))
 

@@ -197,7 +197,6 @@ def winnow_match_pairs(
     weighting machinery (see dedup._collapse_expand_pairs), and the
     window-min selection rarely needs a cap at all.
     """
-    from pyspark import StorageLevel
 
     from twitter_kafka_etl_spark.operators.dedup import _auto_collapse
 
@@ -1198,7 +1197,6 @@ def pmi_top_bigrams(
     re-aggregations joined back, and a TakeOrdered top-k heap — never
     a full sort; nothing after the first groupBy is corpus-sized.
     """
-    from pyspark import StorageLevel
 
     big = _bigram_rows(df, text_col, id_col)
     # the bigram vocab feeds four consumers (N, both marginals, the
@@ -1271,7 +1269,6 @@ def source_token_kl(
     joins of the per-source and corpus totals. Output is |sources|
     rows: (source, n_tokens, n_types, kl_nats).
     """
-    from pyspark import StorageLevel
 
     tok = df.select(
         F.col(group_col), F.explode(tokenize(text_col)).alias("__t")

@@ -477,11 +477,21 @@ def qs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicate is already exercised by QS1's 4-batch ingest (and
     # asserted in tests). One batch = one commit spanning all dirs.
     in_dir, work = _stage(spark, sf_dir, "qs2", n_files=1)
-    # repartition by date: each hive dir is written by exactly one task
-    # (one file per dir per batch), and the ~180 dirs a batch spans are
-    # written by several tasks in parallel instead of one serial task
+    # repartition by (date, hour) at an EXPLICIT width: each hive dir is
+    # still written by exactly one task (one file per dir per batch — a
+    # (date,hour) key hashes to one partition), but the ~740 dirs spread
+    # over the full core count instead of the 3 tasks AQE coalesced the
+    # old keyless-width date exchange down to (profiled: the write stage
+    # was 3 tasks × ~240 dirs ≈ 3.1 s of serial file creation; the cost
+    # here is per-FILE metadata, which AQE's size-based coalescing
+    # cannot see). An explicit numPartitions makes the exchange
+    # REPARTITION_BY_NUM, which AQE leaves alone. This is the
+    # write.distribution-mode=hash pattern (guide §6) with width from
+    # the engine's parallelism config, not a literal.
+    from twitter_kafka_etl_spark.session import default_parallelism
+
     stream = derive_date_hour(_read_stream(spark, in_dir, ev), "ts").repartition(
-        F.col("date")
+        max(8, default_parallelism() // 4), F.col("date"), F.col("hour")
     )
     out = _run_to_sink(stream, work, partition_by=["date", "hour"])
     raw = spark.read.parquet(out)
