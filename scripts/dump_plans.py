@@ -101,8 +101,11 @@ SHOWCASE = [
     ("x59_lsh_eval",
      "LSH precision/recall audit: BOTH evaluation arms (banded-LSH pred, "
      "exact-Jaccard truth) read ONE persisted shingle working set "
-     "(InMemoryTableScan below both subtrees) — the r4 double HOF pass "
-     "is gone; each arm stays an inverted-index equi-join."),
+     "(InMemoryTableScan below both subtrees), and since r13 each arm "
+     "EXECUTES once — a full-outer join of the two pair sets feeds one "
+     "aggregate computing n_true/n_pred/n_tp together (the old "
+     "three-aggregate crossJoin ran each arm twice; Exchange count "
+     "halved 84→40). Each arm stays an inverted-index equi-join."),
     ("x67_prototype_prune",
      "Prototypicality pruning: DECIMAL(38,12) cluster means re-assembled "
      "driver-free (array_sort of collected (pos,m) structs), broadcast "
@@ -263,11 +266,14 @@ SHOWCASE = [
 #: four most expensive BENCH_r11 rows (r11 verdict task 5).
 STREAM_SHOWCASE = [
     ("qs2_stream_hourly_partitioned", "qs2_sink",
-     "Steady-state sink plan: ONE repartition exchange on date "
-     "(REPARTITION_BY_COL) so each date×hour hive dir is written by "
-     "exactly one task; everything below it is a narrow projection on "
-     "the scan. The row's bench cost is the ~740-dir hive commit, paid "
-     "once per batch — no per-row Python, no second exchange."),
+     "Steady-state sink plan: ONE explicit-width repartition exchange "
+     "on (date, hour) (REPARTITION_BY_NUM since r13 — AQE cannot "
+     "coalesce it, so the ~740 per-batch dir files spread across the "
+     "width instead of the 3 tasks size-based coalescing left) and "
+     "each hive dir is still written by exactly one task; everything "
+     "below it is a narrow projection on the scan. The row's bench "
+     "cost is the ~740-dir hive commit, paid once per batch — no "
+     "per-row Python, no second exchange."),
     ("qs6_stream_stateful_totals", "qs6_sink",
      "applyInPandasWithState plan: one hash exchange on user_id "
      "(REQUIRED_BY_STATEFUL_OPERATOR) into the state store's "
