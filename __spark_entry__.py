@@ -46,7 +46,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # here became dead weight once every entry's round was ≤ its latest
 # driver green (r10 verdict process nit); see git history for the
 # entries and their rationales.
-_REWRITTEN_IN: dict[str, int] = {}
+_REWRITTEN_IN: dict[str, int] = {
+    # r14: a coalesce(1) width experiment was applied to this builder
+    # and REVERTED in-round (measured 6x slower — the fixture decode
+    # is real parallel CPU work; see OPTIMIZATION_r14.md). The
+    # registered plan is identical to r13's, but this is the single
+    # r10-green query the r14 operator expansion does not reach, and
+    # fronting it completes the r13 verdict's rotation-debt target
+    # (all 23 r10-green rows re-verify in CORRECTNESS_r14, leaving no
+    # latest-green older than r11).
+    "x103_media_decode": 14,
+}
 
 # Rewrites declared at the OPERATOR level, expanded to the registered
 # consumers mechanically by the package reference graph
@@ -63,74 +73,49 @@ _REWRITTEN_IN: dict[str, int] = {}
 # record — the r10 batch was removed in r11 after CORRECTNESS_r10
 # hashed all six consumers green).
 _REWRITTEN_OPS: dict[str, int] = {
-    # (r11 entries pruned: every expanded consumer re-hashed green in
-    # CORRECTNESS_r11 — see git history.)
+    # (r12/r13 entries pruned: every expanded consumer re-hashed green
+    # in CORRECTNESS_r13 — 50/50, covering the full 37-query r13
+    # expansion — so each entry's round ≤ its consumers' latest green.
+    # See git history for the entries and their rationales.)
     #
-    # r12: the four state-heavy ingest folds compact their __b=
-    # side-state partitions every N committed batches
-    # (streaming/side_state.py — checksum-gated size-tiered snapshots
-    # with an intent-journal swap; kills the +9-10 ms/batch listing
-    # growth the r11 100-batch probe isolated). Never triggers at the
-    # 4-batch oracle schedule, but the fold internals changed
-    # post-check; qs15 additionally converted its raw/cells appends to
-    # replay-idempotent per-batch overwrite partitions (its serve-time
-    # read shape changed).
-    "streaming.side_state.maybe_compact": 12,
-    # r12: plan-capture seam for the PLANS.md streaming sections —
-    # _run_to_sink taps the per-trigger plan and the three ingest
-    # callbacks tap their inner frames when $SPARK_GRAFT_PLAN_TAP is
-    # set (no-op otherwise; default-path plans unchanged, but the
-    # builder internals moved post-check)
-    "streaming.queries._run_to_sink": 12,
-    # r13: qs10 gained an inner-frame tap for its PLANS.md section
-    # (no-op on the default path, but the builder changed post-check)
-    "streaming.queries._tap_frame": 13,
-    # r12: footer walk consolidated into side_state._dir_stats
-    # (consumers qs12/qs14 — already fronted via maybe_compact, listed
-    # for bookkeeping precision)
-    "streaming.queries._rows_in": 12,
-    # r13: compaction-swap durability fences (r12 advice) — _recover
-    # re-verifies the INSTALLED snapshot before any trash deletion and
-    # fsyncs the table root around each destructive step; _rollback
-    # fsyncs after restoring sources. Recovery-path only (the happy
-    # path still never triggers at the 4-batch oracle schedule), but
-    # the fold internals changed post-check.
-    "streaming.side_state._recover": 13,
-    # r13: manifest (rename-free, object-store) visibility mode —
-    # maybe_compact dispatches on the table's visibility primitive,
-    # the four ingest folds' side-table reads went through read_side
-    # and their writes gained register_batch publishes, and _rows_in
-    # counts live partitions only. Default-path (listing-visible)
-    # plans unchanged, but every touched fold re-verifies.
-    "streaming.side_state.maybe_compact": 13,
-    "streaming.side_state.read_side": 13,
-    "streaming.queries._rows_in": 13,
-    # r13 OPTIMIZATION round: shared working sets are now FULLY
-    # materialized at build time (plan_memo count + eager_persist —
-    # kills the concurrent-AQE-consumer cache stampede that re-ran the
-    # build lineage once per racer). Consumer plans and values are
-    # unchanged by design, but the fold internals of every pinning
-    # operator changed post-check, so the consumers re-verify.
-    "operators._cache.plan_memo": 13,
-    "operators._cache.eager_persist": 13,
-    # r13: connected_components carries a coalesce VIEW of the edge
-    # checkpoint instead of a second eager checkpoint, and the label
-    # seed checkpoint went lazy — the registered consumers' lineage
-    # shape changed (same values, test-asserted).
-    "operators.dedup.connected_components": 13,
-    # r13: x98's collapse/signature/simhash pins went eager (same
-    # stampede fix, checkpoint flavor).
-    "operators.dedup.dedup_method_agreement": 13,
-    # r13: qs6's per-key emission path rewritten (template-copy frames,
-    # ndarray sums) — same emitted values, Python internals changed.
-    "streaming.stateful.running_user_totals": 13,
-    # r13: x59 computes both evaluation arms ONCE (full-outer join +
-    # single aggregate replaces the three-aggregate crossJoin) — the
-    # registered plan changed shape.
-    "plans.extensions.x59": 13,
-    # r13: qs2's sink repartition is (date, hour) at an explicit
-    # uncoalescible width — the per-trigger sink plan changed.
-    "streaming.queries.qs2": 13,
+    # r14 OPTIMIZATION round (2/2):
+    #
+    # read_table's rebalance width now FOLLOWS THE DATA —
+    # min(cores, ceil(footer_rows / 128)) instead of an unconditional
+    # repartition(cores) — so small-SF scans stop paying one
+    # near-empty task per core (the r13 scaling block's anti-scaling
+    # rows). Values are partition-order-independent by construction
+    # (no sampling/ids/partition functions anywhere in operator code);
+    # plans changed for every rebalance consumer at the verification
+    # SFs.
+    "io.read_table": 14,
+    # connected_components: the edge checkpoint and each round's label
+    # checkpoint went LAZY, folding their materialization into the
+    # sizing count / convergence aggregate — one driver-job gap per
+    # round instead of two, same labels (test-asserted).
+    "operators.dedup.connected_components": 14,
+    # plan_memo/peek_memo: memo entries carry a materialized flag so
+    # an eager request that hits (or loses a race to) a lazily-built
+    # entry materializes it then (r13 advice); _repin gains the
+    # cluster-hardening spark.tkes.memo.fullProbe count() probe (r13
+    # verdict item 7). Hit-path internals changed for every memoized
+    # working set's consumers.
+    "operators._cache.plan_memo": 14,
+    "operators._cache.peek_memo": 14,
+    # qs14/qs16/qs17 derive their arrival-schedule width from parquet
+    # footer statistics (io.parquet_footer_max) instead of a per-run
+    # Spark max() job — same value, one less job per build.
+    "streaming.queries._max_doc_id": 14,
+    # qs12/qs14/qs17 ingest folds submit their independent per-batch
+    # side-table overwrites from concurrent driver threads (guide
+    # §2.6); qs17 additionally replaced its hit-set
+    # semi-join→union→distinct→anti shape with two chained anti-joins
+    # (one less exchange per micro-batch, same kept set).
+    "streaming.queries._concurrent_actions": 14,
+    # qs6's running-total accumulation uses np.nansum, restoring
+    # Series.sum's skipna semantics on null values (r13 advice; no
+    # value change on null-free data).
+    "streaming.stateful.running_user_totals": 14,
 }
 # NOT registered: _order_files' numeric-aware sort — for every staging
 # the committed queries produce (≤10 single-digit "__f=N" dirs) the

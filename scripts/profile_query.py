@@ -92,15 +92,36 @@ def main() -> int:
         _noop(spec.build(spark, sf_dir))
         wall = time.perf_counter() - t0
         sc.setJobDescription(None)
-        jobs = [j for j in _api(base, "/jobs") if j["jobId"] not in jobs_before]
+        # bracket by id set difference PLUS a description guard (r13
+        # advice): drop bracket-interlopers from other profile passes
+        # (warm:/timed: of a different query). Jobs with other
+        # descriptions stay — a streaming query's foreachBatch inner
+        # jobs run on the stream execution thread and carry the
+        # stream's own description, not this thread-local one, and
+        # they are precisely what a qs profile must include.
+        own = f"timed:{name}"
+        jobs = [
+            j
+            for j in _api(base, "/jobs")
+            if j["jobId"] not in jobs_before
+            and (
+                (desc := j.get("description") or "") == own
+                or not desc.startswith(("timed:", "warm:"))
+            )
+        ]
         stage_ids = sorted({s for j in jobs for s in j["stageIds"]})
         stages = []
         for sid in stage_ids:
             try:
-                for att in _api(base, f"/stages/{sid}"):
-                    stages.append(att)
+                atts = _api(base, f"/stages/{sid}")
             except Exception:  # noqa: BLE001 — skipped stages 404
-                pass
+                continue
+            # latest attempt only: summing every attempt double-counts
+            # a retried stage's tasks and metrics (r13 advice)
+            if atts:
+                stages.append(
+                    max(atts, key=lambda a: a.get("attemptId", 0))
+                )
         n_tasks = sum(s.get("numCompleteTasks", 0) for s in stages)
         print(
             f"\n{name}  wall={wall:.3f}s  jobs={len(jobs)}  "

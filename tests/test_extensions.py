@@ -1503,6 +1503,25 @@ def test_lsh_eval_counts_are_consistent(spark, sf_dir):
     assert r.n_true > 0 and r.n_pred > 0
 
 
+def test_lsh_eval_pair_arms_are_distinct(spark, sf_dir):
+    """x59's single-pass full-outer-join form is count-equivalent to
+    the old triple-aggregate form ONLY because both pair generators
+    emit each (doc_a, doc_b) at most once — a duplicate-emitting
+    regression (e.g. dropping the .distinct() in _minhash_lsh_pairs_core)
+    would inflate n_tp multiplicatively instead of failing loudly
+    (r13 advice). Pin the distinctness invariant here."""
+    docs = read_table(spark, sf_dir, "documents", rebalance=True)
+    shingled = D.corpus_shingles(docs)
+    pred = D.minhash_lsh_pairs(
+        D.minhash_signatures(shingled)
+    ).select("doc_a", "doc_b")
+    truth = D.ngram_jaccard_pairs(
+        docs, threshold=0.2, shingled=shingled
+    ).select("doc_a", "doc_b")
+    for arm in (pred, truth):
+        assert arm.count() == arm.distinct().count()
+
+
 def test_semantic_dedup_drops_planted_near_duplicate(spark):
     """A vector and its tiny perturbation land in the same coarse cell
     and clear the cosine bar; the higher id is reported dropped with the
@@ -2030,6 +2049,67 @@ def test_memo_eviction_never_kills_checkpoint_backed_holder(spark, sf_dir):
         src = spark.range(10 + i)
         plan_memo(src, (f"__test_{i}",), lambda s=src: s.groupBy().count())
     assert comp.count() == n  # held frame still alive after eviction
+
+
+def test_memo_eager_hit_materializes_lazy_entry(spark):
+    """An eager=True plan_memo request that HITS a lazily-persisted
+    entry must materialize it then and record the fact — otherwise the
+    stampede fix silently depends on which consumer populated the memo
+    slot first (r13 advice)."""
+    from twitter_kafka_etl_spark.operators import _cache
+
+    src = spark.range(100)
+    tag = ("__test_eager_on_hit",)
+    with _cache._LOCK:
+        _cache._MEMO.clear()
+    # cold build, lazy: entry records materialized=False
+    lazy = _cache.plan_memo(src, tag, lambda: src.selectExpr("id * 2 AS v"))
+    key = _cache._plan_key(src, tag)
+    assert _cache._MEMO[key][0] is lazy
+    assert _cache._MEMO[key][2] is False
+    # eager hit on the lazy entry: same frame back, flag flipped
+    hit = _cache.plan_memo(
+        src, tag, lambda: src.selectExpr("id * 2 AS v"), eager=True
+    )
+    assert hit is lazy
+    assert _cache._MEMO[key][2] is True
+    with _cache._LOCK:
+        _cache._MEMO.clear()
+
+
+def test_repin_full_probe_conf_validates_every_partition(spark):
+    """spark.tkes.memo.fullProbe=true switches the memo liveness probe
+    from take(1) (one partition — exact only under local-mode all-block
+    eviction) to count() (every partition — the cluster-hardened probe,
+    r13 verdict item 7). The flagged path must serve hits and survive a
+    full external eviction by rebuilding."""
+    from twitter_kafka_etl_spark.operators import _cache
+
+    spark.conf.set("spark.tkes.memo.fullProbe", "true")
+    try:
+        src = spark.range(64)
+        tag = ("__test_full_probe",)
+        with _cache._LOCK:
+            _cache._MEMO.clear()
+        built = _cache.plan_memo(
+            src, tag, lambda: src.selectExpr("id + 1 AS v"), eager=True
+        )
+        # hit under the full probe: the count() validates every block
+        hit = _cache.plan_memo(
+            src, tag, lambda: src.selectExpr("id + 1 AS v"), eager=True
+        )
+        assert hit is built
+        # external eviction (the bench hygiene path): probe must detect
+        # the dead blocks and the call must rebuild, not serve a corpse
+        spark.catalog.clearCache()
+        again = _cache.plan_memo(
+            src, tag, lambda: src.selectExpr("id + 1 AS v"), eager=True
+        )
+        assert again.count() == 64
+    finally:
+        spark.conf.unset("spark.tkes.memo.fullProbe")
+        with _cache._LOCK:
+            _cache._MEMO.clear()
 
 
 def test_components_working_set_builds_once_across_consumers(spark, sf_dir):

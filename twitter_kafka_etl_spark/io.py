@@ -76,12 +76,22 @@ def read_table(
     shingling, BLAS over embeddings): when the scan yields fewer input
     splits than the configured parallelism — single-row-group files can't
     be split, so a small table scans as ONE task no matter how many cores
-    exist — it repartitions up to the core count. The guard makes it free
-    at scale: a 100 TB table already has orders of magnitude more splits
-    than cores and is returned untouched, no shuffle.
+    exist — it repartitions toward the core count. The width FOLLOWS THE
+    DATA (guide §2.6): ``min(cores, ceil(rows / 128))`` from the parquet
+    footers' row counts (a driver-side metadata read, no job), so a
+    2k-row table gets a handful of tasks instead of one near-empty task
+    per core — 32 tasks of ~60 rows each spend more wall on task launch,
+    codegen setup and Python-worker handshakes than on work (the r13
+    scaling block measured the embeddings family FASTER on 8 cores than
+    32 for exactly this reason), and the same rule on a cluster stops a
+    small dimension table from occupying the scheduler with empty tasks.
+    The guard makes it free at scale: a 100 TB table already has orders
+    of magnitude more splits than cores and is returned untouched, no
+    shuffle.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     for fld in df.schema.fields:
         if fld.name == "ts" and fld.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
@@ -89,8 +99,95 @@ def read_table(
     if rebalance:
         par = default_parallelism()
         if df.rdd.getNumPartitions() < par:
-            df = df.repartition(par)
+            rows = parquet_footer_rows(path)
+            width = (
+                min(par, max(1, -(-rows // 128))) if rows is not None else par
+            )
+            df = df.repartition(width)
     return df
+
+
+def parquet_footer_rows(path: str) -> int | None:
+    """Total row count of a parquet file or directory of part files,
+    from the FOOTERS alone — driver-side metadata, no Spark job. None
+    when the footers can't be read (caller falls back to a safe
+    default). Exact by the parquet spec: every file's metadata carries
+    its row count."""
+    import pyarrow.parquet as pq
+
+    def one(p: str) -> int:
+        return pq.ParquetFile(p).metadata.num_rows
+
+    try:
+        if os.path.isdir(path):
+            total = 0
+            for root_, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += one(os.path.join(root_, f))
+            return total
+        return one(path)
+    except Exception:  # noqa: BLE001 — metadata probe is best-effort
+        return None
+
+
+def parquet_footer_max(path: str, col: str) -> int | None:
+    """Exact MAX of an integer column from parquet row-group statistics
+    — the same footer min/max the scan's predicate pushdown trusts to
+    skip row groups, read driver-side with no Spark job. Returns None
+    (caller falls back to a Spark aggregate) unless EVERY row group of
+    every part file carries stats for the column — a partial answer
+    would be a lower bound, not the max. Like ``F.max``, column stats
+    ignore nulls; an all-null/empty table returns None and the caller's
+    Spark fallback reproduces its semantics exactly.
+
+    The streaming builders use this for their arrival-schedule width
+    (``MAX(doc_id) // n + 1``): computed per bench run, the one-job
+    Spark aggregate is pure fixed cost per query — the value is a
+    property of the input files the footers already state."""
+    import pyarrow.parquet as pq
+
+    def one(p: str):
+        md = pq.ParquetFile(p).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if col not in names:
+            return None
+        ci = names[col]
+        best = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                if md.row_group(rg).num_rows == 0:
+                    continue
+                return None
+            v = st.max
+            if not isinstance(v, int):
+                return None
+            best = v if best is None else max(best, v)
+        return best
+
+    try:
+        files = []
+        if os.path.isdir(path):
+            for root_, _dirs, fs in os.walk(path):
+                files.extend(
+                    os.path.join(root_, f)
+                    for f in fs
+                    if f.endswith(".parquet")
+                )
+        else:
+            files = [path]
+        best = None
+        for p in files:
+            v = one(p)
+            if v is None:
+                if pq.ParquetFile(p).metadata.num_rows == 0:
+                    continue
+                return None
+            best = v if best is None else max(best, v)
+        return best
+    except Exception:  # noqa: BLE001 — metadata probe is best-effort
+        return None
 
 
 def read_table_time_range(

@@ -47,12 +47,17 @@ from collections.abc import Callable
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-#: key -> (frame, safe_to_unpersist_on_evict). Checkpoint-backed
-#: frames (corpus_components) set the flag False: unpersisting a
-#: truncated-lineage frame a caller still holds kills it
-#: unrecoverably, so eviction only drops the reference and lets the
-#: driver GC reclaim the blocks when the last holder releases it.
-_MEMO: dict[tuple, tuple[DataFrame, bool]] = {}
+#: key -> (frame, safe_to_unpersist_on_evict, materialized).
+#: Checkpoint-backed frames (corpus_components) set the unpersist flag
+#: False: unpersisting a truncated-lineage frame a caller still holds
+#: kills it unrecoverably, so eviction only drops the reference and
+#: lets the driver GC reclaim the blocks when the last holder releases
+#: it. ``materialized`` records whether the frame was fully built
+#: (``_materialize``) — an ``eager=True`` request that HITS a lazily
+#: persisted entry must materialize it then, or the stampede fix
+#: silently depends on which query populated the slot first (r13
+#: advice).
+_MEMO: dict[tuple, tuple[DataFrame, bool, bool]] = {}
 _LOCK = threading.Lock()
 #: entries are few and small (signature/assignment tables), but bound
 #: the memo anyway so a long exploratory session can't accumulate
@@ -89,20 +94,37 @@ def _repin(hit: DataFrame) -> DataFrame | None:
       of a persisted-or-replayable frame, a no-op job when healthy) and
       the caller rebuilds instead of serving a dead frame.
 
-    Known limitation: the probe touches one partition, so a PARTIALLY
-    evicted checkpoint-backed frame (some blocks lost, partition 0's
-    survivor intact — possible on multi-executor deployments under
-    executor loss) passes and dies later in the consumer's full scan.
-    In this engine's local-mode deployments every eviction path
-    (clearCache, the bench hygiene unpersist) drops all blocks
-    atomically, so the single-partition probe is exact; a cluster
-    deployment hardening pass would probe with a count() or checksum.
+    Probe depth: the default take(1) touches one partition, so a
+    PARTIALLY evicted checkpoint-backed frame (some blocks lost,
+    partition 0's survivor intact — possible on multi-executor
+    deployments under executor loss) passes and dies later in the
+    consumer's full scan. In this engine's local-mode deployments every
+    eviction path (clearCache, the bench hygiene unpersist) drops all
+    blocks atomically, so the single-partition probe is exact and the
+    cheap default. Cluster deployments set
+    ``spark.tkes.memo.fullProbe=true`` (session conf, read per probe)
+    to validate EVERY partition with a count() instead — one cheap job
+    over cached blocks when healthy, and the only probe that is exact
+    under partial eviction.
     """
     lvl = hit.storageLevel
     if not (lvl.useMemory or lvl.useDisk):
         hit.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        hit.take(1)
+        full = False
+        try:
+            full = (
+                hit.sparkSession.conf.get(
+                    "spark.tkes.memo.fullProbe", "false"
+                ).lower()
+                == "true"
+            )
+        except Exception:  # noqa: BLE001 — conf lookup is best-effort
+            pass
+        if full:
+            hit.count()
+        else:
+            hit.take(1)
     except Exception:
         try:
             hit.unpersist()
@@ -196,8 +218,23 @@ def plan_memo(
         with _LOCK:
             entry = _MEMO.get(key)
         if entry is not None:
+            # captured BEFORE _repin: a frame whose blocks were
+            # externally evicted (storage level dropped) is re-pinned
+            # lazily by _repin, so the stored materialized flag no
+            # longer vouches for its blocks
+            lvl = entry[0].storageLevel
+            was_pinned = lvl.useMemory or lvl.useDisk
             alive = _repin(entry[0])
             if alive is not None:
+                # an eager request must not inherit a lazy entry's
+                # stampede window: materialize the hit NOW and record
+                # it, so the fix applies regardless of which consumer
+                # populated the slot first (r13 advice)
+                if eager and not (entry[2] and was_pinned):
+                    _materialize(alive)
+                    with _LOCK:
+                        if _MEMO.get(key) is entry:
+                            _MEMO[key] = (entry[0], entry[1], True)
                 return alive
             with _LOCK:
                 if _MEMO.get(key) is entry:
@@ -227,11 +264,18 @@ def plan_memo(
                 out.unpersist()
             except Exception:
                 pass
+            # a lost race must still honor THIS caller's eagerness:
+            # the winner may have persisted lazily (r13 advice)
+            if eager and not racer[2]:
+                _materialize(alive)
+                with _LOCK:
+                    if _MEMO.get(key) is racer:
+                        _MEMO[key] = (racer[0], racer[1], True)
             return alive
         with _LOCK:
             if _MEMO.get(key) is racer:
                 del _MEMO[key]
-    evicted: list[tuple[DataFrame, bool]] = []
+    evicted: list[tuple[DataFrame, bool, bool]] = []
     with _LOCK:
         racer = _MEMO.get(key)
         if racer is not None and racer[0] is not out:
@@ -241,8 +285,8 @@ def plan_memo(
             return out
         while len(_MEMO) >= _MEMO_MAX:
             evicted.append(_MEMO.pop(next(iter(_MEMO))))
-        _MEMO[key] = (out, unpersist_on_evict)
-    for old, safe in evicted:
+        _MEMO[key] = (out, unpersist_on_evict, eager)
+    for old, safe, _mat in evicted:
         if not safe:
             continue
         try:

@@ -1518,10 +1518,18 @@ def connected_components(
         .select("e.src", "e.dst")
         .distinct()
     )
-    edges = edges.localCheckpoint(eager=True)
+    # LAZY checkpoint + count: the sizing count below is the first (and
+    # only pre-loop) action, so it materializes the checkpoint blocks
+    # inside its own job — the old eager checkpoint ran a whole separate
+    # job for the materialization and then ANOTHER for the count (guide
+    # §1.2: the heavy batch queries here are driver-job-bound, ~70 ms of
+    # planning gap per job). No concurrent consumer exists before the
+    # count, so there is no stampede window.
+    edges = edges.localCheckpoint(eager=False)
     # Size the propagation loop to the EDGE GRAPH, not the corpus: the
-    # count is free (edges just materialized), and a near-dup pair graph
-    # is orders of magnitude smaller than the corpus that produced it.
+    # count doubles as the checkpoint materialization, and a near-dup
+    # pair graph is orders of magnitude smaller than the corpus that
+    # produced it.
     # Running 3-5 rounds x 4 stages at the corpus-wide shuffle width
     # makes task-launch overhead the dominant cost (measured 8.4s -> low
     # single digits at sf1 on a 250k-edge graph); at 100 TB the same
@@ -1660,7 +1668,13 @@ def _propagate_min_labels(
         )
         # fold the convergence flag into the same pass — a separate
         # old-vs-new join would re-shuffle the whole label table per
-        # round just to count changes
+        # round just to count changes. The checkpoint is LAZY and the
+        # convergence agg right below materializes it: one job per
+        # round carries the new labels AND counts the changes, where
+        # the eager form paid a materialization job plus a count job
+        # (2 driver-job gaps per round for a 3-5 round loop). The agg
+        # is the only reference until `labels` is reassigned, so no
+        # concurrent consumer can race the lazy build.
         new_labels = (
             labels.join(nbr, "id", "left")
             .select(
@@ -1671,7 +1685,7 @@ def _propagate_min_labels(
                 .alias("__chg"),
             )
             .coalesce(loop_parts)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.agg(F.sum("__chg")).first()[0] or 0
         labels = new_labels.drop("__chg")

@@ -4921,6 +4921,13 @@ def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (did, bytes.fromhex(hx)) for did, hx in M.media_fixture_payloads()
     ]
+    # Width note (r14): the r13 scaling block flagged this row as
+    # anti-scaling (faster at 8 cores than 32), suggesting the 32
+    # ~1-row tasks were overhead. Measured otherwise: the 36 payloads
+    # cost ~4.3 s of REAL single-thread decode CPU (pure-Python
+    # inflate/unfilter/IFD walks), so coalesce(1) ran 6x SLOWER and
+    # the per-payload task fan-out is genuine parallelism, not
+    # scheduler waste. Default createDataFrame slicing stands.
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     feats = M.media_features(df)
     neg = F.lit(-1).cast("long")

@@ -371,6 +371,58 @@ def _run_to_sink(stream_df: DataFrame, work: str, partition_by=None) -> str:
     return out
 
 
+def _concurrent_actions(*thunks) -> None:
+    """Run independent Spark ACTIONS from driver threads so one job's
+    tasks back-fill the executors the other's tail frees (guide §2.6 —
+    actions are only sequential because driver code calls them
+    sequentially). Used by the ingest folds for their per-batch sink
+    writes: independent, idempotent per-partition overwrites of
+    DIFFERENT side tables, all reading already-checkpointed frames, so
+    neither ordering nor replay semantics change — a crash mid-batch
+    leaves any subset of the partitions written, exactly the states the
+    replay-overwrite contract already recovers from. Exceptions
+    re-raise in the caller: a failed write must still fail the batch.
+
+    ``InheritableThread`` (not a bare thread): under PySpark's pinned
+    thread mode each Python thread gets its own JVM thread, and the
+    inheritable wrapper carries the streaming batch's job group /
+    description into the children and cleans the JVM thread up on
+    exit."""
+    from pyspark import InheritableThread
+
+    errs: list[BaseException] = []
+
+    def _run(t) -> None:
+        try:
+            t()
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            errs.append(e)
+
+    threads = [InheritableThread(target=_run, args=(t,)) for t in thunks]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
+
+
+def _max_doc_id(sf_dir: str, table: str, col: str, df: DataFrame) -> int:
+    """``MAX(col)`` for the arrival-schedule width — from the parquet
+    footers' column statistics when they cover every row group
+    (driver-side, no job; see io.parquet_footer_max), falling back to
+    the one-job Spark aggregate otherwise. The builders that derive
+    their id-range bucket width at BUILD time (qs14/qs16/qs17) paid
+    that fixed-cost job on every run for a value the footers already
+    state."""
+    from twitter_kafka_etl_spark.io import parquet_footer_max
+
+    v = parquet_footer_max(os.path.join(sf_dir, f"{table}.parquet"), col)
+    if v is None:
+        v = df.agg(F.max(col)).first()[0]
+    return v or 0
+
+
 def _rows_in(path: str) -> int:
     """Row count from parquet FOOTERS, driver-side — tracking an
     accumulated index's size (the bloom-crossover decision in qs12 and
@@ -1352,17 +1404,27 @@ def qs12(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "m": np.full(len(nz), state["m"], dtype=np.int64),
                 }
             ).to_parquet(bloom_file)
-        novel.select("doc_id", "fp").write.mode("overwrite").parquet(
-            os.path.join(index, f"__b={batch_id}")
-        )
-        # manifest mode: the partition becomes visible only on publish
-        # (no-op under listing visibility). The corpus stays
-        # listing-visible — it is never compacted, so it has no
-        # rename/visibility hazard to defend.
-        register_batch(index, batch_id)
-        novel.select("doc_id", "text", "fp").write.mode("overwrite").parquet(
-            os.path.join(corpus, f"__b={batch_id}")
-        )
+        # index and corpus appends: independent idempotent overwrites
+        # of different tables off the checkpointed novel set — submit
+        # concurrently (guide §2.6). The bloom side-file (above) still
+        # lands strictly BEFORE both, preserving the crash-ordering
+        # invariant (extra bits, never missing ones).
+        def _w_index() -> None:
+            novel.select("doc_id", "fp").write.mode("overwrite").parquet(
+                os.path.join(index, f"__b={batch_id}")
+            )
+            # manifest mode: the partition becomes visible only on
+            # publish (no-op under listing visibility). The corpus
+            # stays listing-visible — it is never compacted, so it has
+            # no rename/visibility hazard to defend.
+            register_batch(index, batch_id)
+
+        def _w_corpus() -> None:
+            novel.select("doc_id", "text", "fp").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(corpus, f"__b={batch_id}"))
+
+        _concurrent_actions(_w_index, _w_corpus)
 
     stream = _read_stream(spark, in_dir, docs)
     q = foreach_batch_fanout(
@@ -1533,7 +1595,7 @@ def qs14(spark: SparkSession, sf_dir: str) -> DataFrame:
     from twitter_kafka_etl_spark.streaming.sinks import foreach_batch_fanout
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    mx = docs.agg(F.max("doc_id")).first()[0] or 0
+    mx = _max_doc_id(sf_dir, "documents", "doc_id", docs)
     n = _arrival_batches()
     width = mx // n + 1
 
@@ -1701,9 +1763,6 @@ def qs14(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("__nv", F.lit(0)).cast("bigint").alias("n_novel"),
             )
         )
-        row.write.mode("overwrite").parquet(
-            os.path.join(stats, f"__b={batch_id}")
-        )
         if state["words"] is not None:
             # roll the bitmap forward: OR this batch's novel hashes in
             # (one small job over the pinned novel set), then rewrite
@@ -1729,13 +1788,26 @@ def qs14(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "m": np.full(len(nz), state["m"], dtype=np.int64),
                 }
             ).to_parquet(bloom_file)
-        novel.select("sh_h").write.mode("overwrite").parquet(
-            os.path.join(index, f"__b={batch_id}")
-        )
-        # manifest mode: visible only on publish (no-op under listing
-        # visibility); the stats table is never compacted and stays
-        # listing-visible
-        register_batch(index, batch_id)
+        # stats row and index append: independent idempotent overwrites
+        # of different tables off the two checkpointed frames — submit
+        # concurrently (guide §2.6). The bloom side-file (above) still
+        # lands strictly BEFORE the index append, preserving the
+        # crash-ordering invariant (extra bits, never missing ones).
+        def _w_stats() -> None:
+            row.write.mode("overwrite").parquet(
+                os.path.join(stats, f"__b={batch_id}")
+            )
+
+        def _w_index() -> None:
+            novel.select("sh_h").write.mode("overwrite").parquet(
+                os.path.join(index, f"__b={batch_id}")
+            )
+            # manifest mode: visible only on publish (no-op under
+            # listing visibility); the stats table is never compacted
+            # and stays listing-visible
+            register_batch(index, batch_id)
+
+        _concurrent_actions(_w_stats, _w_index)
 
     stream = _read_stream(spark, in_dir, docs)
     q = foreach_batch_fanout(
@@ -1927,7 +1999,7 @@ def qs16(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
-    mx = docs.agg(F.max("doc_id")).first()[0] or 0
+    mx = _max_doc_id(sf_dir, "documents", "doc_id", docs)
     width = mx // 4 + 1
 
     def write(in_dir: str) -> None:
@@ -2070,7 +2142,7 @@ def _register_qs17() -> None:
         )
 
         docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-        mx = docs.agg(F.max("doc_id")).first()[0] or 0
+        mx = _max_doc_id(sf_dir, "documents", "doc_id", docs)
         n = _arrival_batches()
         width = mx // n + 1
 
@@ -2123,7 +2195,14 @@ def _register_qs17() -> None:
             ).localCheckpoint(eager=True)
             # hit = exact fp in earlier-KEPT corpus OR any band bucket
             # in earlier-KEPT band index (own-batch partitions excluded
-            # → replay-idempotent, per the qs12 round-5 advice fix)
+            # → replay-idempotent, per the qs12 round-5 advice fix).
+            # Two CHAINED anti-joins, not semi-joins→union→distinct→
+            # anti: novel is unique per fp (the window dedup above), so
+            # anti-joining away fp matches, then doc_ids with a band
+            # hit, drops exactly the old hit set — minus the union's
+            # distinct, a whole exchange+aggregate per micro-batch that
+            # existed only to dedup the overlap the anti-join semantics
+            # absorb for free (guide §2.4: remove shuffles outright).
             if os.path.exists(corpus):
                 # read_side: listing- or manifest-visible, the tables
                 # decide (side_state manifest mode)
@@ -2137,16 +2216,12 @@ def _register_qs17() -> None:
                     .filter(F.col("__b") != batch_id)
                     .select("band", "sig")
                 )
-                hits = (
-                    novel.join(seen_fp, "fp", "left_semi")
-                    .select("doc_id")
-                    .unionByName(
-                        bands.join(seen_bands, ["band", "sig"], "left_semi")
-                        .select("doc_id")
-                    )
-                    .distinct()
+                band_hits = bands.join(
+                    seen_bands, ["band", "sig"], "left_semi"
+                ).select("doc_id")
+                kept = novel.join(seen_fp, "fp", "left_anti").join(
+                    band_hits, "doc_id", "left_anti"
                 )
-                kept = novel.join(hits, "doc_id", "left_anti")
             else:
                 kept = novel
             # pin before the two appends (qs12's re-list footgun: the
@@ -2154,18 +2229,27 @@ def _register_qs17() -> None:
             # would re-list)
             _tap_frame(kept, "qs17_kept")
             kept = kept.localCheckpoint(eager=True)
-            kept.select("doc_id", "batch", "fp").write.mode(
-                "overwrite"
-            ).parquet(os.path.join(corpus, f"__b={batch_id}"))
-            register_batch(corpus, batch_id)
-            bands.join(
-                kept.select("doc_id"), "doc_id", "left_semi"
-            ).write.mode("overwrite").parquet(
-                os.path.join(bandidx, f"__b={batch_id}")
-            )
-            # manifest mode: both side tables become visible only on
-            # their publishes (no-ops under listing visibility)
-            register_batch(bandidx, batch_id)
+
+            # the two side-table appends are independent idempotent
+            # overwrites of different tables off checkpointed frames:
+            # submit them concurrently (guide §2.6) — each thread
+            # publishes its OWN table's manifest generation after its
+            # write (no-op under listing visibility)
+            def _w_corpus() -> None:
+                kept.select("doc_id", "batch", "fp").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(corpus, f"__b={batch_id}"))
+                register_batch(corpus, batch_id)
+
+            def _w_bands() -> None:
+                bands.join(
+                    kept.select("doc_id"), "doc_id", "left_semi"
+                ).write.mode("overwrite").parquet(
+                    os.path.join(bandidx, f"__b={batch_id}")
+                )
+                register_batch(bandidx, batch_id)
+
+            _concurrent_actions(_w_corpus, _w_bands)
 
         stream = _read_stream(spark, in_dir, docs)
         q = foreach_batch_fanout(

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -69,9 +70,12 @@ def _make_update(ttl_ms: int):
         last_ts = None
         for pdf in pdfs:
             cnt += len(pdf)
-            # ndarray sum: same float64 accumulation as Series.sum
-            # (both reduce the underlying array) at a third of the cost
-            val += float(pdf["value"].values.sum())
+            # nansum, not ndarray.sum: a nullable 'value' column arrives
+            # as float64 with NaN, and ndarray.sum would poison the
+            # persisted running total forever after one null row —
+            # Series.sum's skipna=True semantics (the original form)
+            # must survive the vectorized rewrite (r13 advice)
+            val += float(np.nansum(pdf["value"].values))
             m = pdf["ts"].max()  # pandas max keeps tz-awareness exact
             last_ts = m if last_ts is None else max(last_ts, m)
         state.update((cnt, val))
