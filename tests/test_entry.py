@@ -124,13 +124,27 @@ def test_live_window_fronts_oldest_debt():
              if rewritten.get(n, 0) > latest.get(n, 0)}
     k = len(stale)
     assert set(names[:k]) == stale
+    # WITHIN the stale group, oldest green first — when a wide rewrite
+    # (r14: read_table) fronts more queries than the 50-slot window
+    # holds, this ordering is what guarantees the window still spends
+    # its slots on the oldest debt
+    stale_rounds = [latest.get(n, 0) for n in names[:k]]
+    assert stale_rounds == sorted(stale_rounds)
     rest_rounds = [latest.get(n, 0) for n in names[k:]]
     assert rest_rounds == sorted(rest_rounds)
-    # the 50-slot window therefore never holds a query younger than the tail
+    # the 50-slot window therefore never holds a query younger than the
+    # tail (comparable only for the non-stale remainder of the window;
+    # with k >= 50 the window is all-stale and the group assertions
+    # above already pin its order)
     window, tail = names[:50], names[50:]
-    if tail:
+    if tail and k < 50:
         assert max(latest.get(n, 0) for n in window[k:]) <= min(
             latest.get(n, 0) for n in tail
+        )
+    elif tail:
+        # all-stale window: it must hold the stale group's oldest debt
+        assert max(latest.get(n, 0) for n in window) <= min(
+            latest.get(n, 0) for n in names[50:k]
         )
 
 
