@@ -2187,9 +2187,18 @@ def _register_qs17() -> None:
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
+            # pin the window dedup ONCE: novel feeds both the band build
+            # and the kept-set joins, and without this checkpoint each
+            # consumer's plan re-ran the full window subtree — the whole
+            # batch exchanged and sorted twice per micro-batch (guide
+            # §1.2/§2.4; at production batch sizes that is a duplicated
+            # full-batch shuffle, the dominant per-trigger data movement)
+            _tap_frame(novel, "qs17_novel")
+            novel = novel.localCheckpoint(eager=True)
             # bands of this batch's candidates (tiny: 4 rows/doc) —
-            # checkpointed so the hit probe and the index append don't
-            # re-run the shingle+minhash subtree
+            # narrow from the pinned novel (no exchange), checkpointed so
+            # the hit probe and the index append don't re-run the
+            # shingle+minhash subtree
             bands = D.band_rows(
                 D.minhash_signatures(D.shingle(novel.select("doc_id", "text")))
             ).localCheckpoint(eager=True)
@@ -2226,7 +2235,12 @@ def _register_qs17() -> None:
                 kept = novel
             # pin before the two appends (qs12's re-list footgun: the
             # first append extends the file source the second plan
-            # would re-list)
+            # would re-list). Project to the three columns the appends
+            # read BEFORE pinning: text rides along only to feed the
+            # band build (already done, off the novel checkpoint), so
+            # materializing it here paid the batch's full text payload
+            # into block storage for nothing.
+            kept = kept.select("doc_id", "batch", "fp")
             _tap_frame(kept, "qs17_kept")
             kept = kept.localCheckpoint(eager=True)
 
