@@ -291,12 +291,15 @@ STREAM_SHOWCASE = [
      "driver-held bloom bitmap pre-probes instead, capping this exact "
      "path to the FP-rate-bounded candidate set."),
     ("qs17_stream_neardup_ingest", "qs17_kept",
-     "foreachBatch inner plan (steady-state batch): within-batch "
-     "row_number dedup, then the kept set is one LeftAnti against the "
-     "union of two LeftSemi probes — exact fp vs the kept corpus and "
-     "(band, sig) vs the band index — both with the own-batch "
-     "partition pruned at the scan; every join is an equi-join, no "
-     "pair enumeration anywhere."),
+     "foreachBatch inner plan (steady-state batch): the kept set is "
+     "two CHAINED LeftAnti joins off the once-checkpointed "
+     "window-deduped batch (r14: the window subtree runs exactly once "
+     "per trigger, in the novel checkpoint — this plan starts from its "
+     "ExistingRDD scan) — exact fp vs the kept corpus, then doc_ids "
+     "with a (band, sig) LeftSemi hit vs the band index — both side "
+     "scans with the own-batch partition pruned (PartitionFilters: "
+     "NOT __b = b); every join is an equi-join, no pair enumeration "
+     "anywhere."),
     ("qs3_stream_watermark_late_drop", "qs3_sink",
      "Per-trigger plan of the watermarked sliding-window agg: "
      "EventTimeWatermark directly over the file-source scan (late "
