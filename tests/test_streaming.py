@@ -860,3 +860,26 @@ def test_qs17_stream_equals_batch_recursion(spark, sf_dir):
     assert streamed == kept
     # the history gate actually fires: some candidate was rejected
     assert len(streamed) < len(cand)
+
+
+def test_qs17_window_dedup_runs_once_per_batch(spark, sf_dir, tmp_path, monkeypatch):
+    """r14 regression guard: the fold's window dedup must execute
+    exactly once per micro-batch — in the novel checkpoint — and the
+    kept set must build from that checkpoint, not re-run the window.
+    Before the fix, the kept plan contained the full window subtree
+    (exchange + sorts) a second time, shuffling every batch twice.
+    Asserted on the steady-state plan taps: the novel plan carries the
+    one hash exchange and window; the kept plan carries neither."""
+    from twitter_kafka_etl_spark.plans import REGISTRY
+
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_TAP", str(tmp_path))
+    out = REGISTRY["qs17_stream_neardup_ingest"].build(spark, sf_dir)
+    out.collect()
+    novel = (tmp_path / "qs17_novel.txt").read_text()
+    kept = (tmp_path / "qs17_kept.txt").read_text()
+    assert novel.count("Arguments: hashpartitioning") == 1
+    assert "Window" in novel
+    assert "Arguments: hashpartitioning" not in kept
+    assert "Window" not in kept
+    # the kept plan starts from the pinned (checkpointed) novel frame
+    assert "Scan ExistingRDD" in kept
